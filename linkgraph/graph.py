@@ -1,0 +1,349 @@
+"""LinkGraph — the engine's graph abstraction: a pair of DataFrames.
+
+Re-expresses the reference's four adjacency-map classes
+(/root/reference/src/graph/{graph,digraph,multigraph,multidigraph}.rs)
+as ONE immutable table-pair with a ``directed`` flag and a
+``multi`` flag:
+
+- vertices: DataFrame(id long, …payload columns)
+- edges:    DataFrame(src long, dst long, weight double[, edge_id])
+
+Every mutation returns a NEW LinkGraph (union / anti-join lineage);
+every neighbor loop is a join; the reverse-adjacency ``pred`` map
+(digraph.rs:26) needs no materialization — group by ``dst`` instead
+of ``src``. Parallel edges are duplicate rows (multigraph.rs:79's
+"e{n}" keys become an ``edge_id`` column when present).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def _ids_df(graph_df: DataFrame, ids: list[int] | DataFrame) -> DataFrame:
+    if isinstance(ids, DataFrame):
+        return ids.select(F.col(ids.columns[0]).cast("long").alias("id"))
+    spark = graph_df.sparkSession
+    return spark.createDataFrame([(int(i),) for i in ids], "id long")
+
+
+class LinkGraph:
+    def __init__(
+        self,
+        edges: DataFrame,
+        vertices: DataFrame | None = None,
+        directed: bool = True,
+        name: str = "",
+    ):
+        cols = edges.columns
+        assert "src" in cols and "dst" in cols, f"edge table needs src/dst, got {cols}"
+        if "weight" not in cols:
+            edges = edges.withColumn("weight", F.lit(1.0))
+        self.edges = edges
+        self._vertices = vertices
+        self.directed = directed
+        self.name = name
+
+    # --- construction -------------------------------------------------------
+
+    @classmethod
+    def empty(cls, spark, directed: bool = True) -> "LinkGraph":
+        e = spark.createDataFrame([], "src long, dst long, weight double")
+        v = spark.createDataFrame([], "id long")
+        return cls(e, v, directed)
+
+    @classmethod
+    def from_pages(cls, pages: DataFrame, **kw) -> "LinkGraph":
+        from linkgraph.sources.edges import build_edges, vertices_from_pages
+
+        return cls(build_edges(pages, **kw), vertices_from_pages(pages), directed=True)
+
+    # --- vertex / edge views --------------------------------------------------
+
+    @property
+    def vertices(self) -> DataFrame:
+        """Vertex table; derived from edge endpoints when not given
+        (the MultiDiGraph auto-create-endpoint behavior,
+        multidigraph.rs:119-125, as a set semantics instead of a
+        mutation)."""
+        if self._vertices is not None:
+            return self._vertices
+        return (
+            self.edges.select(F.col("src").alias("id"))
+            .unionAll(self.edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+
+    @property
+    def sym_edges(self) -> DataFrame:
+        """Traversal view: directed graphs as-is; undirected graphs
+        materialize both directions (what graph.rs:391-394 does by
+        double-insert) with self-loops emitted once."""
+        e = self.edges.select("src", "dst", "weight")
+        if self.directed:
+            return e
+        mirrored = e.filter(F.col("src") != F.col("dst")).select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+        return e.unionAll(mirrored)
+
+    def canonical_edges(self) -> DataFrame:
+        """Undirected canonical (min,max) edge view — the counting
+        semantics of graph.rs:821-831."""
+        return self.edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            "weight",
+        ).dropDuplicates(["src", "dst"])
+
+    # --- mutation (immutable: returns new graphs) -----------------------------
+
+    def add_nodes(self, nodes: DataFrame) -> "LinkGraph":
+        v = self.vertices.unionByName(nodes, allowMissingColumns=True).dropDuplicates(["id"])
+        return LinkGraph(self.edges, v, self.directed, self.name)
+
+    def add_edges(self, new_edges: DataFrame, upsert: bool = True) -> "LinkGraph":
+        """Batch add_edge (graph.rs:384-396). ``upsert`` = last-wins
+        weight on duplicate (src,dst); False keeps parallel rows
+        (MultiGraph semantics)."""
+        old = self.edges.select("src", "dst", "weight").withColumn("_batch", F.lit(0))
+        new = new_edges.select("src", "dst", "weight").withColumn("_batch", F.lit(1))
+        both = old.unionAll(new)
+        if upsert:
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy("src", "dst").orderBy(F.desc("_batch"))
+            both = both.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+        merged = both.select("src", "dst", "weight")
+        v = self._vertices
+        return LinkGraph(merged, v, self.directed, self.name)
+
+    def remove_nodes(self, ids: list[int] | DataFrame) -> "LinkGraph":
+        """Cascading node delete (graph.rs:492-512) as three
+        anti-joins — no full adjacency sweep needed."""
+        dead = _ids_df(self.edges, ids)
+        v = self.vertices.join(dead, "id", "left_anti")
+        e = (
+            self.edges.join(dead, self.edges.src == dead.id, "left_anti")
+            .join(dead, F.col("dst") == dead.id, "left_anti")
+        )
+        return LinkGraph(e, v, self.directed, self.name)
+
+    def remove_edges(self, pairs: list[tuple[int, int]] | DataFrame) -> "LinkGraph":
+        if not isinstance(pairs, DataFrame):
+            pairs = self.edges.sparkSession.createDataFrame(
+                [(int(a), int(b)) for a, b in pairs], "src long, dst long"
+            )
+        if not self.directed:
+            pairs = pairs.unionAll(
+                pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+        e = self.edges.join(pairs, ["src", "dst"], "left_anti")
+        return LinkGraph(e, self._vertices, self.directed, self.name)
+
+    def clear_edges(self) -> "LinkGraph":
+        return LinkGraph(self.edges.limit(0), self.vertices, self.directed, self.name)
+
+    def update(self, other: "LinkGraph") -> "LinkGraph":
+        """Graph union (graph.rs:980-999): nodes then edges."""
+        v = self.vertices.select("id").unionAll(other.vertices.select("id")).distinct()
+        e = self.edges.select("src", "dst", "weight").unionAll(
+            other.edges.select("src", "dst", "weight")
+        ).dropDuplicates(["src", "dst"])
+        return LinkGraph(e, v, self.directed, self.name)
+
+    # --- predicates / lookups -------------------------------------------------
+
+    def has_node(self, key: int) -> bool:
+        return self.vertices.filter(F.col("id") == key).limit(1).count() > 0
+
+    def has_edge(self, u: int, v: int) -> bool:
+        probe = self.sym_edges if not self.directed else self.edges
+        return probe.filter((F.col("src") == u) & (F.col("dst") == v)).limit(1).count() > 0
+
+    def get_edge_weight(self, u: int, v: int) -> float | None:
+        probe = self.sym_edges if not self.directed else self.edges
+        rows = probe.filter((F.col("src") == u) & (F.col("dst") == v)).select("weight").take(1)
+        return rows[0]["weight"] if rows else None
+
+    def find_nodes(self, predicate: Column) -> DataFrame:
+        """find_nodes / find_nodes_par (graph.rs:1135-1178) — a
+        Catalyst predicate; partition parallelism is implicit."""
+        return self.vertices.filter(predicate)
+
+    def nbunch(self, ids: list[int] | DataFrame) -> DataFrame:
+        """nbunch_iter (graph.rs:1000-1014): restrict to existing ids."""
+        return _ids_df(self.edges, ids).join(self.vertices.select("id"), "id", "left_semi")
+
+    # --- neighborhoods ---------------------------------------------------------
+
+    def neighbors(self, key: int) -> DataFrame:
+        return self.sym_edges.filter(F.col("src") == key).select(F.col("dst").alias("id"))
+
+    def successors(self, key: int) -> DataFrame:
+        return self.edges.filter(F.col("src") == key).select(F.col("dst").alias("id"))
+
+    def predecessors(self, key: int) -> DataFrame:
+        return self.edges.filter(F.col("dst") == key).select(F.col("src").alias("id"))
+
+    def adjacency(self) -> DataFrame:
+        """adjacency()/adj() (graph.rs:717-722) as collected structs."""
+        return self.sym_edges.groupBy("src").agg(
+            F.sort_array(F.collect_list(F.struct("dst", "weight"))).alias("adj")
+        )
+
+    # --- aggregations -----------------------------------------------------------
+
+    def out_degrees(self) -> DataFrame:
+        return (
+            self.vertices.select("id")
+            .join(self.edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("n")), "id", "left")
+            .select("id", F.coalesce("n", F.lit(0)).alias("out_degree"))
+        )
+
+    def in_degrees(self) -> DataFrame:
+        return (
+            self.vertices.select("id")
+            .join(self.edges.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("n")), "id", "left")
+            .select("id", F.coalesce("n", F.lit(0)).alias("in_degree"))
+        )
+
+    def degrees(self) -> DataFrame:
+        """Undirected: adjacency-row length (graph.rs:751-764).
+        Directed: in+out (digraph.rs:186-190)."""
+        if self.directed:
+            return (
+                self.in_degrees()
+                .join(self.out_degrees(), "id")
+                .select("id", (F.col("in_degree") + F.col("out_degree")).alias("degree"))
+            )
+        deg = self.sym_edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("n"))
+        return (
+            self.vertices.select("id")
+            .join(deg, "id", "left")
+            .select("id", F.coalesce("n", F.lit(0)).alias("degree"))
+        )
+
+    def degree_centrality(self) -> DataFrame:
+        n = self.vertices.count()
+        scale = 1.0 / max(n - 1, 1)
+        return self.degrees().select("id", (F.col("degree") * scale).alias("centrality"))
+
+    def node_count(self) -> int:
+        return self.vertices.count()
+
+    def edge_count(self) -> int:
+        """Directed: rows. Undirected: distinct canonical pairs
+        (graph.rs:821-831) — deliberately NOT the reference
+        MultiGraph double-count bug (multigraph.rs:642)."""
+        if self.directed:
+            return self.edges.count()
+        return self.canonical_edges().count()
+
+    # --- subgraphs / conversions -------------------------------------------------
+
+    def subgraph(self, ids: list[int] | DataFrame) -> "LinkGraph":
+        """Induced subgraph (graph.rs:919-945): double semi-join."""
+        keep = _ids_df(self.edges, ids)
+        e = (
+            self.edges.join(keep, self.edges.src == keep.id, "left_semi")
+            .join(keep, F.col("dst") == keep.id, "left_semi")
+        )
+        v = self.vertices.join(keep, "id", "left_semi")
+        return LinkGraph(e, v, self.directed, self.name)
+
+    def edge_subgraph(self, pairs: DataFrame) -> "LinkGraph":
+        """Subgraph induced by an edge set + incident nodes
+        (graph.rs:956-979)."""
+        e = self.edges.join(pairs.select("src", "dst"), ["src", "dst"], "left_semi")
+        v = (
+            e.select(F.col("src").alias("id"))
+            .unionAll(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        return LinkGraph(e, v, self.directed, self.name)
+
+    def reverse(self) -> "LinkGraph":
+        """reverse()/reverse_par() (digraph.rs:203-221, 299-332) —
+        a pure projection, no data movement until acted on."""
+        e = self.edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+        return LinkGraph(e, self._vertices, self.directed, self.name)
+
+    def to_undirected(self) -> "LinkGraph":
+        """Canonical (min,max) dedup (graph.rs:203-237). The reference
+        keeps a HashMap-order-dependent weight; we pin the
+        deterministic rule weight = min over the pair."""
+        e = (
+            self.edges.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+                "weight",
+            )
+            .groupBy("src", "dst")
+            .agg(F.min("weight").alias("weight"))
+        )
+        return LinkGraph(e, self._vertices, directed=False, name=self.name)
+
+    def to_directed(self) -> "LinkGraph":
+        """Both directions per undirected edge, self-loops once
+        (graph.rs:146-183)."""
+        if self.directed:
+            return LinkGraph(self.edges, self._vertices, True, self.name)
+        return LinkGraph(self.sym_edges, self._vertices, True, self.name)
+
+    # --- relational set ops (free in the table model, SURVEY §2.4) -----------------
+
+    def union_edges(self, other: "LinkGraph") -> "LinkGraph":
+        return self.update(other)
+
+    def intersect_edges(self, other: "LinkGraph") -> "LinkGraph":
+        e = self.edges.select("src", "dst", "weight").intersect(
+            other.edges.select("src", "dst", "weight")
+        )
+        return LinkGraph(e, None, self.directed, self.name)
+
+    def difference_edges(self, other: "LinkGraph") -> "LinkGraph":
+        e = self.edges.select("src", "dst", "weight").exceptAll(
+            other.edges.select("src", "dst", "weight")
+        )
+        return LinkGraph(e, None, self.directed, self.name)
+
+    def graph_equal(self, other: "LinkGraph") -> bool:
+        """PartialEq (graph.rs:1501-1527) via symmetric except."""
+        a = self.edges.select("src", "dst", "weight")
+        b = other.edges.select("src", "dst", "weight")
+        if a.exceptAll(b).limit(1).count() or b.exceptAll(a).limit(1).count():
+            return False
+        va, vb = self.vertices.select("id"), other.vertices.select("id")
+        return not (va.exceptAll(vb).limit(1).count() or vb.exceptAll(va).limit(1).count())
+
+    # --- physical layout ------------------------------------------------------------
+
+    def partitioned(self, n: int) -> "LinkGraph":
+        """CSR-like blocks: hash-partition by src, sort within
+        partitions — the layout iterative SpMV joins want (SURVEY
+        §4.2.4). Persisted bucketed tables give the same effect
+        durably."""
+        e = self.edges.repartition(n, "src").sortWithinPartitions("src", "dst")
+        return LinkGraph(e, self._vertices, self.directed, self.name)
+
+    def degree_stats(self) -> DataFrame:
+        """Out-degree histogram in log2 buckets — drives hub/salt
+        decisions (north rule skew mitigation)."""
+        deg = self.edges.groupBy("src").agg(F.count("*").alias("d"))
+        return (
+            deg.groupBy(F.floor(F.log2(F.col("d").cast("double"))).alias("log2_bucket"))
+            .agg(F.count("*").alias("vertices"), F.sum("d").alias("edges"))
+            .orderBy("log2_bucket")
+        )
+
+    def hubs(self, min_degree: int) -> DataFrame:
+        return (
+            self.edges.groupBy(F.col("dst").alias("id"))
+            .agg(F.count("*").alias("in_degree"))
+            .filter(F.col("in_degree") >= min_degree)
+        )

@@ -1,0 +1,17 @@
+from linkgraph.operators.components import strongly_connected_components, weakly_connected_components
+from linkgraph.operators.lpa import label_propagation
+from linkgraph.operators.pagerank import pagerank
+from linkgraph.operators.traversal import bfs_levels, reachable_from, shortest_paths
+from linkgraph.operators.triangles import clustering_coefficients, triangle_counts
+
+__all__ = [
+    "pagerank",
+    "weakly_connected_components",
+    "strongly_connected_components",
+    "label_propagation",
+    "triangle_counts",
+    "clustering_coefficients",
+    "bfs_levels",
+    "reachable_from",
+    "shortest_paths",
+]

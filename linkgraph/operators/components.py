@@ -1,0 +1,154 @@
+"""Connected components via iterative min-label propagation.
+
+WCC re-expresses the reference's BFS flood-fill
+(/root/reference/src/graph/graph.rs:1369-1433) — which does an O(V·E)
+reverse-adjacency sweep per directed node — as the standard
+data-parallel formulation: every vertex starts labeled with its own
+id; each round every vertex takes the min of its own and its
+neighbors' labels; fixpoint = components, label = min vertex id in
+the component (the canonical component id our tests define, making
+"components match exactly" well-defined across engines).
+
+SCC replaces Kosaraju's inherently sequential DFS finish ordering
+(digraph.rs:359-425) with the FW-BW/coloring scheme: forward-propagate
+min labels to color vertices, take each color root's backward-reachable
+set within its color as one SCC, peel, repeat. Rounds ≈ SCC-DAG
+depth picked off per peel; each inner propagation is the same
+frontier-join machinery as WCC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+from linkgraph.plans.iterate import IterationResult, iterate
+
+
+def _min_label_step(edges: DataFrame):
+    """One synchronous round: label'(v) = min(label(v), min_{u→v} label(u))."""
+
+    def step(state: DataFrame, i: int) -> tuple[DataFrame, float]:
+        nbr = (
+            state.join(edges, state.id == edges.src)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new = (
+            state.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
+                F.col("label").alias("_old"),
+            )
+            .persist()
+        )
+        changed = new.filter(F.col("label") != F.col("_old")).count()
+        state.unpersist()
+        return new.select("id", "label"), float(changed)
+
+    return step
+
+
+def weakly_connected_components(
+    graph: LinkGraph,
+    max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
+) -> IterationResult:
+    """DataFrame(id, component); component = min vertex id in it.
+    Directed edges treated weakly (both directions), matching the
+    reference's directed WCC semantics (graph.rs:1406-1412)."""
+    und = graph.to_directed() if not graph.directed else graph
+    e = und.edges.select("src", "dst")
+    sym = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).persist()
+    init = graph.vertices.select("id", F.col("id").alias("label"))
+    res = iterate(
+        init,
+        _min_label_step(sym),
+        tol=0.0,
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+    )
+    sym.unpersist()
+    res.state = res.state.select("id", F.col("label").alias("component"))
+    return res
+
+
+def _propagate_min(vertices: DataFrame, edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Forward min-label fixpoint over directed edges: result(v) =
+    min id over {v} ∪ {u : u reaches v}. Returns (id, label)."""
+    init = vertices.select("id", F.col("id").alias("label"))
+    return iterate(init, _min_label_step(edges), tol=0.0, max_iter=max_iter).state
+
+
+def strongly_connected_components(graph: LinkGraph, max_peels: int = 50) -> DataFrame:
+    """DataFrame(id, component); component = min vertex id in the SCC.
+
+    Coloring/FW-BW peeling. Driver loop count = number of peels (each
+    peel removes ≥1 SCC per color); inner loops are frontier joins.
+    Suited to web graphs whose giant SCC comes out in peel one.
+    """
+    spark = graph.edges.sparkSession
+    remaining_v = graph.vertices.select("id").persist()
+    remaining_e = graph.edges.select("src", "dst").persist()
+    assigned = spark.createDataFrame([], "id long, component long")
+
+    for _ in range(max_peels):
+        if remaining_v.limit(1).count() == 0:
+            break
+        # 1. color(v) = min vertex id that reaches v (forward fixpoint)
+        colors = _propagate_min(remaining_v, remaining_e).withColumnRenamed("label", "color")
+        colors = colors.persist()
+        # 2. root r of each color is r itself (color(r)==r); SCC(r) =
+        #    vertices of color r backward-reachable from r. Backward
+        #    reachability from all roots at once: propagate the color
+        #    as a mark along REVERSED edges, constrained to same color.
+        rev = remaining_e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        # mark(v) = 1 if v backward-reaches its color root within color
+        marks = colors.select("id", "color", (F.col("id") == F.col("color")).alias("mark"))
+
+        def bw_step(state: DataFrame, i: int) -> tuple[DataFrame, float]:
+            # propagate mark along reversed edges, same-color only
+            src_side = state.filter("mark").select(
+                F.col("id").alias("src"), F.col("color").alias("mcolor")
+            )
+            hits = (
+                src_side.join(rev, "src")
+                .select(F.col("dst").alias("id"), "mcolor")
+                .distinct()
+            )
+            new = (
+                state.join(hits, ["id"], "left")
+                .select(
+                    "id",
+                    "color",
+                    (
+                        F.col("mark")
+                        | (F.coalesce(F.col("mcolor"), F.lit(-1)) == F.col("color"))
+                    ).alias("mark"),
+                    F.col("mark").alias("_old"),
+                )
+                .persist()
+            )
+            changed = new.filter(F.col("mark") & ~F.col("_old")).count()
+            state.unpersist()
+            return new.select("id", "color", "mark"), float(changed)
+
+        marked = iterate(marks, bw_step, tol=0.0, max_iter=50).state.persist()
+        scc = marked.filter("mark").select("id", F.col("color").alias("component"))
+        assigned = assigned.unionAll(scc).persist()
+        assigned.count()
+        done = scc.select("id")
+        remaining_v = remaining_v.join(done, "id", "left_anti").persist()
+        remaining_e = (
+            remaining_e.join(done, remaining_e.src == done.id, "left_anti")
+            .join(done, F.col("dst") == done.id, "left_anti")
+            .persist()
+        )
+        colors.unpersist()
+        marked.unpersist()
+
+    return assigned

@@ -1,0 +1,126 @@
+"""PageRank as partition-parallel SpMV — the flagship operator.
+
+Matches NetworkX ``nx.pagerank(G, alpha=0.85, weight='weight')``
+semantics exactly (the oracle the reference benchmarks against,
+/root/reference/benchmarks/src/benchmark_networkx.py:217-222):
+
+- contributions out-weight-normalized: rank(u) * w(u,v) / Σ_x w(u,x)
+- dangling (no-out-edge) mass redistributed uniformly
+- rank' = (1-α)/N + α·(Σ contribs + dangling_mass/N)
+- stop when Σ|rank'-rank| < N·tol
+
+Per iteration exactly ONE big shuffle (the contribution sum keyed by
+dst); the ranks⋈edges join co-partitions when the edge table is
+pre-partitioned by src (LinkGraph.partitioned), so at 1000 executors
+the join is shuffle-free on the edge side and the edge table never
+moves. Dangling mass and delta are tiny scalar aggs. Hub skew on the
+dst-sum is handled by map-side partial aggregation + AQE; see
+plans/skew.py for the explicit salting variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+from linkgraph.plans.iterate import IterationResult, iterate
+
+
+def pagerank(
+    graph: LinkGraph,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    weighted: bool = True,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
+    truncate_every: int = 3,
+) -> IterationResult:
+    """Returns IterationResult whose state is DataFrame(id, rank)."""
+    spark = graph.edges.sparkSession
+    edges = graph.sym_edges
+    vertices = graph.vertices.select("id")
+    n = vertices.count()
+    if n == 0:
+        return IterationResult(state=spark.createDataFrame([], "id long, rank double"))
+
+    w = F.col("weight").cast("double") if weighted else F.lit(1.0)
+    out_sums = edges.groupBy("src").agg(F.sum(w).alias("out_w"))
+    # Normalized transition edges: weight column becomes P(u→v).
+    # Built once, cached — the invariant operand of every iteration.
+    trans = (
+        edges.join(out_sums, "src")
+        .select("src", "dst", (w / F.col("out_w")).alias("p"))
+        .persist()
+    )
+    # Vertex table with dangling flag (out-degree 0), cached once.
+    verts = (
+        vertices.join(out_sums.select(F.col("src").alias("id")), "id", "left_semi")
+        .withColumn("dangling", F.lit(False))
+        .unionByName(
+            vertices.join(out_sums.select(F.col("src").alias("id")), "id", "left_anti")
+            .withColumn("dangling", F.lit(True))
+        )
+        .persist()
+    )
+    verts.count()
+
+    init = verts.select("id", F.lit(1.0 / n).alias("rank"), "dangling")
+    base = (1.0 - alpha) / n
+
+    def step(state: DataFrame, i: int) -> tuple[DataFrame, float]:
+        # dangling mass as an in-plan scalar (1-row cross join), no collect
+        dangling = state.filter("dangling").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
+        contribs = (
+            state.join(trans, state.id == trans.src)
+            .select(F.col("dst").alias("id"), (F.col("rank") * F.col("p")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("csum"))
+        )
+        new = (
+            verts.join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(alpha)
+                    * (F.coalesce(F.col("csum"), F.lit(0.0)) + F.col("dm") / n)
+                ).alias("rank"),
+                "dangling",
+            )
+            .persist()
+        )
+        delta = (
+            new.join(state.select("id", F.col("rank").alias("old")), "id")
+            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        state.unpersist()
+        return new, float(delta)
+
+    res = iterate(
+        init,
+        step,
+        tol=n * tol,
+        max_iter=max_iter,
+        truncate_every=truncate_every,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+        spark=spark,
+    )
+    res.state = res.state.select("id", "rank")
+    trans.unpersist()
+    verts.unpersist()
+    return res
+
+
+def pagerank_fixed_iterations(graph: LinkGraph, k: int, alpha: float = 0.85) -> DataFrame:
+    """Exactly-k-iteration PageRank (no convergence check) — the
+    SQL-oracle-comparable variant (an unrolled k-deep plan matches a
+    k-level recursive SQL exactly, up to float summation order)."""
+    res = pagerank(graph, alpha=alpha, tol=-1.0, max_iter=k)
+    return res.state

@@ -1,0 +1,134 @@
+"""Traversals: level-synchronous BFS, reachability, iterative SSSP.
+
+The reference's own parallel BFS (graph.rs:1289-1341) is already
+level-synchronous — Rayon fan-out per level, sequential merge — which
+IS the Spark shape: frontier⋈edges per level (executors), visited-set
+anti-join (shuffle), driver loop control. Its recursive DFS
+(graph.rs:1015-1033) doesn't distribute order-preservingly; the
+visit-SET semantics (all the reference tests assert beyond
+start-first, lib.rs:124-127) is `reachable_from`. Dijkstra
+(graph.rs:1054-1134) becomes Bellman-Ford-style iterative relaxation
+with parent pointers for path reconstruction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+
+
+def bfs_levels(graph: LinkGraph, start: int, max_depth: int = 10_000) -> DataFrame:
+    """DataFrame(id, level): minimum hop distance from start, only
+    reached vertices. Level ordering is the reference's only BFS
+    guarantee (depth k before k+1)."""
+    spark = graph.edges.sparkSession
+    edges = graph.sym_edges.select("src", "dst").persist()
+    visited = spark.createDataFrame([(int(start), 0)], "id long, level int").persist()
+    frontier = visited
+    depth = 0
+    while depth < max_depth:
+        depth += 1
+        nxt = (
+            frontier.join(edges, frontier.id == edges.src)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+            .withColumn("level", F.lit(depth))
+            .persist()
+        )
+        if nxt.limit(1).count() == 0:
+            nxt.unpersist()
+            break
+        new_visited = visited.unionAll(nxt).persist()
+        new_visited.count()
+        visited.unpersist()
+        frontier.unpersist() if frontier is not visited else None
+        visited = new_visited
+        frontier = nxt
+    edges.unpersist()
+    return visited
+
+
+def reachable_from(graph: LinkGraph, start: int) -> DataFrame:
+    """Visit set of DFS/BFS from start (id column only)."""
+    return bfs_levels(graph, start).select("id")
+
+
+def shortest_paths(
+    graph: LinkGraph,
+    source: int,
+    max_iter: int = 200,
+) -> DataFrame:
+    """Single-source shortest path lengths + parent pointers by
+    iterative relaxation (delta = improved-row count per round):
+    DataFrame(id, dist, via). Weighted, non-negative weights assumed
+    (same contract as the reference's Dijkstra)."""
+    spark = graph.edges.sparkSession
+    edges = graph.sym_edges.select("src", "dst", F.col("weight").cast("double").alias("w")).persist()
+    state = spark.createDataFrame(
+        [(int(source), 0.0, None)], "id long, dist double, via long"
+    ).persist()
+    for _ in range(max_iter):
+        cand = (
+            state.join(edges, state.id == edges.src)
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("dist") + F.col("w")).alias("nd"),
+                F.col("src").alias("nvia"),
+            )
+            .groupBy("id")
+            .agg(F.min_by(F.struct("nd", "nvia"), F.struct("nd", "nvia")).alias("m"))
+            .select("id", F.col("m.nd").alias("nd"), F.col("m.nvia").alias("nvia"))
+        )
+        merged = (
+            state.join(cand, "id", "full")
+            .select(
+                "id",
+                F.when(
+                    F.col("dist").isNull() | (F.col("nd") < F.col("dist")),
+                    F.struct(F.col("nd").alias("dist"), F.col("nvia").alias("via"), F.lit(1).alias("chg")),
+                )
+                .otherwise(F.struct("dist", "via", F.lit(0).alias("chg")))
+                .alias("s"),
+            )
+            .select("id", "s.dist", "s.via", "s.chg")
+            .persist()
+        )
+        improved = merged.filter("chg = 1").count()
+        state.unpersist()
+        state = merged.select("id", "dist", "via").persist()
+        merged.unpersist()
+        if improved == 0:
+            break
+    edges.unpersist()
+    return state
+
+
+def reconstruct_path(dists: DataFrame, source: int, target: int, max_len: int = 10_000) -> tuple[list[int], float] | None:
+    """Walk parent pointers target→source (driver-side point lookups;
+    path length is tiny relative to the graph — the same asymmetry
+    Dijkstra's `prev` map exploits, graph.rs:1098-1109)."""
+    lookup = {r["id"]: (r["dist"], r["via"]) for r in
+              dists.filter(F.col("id").isNotNull()).collect()} if dists.count() < 100_000 else None
+    path: list[int] = []
+    node = target
+    if lookup is not None:
+        if target not in lookup:
+            return None
+        cost = lookup[target][0]
+        while node is not None and len(path) < max_len:
+            path.append(node)
+            node = lookup[node][1]
+        return path[::-1], cost
+    # large-graph fallback: per-hop filters
+    rows = dists.filter(F.col("id") == target).take(1)
+    if not rows:
+        return None
+    cost = rows[0]["dist"]
+    while node is not None and len(path) < max_len:
+        path.append(node)
+        r = dists.filter(F.col("id") == node).take(1)
+        node = r[0]["via"] if r else None
+    return path[::-1], cost

@@ -1,0 +1,141 @@
+"""Generic convergence-driven iteration over a state DataFrame.
+
+This is the one piece of engine machinery Catalyst does NOT give us
+(SURVEY.md §4.2): iterative DataFrame jobs grow an unbounded logical
+plan (each iteration's join/agg nests inside the next), which blows
+up optimizer time and driver memory long before data size matters.
+The driver here:
+
+1. truncates lineage every ``truncate_every`` iterations via
+   ``localCheckpoint`` (RDD materialization, plan reset);
+2. optionally commits a durable checkpoint (Parquet + meta JSON with
+   iteration number, delta, per-partition row counts) every
+   ``checkpoint_every`` iterations — the resumability contract of the
+   north rule: a restarted run scans for the latest valid commit and
+   continues mid-computation;
+3. records per-iteration stats (delta, rows, wall seconds) so
+   convergence is observable, mirroring the level-synchronous loop
+   shape the reference itself uses for its parallel ops
+   (graph.rs:1289-1341 — par expansion, sequential merge).
+
+The pattern is batch-iterative, not Structured Streaming, matching
+both the reference (fully batch) and the north rule.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class IterationStats:
+    iteration: int
+    delta: float
+    rows: int
+    seconds: float
+    resumed: bool = False
+
+
+@dataclass
+class IterationResult:
+    state: DataFrame
+    stats: list[IterationStats] = field(default_factory=list)
+
+    @property
+    def iterations(self) -> int:
+        return self.stats[-1].iteration + 1 if self.stats else 0
+
+
+def _meta_path(ckpt_dir: str, i: int) -> str:
+    return os.path.join(ckpt_dir, f"iter_{i:06d}.meta.json")
+
+
+def _data_path(ckpt_dir: str, i: int) -> str:
+    return os.path.join(ckpt_dir, f"iter_{i:06d}.parquet")
+
+
+def commit_checkpoint(state: DataFrame, ckpt_dir: str, iteration: int, delta: float) -> None:
+    """Atomic-enough commit: Parquet write (with _SUCCESS marker),
+    THEN the meta JSON. A meta file existing implies its data is
+    complete; resume only trusts metas. On Iceberg this is a single
+    table commit with the meta as snapshot properties."""
+    path = _data_path(ckpt_dir, iteration)
+    state.write.mode("overwrite").parquet(path)
+    npart = state.rdd.getNumPartitions()
+    meta = {
+        "iteration": iteration,
+        "delta": delta,
+        "rows": state.count(),
+        "partitions": npart,
+        "path": path,
+    }
+    tmp = _meta_path(ckpt_dir, iteration) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _meta_path(ckpt_dir, iteration))
+
+
+def latest_checkpoint(ckpt_dir: str) -> dict | None:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    metas = sorted(f for f in os.listdir(ckpt_dir) if f.endswith(".meta.json"))
+    if not metas:
+        return None
+    with open(os.path.join(ckpt_dir, metas[-1])) as f:
+        return json.load(f)
+
+
+def iterate(
+    state: DataFrame,
+    step: Callable[[DataFrame, int], tuple[DataFrame, float]],
+    tol: float = 0.0,
+    max_iter: int = 100,
+    truncate_every: int = 3,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
+    resume: bool = True,
+    spark: SparkSession | None = None,
+) -> IterationResult:
+    """Run ``step(state, i) -> (state', delta)`` until delta <= tol.
+
+    ``delta`` is whatever convergence metric the algorithm defines
+    (L1 rank change for PageRank, changed-label count for WCC/LPA);
+    the driver only compares it to ``tol``. Each step builds ONE
+    lazily-planned Spark job; the only driver-side action per
+    iteration is computing delta (an agg) — no collect of state.
+    """
+    spark = spark or state.sparkSession
+    result = IterationResult(state=state)
+    start_i = 0
+
+    if checkpoint_dir and resume:
+        meta = latest_checkpoint(checkpoint_dir)
+        if meta is not None:
+            state = spark.read.parquet(meta["path"])
+            start_i = meta["iteration"] + 1
+            result.stats.append(
+                IterationStats(meta["iteration"], meta["delta"], meta["rows"], 0.0, resumed=True)
+            )
+            if meta["delta"] <= tol:
+                result.state = state
+                return result
+
+    for i in range(start_i, max_iter):
+        t0 = time.time()
+        state, delta = step(state, i)
+        if truncate_every and (i + 1) % truncate_every == 0:
+            # Materialize + cut lineage; eager so timing is honest.
+            state = state.localCheckpoint(eager=True)
+        if checkpoint_dir and checkpoint_every and (i + 1) % checkpoint_every == 0:
+            commit_checkpoint(state, checkpoint_dir, i, delta)
+        result.stats.append(IterationStats(i, delta, -1, time.time() - t0))
+        if delta <= tol:
+            break
+    result.state = state
+    return result

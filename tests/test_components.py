@@ -1,0 +1,58 @@
+import networkx as nx
+
+from conftest import collect_map, graph_from_edges
+from linkgraph.operators.components import (
+    strongly_connected_components,
+    weakly_connected_components,
+)
+
+
+def _partition(mapping):
+    groups = {}
+    for k, v in mapping.items():
+        groups.setdefault(v, set()).add(k)
+    return {frozenset(g) for g in groups.values()}
+
+
+def test_wcc_two_components(two_components):
+    got = collect_map(weakly_connected_components(two_components).state, "id", "component")
+    assert _partition(got) == {frozenset({1, 2}), frozenset({3, 4})}
+    # canonical label = min member id
+    assert got[1] == 1 and got[2] == 1 and got[3] == 3
+
+
+def test_wcc_directed_weak(scc_mixed):
+    got = collect_map(weakly_connected_components(scc_mixed).state, "id", "component")
+    assert _partition(got) == {frozenset({1, 2, 3, 4})}
+
+
+def test_scc_triangle_plus_tail(scc_mixed):
+    got = collect_map(strongly_connected_components(scc_mixed), "id", "component")
+    assert _partition(got) == {frozenset({1, 2, 3}), frozenset({4})}
+    assert got[1] == 1 and got[4] == 4
+
+
+def test_components_random_vs_networkx(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(83810)
+    edges = {(int(rng.randint(0, 80)), int(rng.randint(0, 80))) for _ in range(150)}
+    edges = [(a, b) for a, b in edges if a != b]
+    g = graph_from_edges(spark, edges, vertices=range(80))
+
+    G = nx.DiGraph()
+    G.add_nodes_from(range(80))
+    G.add_edges_from(edges)
+
+    wcc = _partition(collect_map(weakly_connected_components(g).state, "id", "component"))
+    assert wcc == {frozenset(c) for c in nx.weakly_connected_components(G)}
+
+    scc = _partition(collect_map(strongly_connected_components(g), "id", "component"))
+    assert scc == {frozenset(c) for c in nx.strongly_connected_components(G)}
+
+
+def test_wcc_chain_deep(spark):
+    # path graph: worst-case diameter for label propagation
+    g = graph_from_edges(spark, [(i, i + 1) for i in range(12)], directed=False)
+    got = collect_map(weakly_connected_components(g, max_iter=30).state, "id", "component")
+    assert set(got.values()) == {0}

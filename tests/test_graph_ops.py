@@ -1,0 +1,149 @@
+"""API-parity operators (SURVEY.md §2.1-2.4)."""
+
+import pyspark.sql.functions as F
+
+from conftest import collect_map, graph_from_edges
+from linkgraph import LinkGraph
+
+
+def test_counts(diamond_weighted, triangle_plus_tail):
+    assert diamond_weighted.node_count() == 4
+    assert diamond_weighted.edge_count() == 5
+    # undirected counts canonical pairs once (graph.rs:821-831)
+    assert triangle_plus_tail.edge_count() == 4
+
+
+def test_has_node_edge(diamond_weighted, triangle_plus_tail):
+    assert diamond_weighted.has_node(1) and not diamond_weighted.has_node(99)
+    assert diamond_weighted.has_edge(1, 2) and not diamond_weighted.has_edge(2, 1)
+    # undirected probes both directions
+    assert triangle_plus_tail.has_edge(2, 1)
+    assert triangle_plus_tail.get_edge_weight(2, 1) == 1.0
+    assert diamond_weighted.get_edge_weight(1, 3) == 4.0
+    assert diamond_weighted.get_edge_weight(3, 1) is None
+
+
+def test_degrees(diamond_weighted, triangle_plus_tail, spark):
+    out = collect_map(diamond_weighted.out_degrees(), "id", "out_degree")
+    ind = collect_map(diamond_weighted.in_degrees(), "id", "in_degree")
+    assert out == {1: 2, 2: 2, 3: 1, 4: 0}
+    assert ind == {1: 0, 2: 1, 3: 2, 4: 2}
+    deg = collect_map(diamond_weighted.degrees(), "id", "degree")
+    assert deg == {1: 2, 2: 3, 3: 3, 4: 2}  # in+out (digraph.rs:186-190)
+    udeg = collect_map(triangle_plus_tail.degrees(), "id", "degree")
+    assert udeg == {1: 2, 2: 2, 3: 3, 4: 1}
+    # line3 fixture degrees (src/lib.rs:458-480)
+    line3 = graph_from_edges(spark, [(1, 2), (2, 3)], directed=False)
+    assert collect_map(line3.degrees(), "id", "degree") == {1: 1, 2: 2, 3: 1}
+
+
+def test_degree_centrality(spark):
+    g = graph_from_edges(spark, [(1, 2), (2, 3)], directed=False)
+    got = collect_map(g.degree_centrality(), "id", "centrality")
+    assert got == {1: 0.5, 2: 1.0, 3: 0.5}
+
+
+def test_neighbors_successors_predecessors(diamond_weighted):
+    assert {r["id"] for r in diamond_weighted.successors(2).collect()} == {3, 4}
+    assert {r["id"] for r in diamond_weighted.predecessors(3).collect()} == {1, 2}
+    assert {r["id"] for r in diamond_weighted.neighbors(2).collect()} == {3, 4}
+
+
+def test_subgraph(diamond_weighted):
+    sub = diamond_weighted.subgraph([1, 2, 3])
+    assert sub.node_count() == 3
+    assert {(r["src"], r["dst"]) for r in sub.edges.collect()} == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_edge_subgraph(diamond_weighted, spark):
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
+    sub = diamond_weighted.edge_subgraph(pairs)
+    assert sub.edge_count() == 2
+    assert {r["id"] for r in sub.vertices.collect()} == {1, 2, 3, 4}
+
+
+def test_reverse(diamond_weighted):
+    rev = diamond_weighted.reverse()
+    assert {(r["src"], r["dst"]) for r in rev.edges.collect()} == {
+        (2, 1), (3, 1), (3, 2), (4, 2), (4, 3)
+    }
+    # involution
+    assert rev.reverse().graph_equal(diamond_weighted)
+
+
+def test_to_undirected_directed_roundtrip(spark):
+    g = graph_from_edges(spark, [(1, 2, 3.0), (2, 1, 7.0), (2, 3, 1.0), (3, 3, 2.0)])
+    und = g.to_undirected()
+    got = {(r["src"], r["dst"]): r["weight"] for r in und.edges.collect()}
+    # deterministic weight rule: min over the pair
+    assert got == {(1, 2): 3.0, (2, 3): 1.0, (3, 3): 2.0}
+    back = und.to_directed()
+    pairs = {(r["src"], r["dst"]) for r in back.edges.collect()}
+    assert pairs == {(1, 2), (2, 1), (2, 3), (3, 2), (3, 3)}  # self-loop once
+
+
+def test_mutation_add_remove(spark, diamond_weighted):
+    add = spark.createDataFrame([(4, 1, 9.0), (1, 2, 8.0)], "src long, dst long, weight double")
+    g2 = diamond_weighted.add_edges(add)
+    assert g2.edge_count() == 6
+    assert g2.get_edge_weight(1, 2) == 8.0  # upsert wins (graph.rs:384-396)
+    g3 = g2.remove_edges([(4, 1)])
+    assert g3.edge_count() == 5
+    g4 = g3.remove_nodes([2])  # cascades incident edges (graph.rs:492-512)
+    assert g4.node_count() == 3
+    assert {(r["src"], r["dst"]) for r in g4.edges.collect()} == {(1, 3), (3, 4)}
+
+
+def test_set_ops(spark):
+    a = graph_from_edges(spark, [(1, 2), (2, 3)])
+    b = graph_from_edges(spark, [(2, 3), (3, 4)])
+    assert a.union_edges(b).edge_count() == 3
+    assert a.intersect_edges(b).edge_count() == 1
+    assert a.difference_edges(b).edge_count() == 1
+    assert not a.graph_equal(b)
+    assert a.graph_equal(a)
+
+
+def test_find_nodes_nbunch(spark):
+    v = spark.createDataFrame([(1, "x"), (2, "y"), (3, "x")], "id long, tag string")
+    e = spark.createDataFrame([(1, 2, 1.0)], "src long, dst long, weight double")
+    g = LinkGraph(e, v)
+    assert {r["id"] for r in g.find_nodes(F.col("tag") == "x").collect()} == {1, 3}
+    assert {r["id"] for r in g.nbunch([2, 3, 99]).collect()} == {2, 3}
+
+
+def test_adjacency(diamond_weighted):
+    adj = {r["src"]: [(x["dst"], x["weight"]) for x in r["adj"]]
+           for r in diamond_weighted.adjacency().collect()}
+    assert adj[1] == [(2, 1.0), (3, 4.0)]
+
+
+def test_multigraph_parallel_edges(spark):
+    # parallel_edges fixture (src/lib.rs:948-961): rows are edges
+    e = spark.createDataFrame(
+        [(1, 2, 1.5), (1, 2, 2.0), (2, 3, 3.0)], "src long, dst long, weight double"
+    )
+    g = LinkGraph(e, directed=False)
+    between = g.edges.filter((F.col("src") == 1) & (F.col("dst") == 2))
+    assert between.count() == 2  # edges_between (multigraph.rs:922-928)
+    assert g.edges.count() == 3  # 3 edge rows, NOT the reference double-count bug
+
+
+def test_empty_and_clear(spark, diamond_weighted):
+    g = LinkGraph.empty(spark)
+    assert g.node_count() == 0 and g.edge_count() == 0
+    cleared = diamond_weighted.clear_edges()
+    assert cleared.edge_count() == 0 and cleared.node_count() == 4
+
+
+def test_partitioned_layout(diamond_weighted):
+    p = diamond_weighted.partitioned(4)
+    assert p.edges.rdd.getNumPartitions() == 4
+    assert p.graph_equal(diamond_weighted)
+
+
+def test_degree_stats_and_hubs(star_hub):
+    hubs = star_hub.hubs(min_degree=2)
+    assert hubs.count() == 0  # spokes have in-degree 1
+    rev_hubs = star_hub.reverse().hubs(min_degree=50)
+    assert collect_map(rev_hubs, "id", "in_degree") == {0: 50}

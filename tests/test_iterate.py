@@ -1,0 +1,67 @@
+"""Iteration driver: truncation, checkpoint commit, resume parity
+(SURVEY.md §5.2 item 5: kill after iteration k, restart, identical
+final state)."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from conftest import collect_map
+from linkgraph.operators.pagerank import pagerank
+from linkgraph.plans.iterate import commit_checkpoint, iterate, latest_checkpoint
+
+
+def _counting_step(state, i):
+    new = state.withColumn("v", F.col("v") + 1)
+    maxv = 10
+    delta = float(new.agg(F.max("v")).collect()[0][0] < maxv)
+    return new, delta
+
+
+def test_iterate_runs_to_convergence(spark):
+    init = spark.createDataFrame([(1, 0)], "id long, v int")
+    res = iterate(init, _counting_step, tol=0.0, max_iter=50)
+    assert res.state.collect()[0]["v"] == 10
+    assert res.iterations == 10
+
+
+def test_iterate_max_iter_cap(spark):
+    init = spark.createDataFrame([(1, 0)], "id long, v int")
+    res = iterate(init, _counting_step, tol=0.0, max_iter=3)
+    assert res.state.collect()[0]["v"] == 3
+
+
+def test_checkpoint_commit_and_latest(spark, tmp_path):
+    d = str(tmp_path / "ck")
+    df = spark.createDataFrame([(1, 5)], "id long, v int")
+    commit_checkpoint(df, d, 4, 0.5)
+    meta = latest_checkpoint(d)
+    assert meta["iteration"] == 4 and meta["delta"] == 0.5 and meta["rows"] == 1
+
+
+def test_resume_mid_run(spark, tmp_path):
+    d = str(tmp_path / "ck2")
+    init = spark.createDataFrame([(1, 0)], "id long, v int")
+    # "crash" after 4 iterations (checkpoint every 2 → last commit at i=3)
+    iterate(init, _counting_step, tol=0.0, max_iter=4,
+            checkpoint_dir=d, checkpoint_every=2, resume=False)
+    assert latest_checkpoint(d)["iteration"] == 3
+    # restart: resumes from i=4, runs to convergence
+    res = iterate(init, _counting_step, tol=0.0, max_iter=50,
+                  checkpoint_dir=d, checkpoint_every=2)
+    assert res.state.collect()[0]["v"] == 10
+    assert res.stats[0].resumed
+
+
+def test_pagerank_resume_identical(spark, tmp_path, two_cliques_bridge):
+    g = two_cliques_bridge
+    full = collect_map(pagerank(g, tol=1e-10).state, "id", "rank")
+    d = str(tmp_path / "prck")
+    # interrupted run: only 3 iterations, checkpointing every 2
+    pagerank(g, tol=1e-10, max_iter=3, checkpoint_dir=d, checkpoint_every=2)
+    # resumed run completes from the durable checkpoint
+    resumed = collect_map(
+        pagerank(g, tol=1e-10, checkpoint_dir=d, checkpoint_every=2).state, "id", "rank"
+    )
+    a = np.array([full[k] for k in sorted(full)])
+    b = np.array([resumed[k] for k in sorted(resumed)])
+    assert np.allclose(a, b, atol=1e-9)

@@ -1,0 +1,72 @@
+import numpy as np
+import pytest
+
+from conftest import collect_map, graph_from_edges
+from linkgraph import LinkGraph
+from linkgraph.operators.pagerank import pagerank
+from linkgraph.sources.pages import pages_dataframe
+from oracles import pagerank_oracle
+
+
+def _compare(graph, tol=1e-8, weighted=True, undirected=False, atol=1e-6):
+    edges = [(r["src"], r["dst"], r["weight"]) for r in graph.edges.collect()]
+    verts = [r["id"] for r in graph.vertices.select("id").collect()]
+    res = pagerank(graph, tol=tol, max_iter=200, weighted=weighted)
+    got = collect_map(res.state, "id", "rank")
+    want = pagerank_oracle(edges, verts, tol=tol, weighted=weighted, undirected=undirected)
+    assert set(got) == set(want)
+    a = np.array([got[k] for k in sorted(got)])
+    b = np.array([want[k] for k in sorted(want)])
+    assert np.allclose(a, b, atol=atol), float(np.abs(a - b).max())
+    assert abs(a.sum() - 1.0) < 1e-9
+    return res
+
+
+def test_pagerank_diamond(diamond_weighted):
+    _compare(diamond_weighted)
+
+
+def test_pagerank_cycle(cycle_weighted):
+    _compare(cycle_weighted)
+
+
+def test_pagerank_dangling_star(star_hub):
+    # all 50 spokes are dangling: dangling-mass redistribution path
+    _compare(star_hub)
+
+
+def test_pagerank_undirected(two_cliques_bridge):
+    _compare(two_cliques_bridge, undirected=True)
+
+
+def test_pagerank_unweighted(cycle_weighted):
+    _compare(cycle_weighted, weighted=False)
+
+
+def test_pagerank_random_graph(spark):
+    rng = np.random.RandomState(83810)  # reference seed convention
+    n, m = 100, 500
+    seen, edges = set(), []
+    while len(edges) < m:
+        a, b = rng.randint(0, n), rng.randint(0, n)
+        if a != b and (a, b) not in seen:
+            seen.add((a, b))
+            edges.append((a, b, float(rng.uniform(1, 10))))
+    g = graph_from_edges(spark, edges, vertices=range(n))
+    _compare(g)
+
+
+def test_pagerank_webgraph(spark):
+    pages = pages_dataframe(spark, 300, n_domains=30)
+    g = LinkGraph.from_pages(pages)
+    _compare(g)
+
+
+def test_pagerank_isolated_vertices(spark):
+    g = graph_from_edges(spark, [(1, 2)], vertices=[1, 2, 3])
+    _compare(g)
+
+
+def test_pagerank_empty(spark):
+    g = LinkGraph.empty(spark)
+    assert pagerank(g).state.count() == 0

@@ -1,0 +1,65 @@
+from conftest import collect_map, graph_from_edges
+from linkgraph.operators.traversal import (
+    bfs_levels,
+    reachable_from,
+    reconstruct_path,
+    shortest_paths,
+)
+from oracles import sssp_oracle
+
+
+def test_bfs_levels(bfs_dag):
+    got = collect_map(bfs_levels(bfs_dag, 1), "id", "level")
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+
+
+def test_reachable_set(bfs_dag):
+    # DFS visit-set semantics (lib.rs:124-127): reachability from B
+    got = {r["id"] for r in reachable_from(bfs_dag, 2).collect()}
+    assert got == {2, 3, 5}
+
+
+def test_sssp_diamond(diamond_weighted):
+    dists = shortest_paths(diamond_weighted, 1)
+    got = collect_map(dists, "id", "dist")
+    assert got == {1: 0.0, 2: 1.0, 3: 3.0, 4: 4.0}
+    path, cost = reconstruct_path(dists, 1, 4)
+    assert path == [1, 2, 3, 4] and cost == 4.0  # lib.rs:152-172 assert
+
+
+def test_sssp_cycle(cycle_weighted):
+    # graph_tests.rs:239-276: A→D cost 5 and D→B cost 7
+    got = collect_map(shortest_paths(cycle_weighted, 1), "id", "dist")
+    assert got[4] == 5.0
+    got_d = collect_map(shortest_paths(cycle_weighted, 4), "id", "dist")
+    assert got_d[2] == 7.0
+
+
+def test_sssp_unreachable(bfs_dag):
+    got = collect_map(shortest_paths(bfs_dag, 3), "id", "dist")
+    assert set(got) == {3}  # nothing downstream of C
+    assert reconstruct_path(shortest_paths(bfs_dag, 3), 3, 1) is None
+
+
+def test_sssp_random_vs_dijkstra(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    edges = []
+    seen = set()
+    for _ in range(300):
+        a, b = int(rng.randint(0, 60)), int(rng.randint(0, 60))
+        if a != b and (a, b) not in seen:
+            seen.add((a, b))
+            edges.append((a, b, float(rng.uniform(1, 10))))
+    g = graph_from_edges(spark, edges, vertices=range(60))
+    got = collect_map(shortest_paths(g, 0), "id", "dist")
+    want = sssp_oracle([(a, b, w) for a, b, w in edges], 0)
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_bfs_undirected(two_components):
+    got = collect_map(bfs_levels(two_components, 1), "id", "level")
+    assert got == {1: 0, 2: 1}  # other component unreached
