@@ -1,0 +1,202 @@
+"""Document deduplication at corpus scale — exact, MinHash+LSH,
+SimHash, and n-gram Jaccard.
+
+Everything is JVM-side column math over the portable md5-derived
+60-bit hash (functions/text.md5int_col), so each stage is (a)
+whole-stage-codegen'd and (b) exactly reproducible in ANSI SQL for
+the DuckDB oracles. Scale shape:
+
+- exact: one groupBy on a 64-bit fingerprint — the cheapest shuffle.
+- MinHash/LSH: shingle explode (map-side), per-doc signature agg
+  (one shuffle), band explode + bucket self-join (the candidate-pair
+  shuffle is keyed by band hash, NOT doc id, so hot documents don't
+  make hot partitions) — the standard sub-quadratic near-dup plan.
+- SimHash: per-row column expression, zero shuffles until bucketing.
+- n-gram Jaccard: exact verification on candidate pairs only (or
+  all-pairs for small corpora / oracle checks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.functions.text import doc_fingerprint_col, md5int_col, tokens_col
+
+MERSENNE31 = 2_147_483_647  # minhash modulus; a*h + b stays < 2^62
+
+
+def _mix64(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
+def minhash_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_j(x) = (a_j·x + b_j) mod P."""
+    return [
+        (1 + _mix64(seed * 1000 + j) % (MERSENNE31 - 1), _mix64(seed * 2000 + j) % MERSENNE31)
+        for j in range(n_hashes)
+    ]
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct token k-gram shingles per doc: (id, shingle)."""
+    toks = tokens_col(F.col(text_col))
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Duplicate groups by normalized-text fingerprint:
+    (fingerprint, n_docs, keep_id) for groups with n_docs > 1;
+    keep_id = min doc id (the canonical survivor)."""
+    fp = df.select(F.col(id_col).alias("id"), doc_fingerprint_col(F.col(text_col)).alias("fingerprint"))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig array<long>): per-doc MinHash signature. One explode +
+    one groupBy; the n_hashes mins are computed as parallel aggregate
+    expressions over the exploded shingles (map-side combined)."""
+    sh = shingles(df, id_col, text_col, shingle_k)
+    h = (md5int_col(F.col("shingle")) % MERSENNE31).alias("h")
+    base = sh.select("id", h)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE31).alias(f"mh{j}")
+        for j, (a, b) in enumerate(minhash_params(n_hashes, seed))
+    ]
+    sig = base.groupBy("id").agg(*aggs)
+    return sig.select("id", F.array(*[f"mh{j}" for j in range(n_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8) -> DataFrame:
+    """(a, b) candidate pairs sharing ≥1 LSH band (a < b). Band key =
+    the band's signature slice — the shuffle key, so skew follows
+    band-collision rates, not document popularity."""
+    n = len(signatures.select("sig").first()["sig"])
+    rows = n // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.concat_ws(",", *[F.col("sig")[i * rows + r].cast("string") for r in range(rows)]).alias("key"),
+            )
+            for i in range(bands)
+        ]
+    )
+    exploded = signatures.select("id", F.explode(band_structs).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures → LSH candidates → verify by
+    signature agreement (estimated Jaccard): (a, b, est_jaccard)."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k, seed).persist()
+    cands = lsh_candidate_pairs(sigs, bands)
+    sa = sigs.select(F.col("id").alias("a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+    ) / F.lit(float(n_hashes))
+    return (
+        cands.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (a, b, jaccard ≥
+    threshold) via shingle co-occurrence join — the verification
+    stage of near-dup, or standalone for modest corpora."""
+    sh = shingles(df, id_col, text_col, k).persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("id").alias("a"), "shingle")
+    b = sh.select(F.col("id").alias("b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    na = sizes.select(F.col("id").alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("b"), F.col("n").alias("nb"))
+    return (
+        common.join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_col(text, bits: int = 16):
+    """Per-row SimHash over token hashes: bit i set iff a strict
+    majority of tokens have bit i set in their md5int hash. Pure
+    column expression — no shuffle."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    hashes = F.transform(toks, lambda t: md5int_col(t))
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        hits = F.size(F.filter(hashes, lambda h: h.bitwiseAND(F.lit(1 << i)) != 0))
+        acc = acc + F.when(hits * 2 > n, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+    return acc
+
+
+def simhash_duplicates(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """Docs sharing a SimHash bucket: (simhash, n_docs, keep_id)."""
+    s = df.select(F.col(id_col).alias("id"), simhash_col(F.col(text_col), bits).alias("simhash"))
+    return (
+        s.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )

@@ -1,0 +1,147 @@
+"""Graph layout operators (reference src/layout.rs, SURVEY.md §2.7).
+
+circular / shell / spiral / random / rescale are pure column math —
+a row_number and trigonometry, embarrassingly parallel. The force
+layouts (spring/Fruchterman-Reingold, Kamada-Kawai) are O(n²)-dense
+by nature (layout.rs:513-569, 679-853); the honest web-scale answer
+is sample-then-local: collect a bounded subgraph and lay it out on
+the driver (NetworkX when available). Positions: DataFrame(id, x, y).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from linkgraph.graph import LinkGraph
+
+TWO_PI = 2.0 * math.pi
+
+
+def _indexed(vertices: DataFrame) -> DataFrame:
+    w = Window.orderBy("id")
+    return vertices.select("id").withColumn("i", F.row_number().over(w) - 1)
+
+
+def circular_layout(graph: LinkGraph, scale: float = 1.0, center=(0.0, 0.0)) -> DataFrame:
+    """Equidistant points on a circle (layout.rs:220-254). Single
+    vertex sits at center, matching the reference convention."""
+    v = _indexed(graph.vertices)
+    n = graph.vertices.count()
+    if n == 0:
+        return v.select("id", F.lit(0.0).alias("x"), F.lit(0.0).alias("y"))
+    if n == 1:
+        return v.select("id", F.lit(center[0]).alias("x"), F.lit(center[1]).alias("y"))
+    theta = TWO_PI * F.col("i") / n
+    return v.select(
+        "id",
+        (F.lit(scale) * F.cos(theta) + center[0]).alias("x"),
+        (F.lit(scale) * F.sin(theta) + center[1]).alias("y"),
+    )
+
+
+def shell_layout(
+    graph: LinkGraph, nlist: list[list[int]], scale: float = 1.0, center=(0.0, 0.0)
+) -> DataFrame:
+    """Concentric circles per shell (layout.rs:138-201): shell k has
+    radius scale·(k+1)/nshells; one shell of one node sits at center."""
+    spark = graph.edges.sparkSession
+    rows = [(int(v), k) for k, shell in enumerate(nlist) for v in shell]
+    shells = spark.createDataFrame(rows, "id long, shell int")
+    nshells = len(nlist)
+    w = Window.partitionBy("shell").orderBy("id")
+    counts = shells.groupBy("shell").agg(F.count("*").alias("cnt"))
+    v = shells.withColumn("j", F.row_number().over(w) - 1).join(counts, "shell")
+    radius = F.lit(scale) * (F.col("shell") + 1) / nshells
+    theta = TWO_PI * F.col("j") / F.col("cnt")
+    return v.select(
+        "id",
+        F.when(F.col("cnt") == 1, F.lit(center[0]))
+        .otherwise(radius * F.cos(theta) + center[0]).alias("x"),
+        F.when(F.col("cnt") == 1, F.lit(center[1]))
+        .otherwise(radius * F.sin(theta) + center[1]).alias("y"),
+    )
+
+
+def spiral_layout(
+    graph: LinkGraph,
+    scale: float = 1.0,
+    center=(0.0, 0.0),
+    resolution: float = 0.35,
+    equidistant: bool = False,
+) -> DataFrame:
+    """Archimedean spiral (layout.rs:276-314)."""
+    v = _indexed(graph.vertices)
+    if equidistant:
+        theta = F.lit(resolution) * F.sqrt(F.col("i").cast("double")) + 1.0
+        r = F.sqrt(F.col("i").cast("double"))
+    else:
+        theta = F.lit(resolution) * F.col("i")
+        r = F.col("i").cast("double")
+    raw = v.select("id", (r * F.cos(theta)).alias("x"), (r * F.sin(theta)).alias("y"))
+    return rescale_layout(raw, scale=scale, center=center)
+
+
+def random_layout(graph: LinkGraph, seed: int = 42, scale: float = 1.0, center=(0.0, 0.0)) -> DataFrame:
+    """Uniform positions in the unit square, seeded (layout.rs:621-643)."""
+    v = graph.vertices.select("id")
+    return v.select(
+        "id",
+        (F.lit(scale) * (F.rand(seed) * 2 - 1) + center[0]).alias("x"),
+        (F.lit(scale) * (F.rand(seed + 1) * 2 - 1) + center[1]).alias("y"),
+    )
+
+
+def rescale_layout(pos: DataFrame, scale: float = 1.0, center=(0.0, 0.0)) -> DataFrame:
+    """Center on the mean, scale max |coord| to ``scale``
+    (layout.rs:81-119) — two aggs and a projection."""
+    stats = pos.agg(F.avg("x").alias("mx"), F.avg("y").alias("my")).collect()[0]
+    mx, my = stats["mx"] or 0.0, stats["my"] or 0.0
+    lim_row = pos.agg(
+        F.max(F.greatest(F.abs(F.col("x") - mx), F.abs(F.col("y") - my))).alias("lim")
+    ).collect()[0]
+    lim = lim_row["lim"] or 0.0
+    k = scale / lim if lim > 0 else 1.0
+    return pos.select(
+        "id",
+        ((F.col("x") - mx) * k + center[0]).alias("x"),
+        ((F.col("y") - my) * k + center[1]).alias("y"),
+    )
+
+
+def spring_layout_sampled(
+    graph: LinkGraph,
+    max_nodes: int = 5000,
+    seed: int = 42,
+    iterations: int = 50,
+    scale: float = 1.0,
+) -> DataFrame:
+    """Fruchterman-Reingold via sample-then-local (SURVEY §2.7): the
+    O(n²) force loop is driver-side on a bounded subgraph; positions
+    come back as a DataFrame. Raises on graphs over max_nodes — at
+    web scale you lay out a sampled neighborhood, not the crawl."""
+    n = graph.vertices.count()
+    if n > max_nodes:
+        raise ValueError(
+            f"spring layout is O(n²); graph has {n} > {max_nodes} nodes — "
+            "sample a subgraph first (LinkGraph.subgraph)"
+        )
+    spark = graph.edges.sparkSession
+    if n == 0:
+        return spark.createDataFrame([], "id long, x double, y double")
+    try:
+        import networkx as nx
+
+        G = nx.Graph()
+        G.add_nodes_from(r["id"] for r in graph.vertices.select("id").collect())
+        G.add_weighted_edges_from(
+            (r["src"], r["dst"], r["weight"]) for r in graph.edges.collect()
+        )
+        pos = nx.spring_layout(G, seed=seed, iterations=iterations, scale=scale)
+        rows = [(int(k), float(v[0]), float(v[1])) for k, v in pos.items()]
+    except ImportError:  # deterministic fallback: circular
+        return circular_layout(graph, scale=scale)
+    return spark.createDataFrame(rows, "id long, x double, y double")

@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline: broadcast the query
+block, JVM-side zip_with/aggregate dot products (no Python), window
+top-k per query. Cost is |Q|·|corpus| dot products — fine when |Q| is
+small or as the verifier behind a pruning stage.
+
+The scale path is LSH bucketing (random-hyperplane signs): each
+vector hashes to a bucket key; queries only score their bucket
+(optionally multi-probe neighbors). At 10^12 rows the bucket join is
+a plain co-partitioned equi-join; recall is tunable by planes/probes.
+An IVF variant (k-means coarse quantizer) would slot in the same
+bucket-join shape; hyperplane LSH is chosen because it needs no
+training pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _as_double(col):
+    return F.col(col).cast("array<double>")
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    dot = F.aggregate(
+        F.zip_with(_as_double(vec_col), _as_double(vec_col), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return df.withColumn("_norm", F.sqrt(dot))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: (query_id, neighbor_id, rank, sim). Ties broken by
+    neighbor id ascending (deterministic). Queries are broadcast —
+    the corpus never shuffles."""
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"), F.col("_norm").alias("cn")
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"), F.col("_norm").alias("qn")
+    )
+    dot = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", (dot / (F.col("qn") * F.col("cn"))).alias("sim"))
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_planes, dim))
+
+
+def lsh_bucket_col(vec_col: str, planes: np.ndarray):
+    """Sign-pattern bucket id from fixed hyperplanes — pure column
+    math (one dot product per plane, JVM-side)."""
+    acc = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(
+            F.zip_with(_as_double(vec_col), plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        acc = acc + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+    return acc
+
+
+def ann_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only same-LSH-bucket candidates.
+    (query_id, neighbor_id, rank, sim). Recall < 1 by construction;
+    the exact cosine_topk is the oracle it is measured against."""
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("cv"),
+        F.col("_norm").alias("cn"),
+        lsh_bucket_col(vec_col, planes).alias("bucket"),
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+        F.col("_norm").alias("qn"),
+        lsh_bucket_col(vec_col, planes).alias("bucket"),
+    )
+    dot = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    scored = (
+        c.join(q, "bucket")  # co-partitioned equi-join on bucket key
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", (dot / (F.col("qn") * F.col("cn"))).alias("sim"))
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (a, b, sim ≥ threshold) within
+    LSH buckets — the all-pairs variant of ann_cosine_topk."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    v = with_norm(df, vec_col).select(
+        F.col(id_col).alias("id"),
+        _as_double(vec_col).alias("v"),
+        F.col("_norm").alias("n"),
+        lsh_bucket_col(vec_col, planes).alias("bucket"),
+    )
+    a = v.select(F.col("id").alias("a"), F.col("v").alias("va"), F.col("n").alias("na"), "bucket")
+    b = v.select(F.col("id").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb"), "bucket")
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda ac, x: ac + x)
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(dot / (F.col("na") * F.col("nb")), 6).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )

@@ -1,0 +1,88 @@
+import itertools
+
+from linkgraph.operators.dedup import (
+    exact_duplicates,
+    lsh_candidate_pairs,
+    minhash_near_duplicates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_duplicates,
+    shingles,
+)
+
+
+def _corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again every single day"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("lazy", "sleepy")),  # near dup
+        (4, "completely different content about spark shuffles and partitions at scale"),
+        (5, "Another unrelated document mentioning graphs pagerank and components"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _true_jaccard(a: str, b: str, k: int = 3) -> float:
+    def sh(t):
+        toks = [w.lower() for w in t.split()]
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_duplicates(spark):
+    out = exact_duplicates(_corpus(spark), "doc_id", "text").collect()
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 2 and out[0]["keep_id"] == 1
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    got = {r["shingle"] for r in shingles(df, "doc_id", "text", 3).collect()}
+    assert got == {"a b c", "b c d"}
+
+
+def test_minhash_identical_docs_agree(spark):
+    sigs = {r["id"]: r["sig"] for r in minhash_signatures(_corpus(spark), "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+
+
+def test_minhash_estimates_jaccard(spark):
+    docs = {r["doc_id"]: r["text"] for r in _corpus(spark).collect()}
+    sigs = {r["id"]: r["sig"] for r in
+            minhash_signatures(_corpus(spark), "doc_id", "text", n_hashes=64).collect()}
+    for a, b in itertools.combinations(sorted(docs), 2):
+        true_j = _true_jaccard(docs[a], docs[b])
+        est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / 64
+        assert abs(est - true_j) < 0.25, (a, b, est, true_j)
+
+
+def test_lsh_pipeline_finds_near_dups(spark):
+    out = minhash_near_duplicates(_corpus(spark), "doc_id", "text", threshold=0.5)
+    pairs = {(r["a"], r["b"]) for r in out.collect()}
+    assert (1, 2) in pairs  # exact dup must always survive
+    assert all(p[0] < p[1] for p in pairs)
+
+
+def test_lsh_candidates_no_false_self_pairs(spark):
+    sigs = minhash_signatures(_corpus(spark), "doc_id", "text")
+    cands = lsh_candidate_pairs(sigs, bands=8).collect()
+    assert all(r["a"] < r["b"] for r in cands)
+
+
+def test_ngram_jaccard_exact(spark):
+    docs = {r["doc_id"]: r["text"] for r in _corpus(spark).collect()}
+    out = ngram_jaccard_pairs(_corpus(spark), "doc_id", "text", k=3, threshold=0.0)
+    got = {(r["a"], r["b"]): r["jaccard"] for r in out.collect()}
+    assert abs(got[(1, 2)] - 1.0) < 1e-9
+    assert abs(got[(1, 3)] - _true_jaccard(docs[1], docs[3])) < 1e-6
+    assert (1, 4) not in got or got[(1, 4)] < 0.1
+
+
+def test_simhash_duplicates(spark):
+    out = simhash_duplicates(_corpus(spark), "doc_id", "text").collect()
+    groups = {r["keep_id"]: r["n_docs"] for r in out}
+    assert groups.get(1, 0) >= 2  # docs 1 & 2 share the bucket

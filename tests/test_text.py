@@ -1,0 +1,75 @@
+import duckdb
+import pyspark.sql.functions as F
+
+from linkgraph.functions.text import (
+    doc_fingerprint_col,
+    lang_id_col,
+    md5int_col,
+    quality_score_col,
+    shingle_fingerprint_col,
+    token_count_col,
+)
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("Hello,  world! x",), ("",), ("a b c d",)], "t string")
+    got = [r[0] for r in df.select(token_count_col(F.col("t"))).collect()]
+    assert got == [3, 0, 4]
+
+
+def test_md5int_matches_duckdb(spark):
+    vals = ["token", "a b", "", "Ünïcode"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = [r[0] for r in df.select(md5int_col(F.col("s"))).collect()]
+    want = [
+        duckdb.sql(f"SELECT ('0x'||substr(md5(?),1,15))::BIGINT", params=[v]).fetchone()[0]
+        for v in vals
+    ]
+    assert got == want
+
+
+def test_lang_id(spark):
+    rows = [
+        ("the cat and the dog is in a tree", "en"),
+        ("der hund und die katze ist nicht ein tier", "de"),
+        ("le chat et les chiens est pour la maison", "fr"),
+        ("xyzzy qwerty", "en"),  # no hits → tie → en
+    ]
+    df = spark.createDataFrame(rows, "t string, want string")
+    out = df.select("want", lang_id_col(F.col("t")).alias("got")).collect()
+    for r in out:
+        assert r["got"] == r["want"]
+
+
+def test_quality_score_bounds(spark):
+    df = spark.createDataFrame(
+        [("the cat is on the mat and it is a fine day for all of us to see",),
+         ("!!! ### $$$",), ("",)],
+        "t string",
+    )
+    got = [r[0] for r in df.select(quality_score_col(F.col("t"))).collect()]
+    assert got[0] > 0.3
+    assert got[1] <= 0.0 + 1e-9
+    assert got[2] == 0.0
+
+
+def test_fingerprints(spark):
+    df = spark.createDataFrame(
+        [(1, "The  quick brown fox"), (2, "the quick  BROWN fox"), (3, "other text here")],
+        "id long, t string",
+    )
+    fp = {r["id"]: r["f"] for r in df.select("id", doc_fingerprint_col(F.col("t")).alias("f")).collect()}
+    assert fp[1] == fp[2]  # whitespace/case-insensitive
+    assert fp[1] != fp[3]
+    # shingle fingerprint: short docs fall back to doc fingerprint
+    sf = {r["id"]: r["f"] for r in df.select("id", shingle_fingerprint_col(F.col("t"), k=5).alias("f")).collect()}
+    assert sf[1] == fp[1]
+
+
+def test_shingle_fingerprint_shift_tolerant(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base), (2, "PREFIX " + base)], "id long, t string"
+    )
+    sf = {r["id"]: r["f"] for r in df.select("id", shingle_fingerprint_col(F.col("t"), k=5).alias("f")).collect()}
+    assert sf[1] == sf[2]  # min-shingle survives a prefix insertion
