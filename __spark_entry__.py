@@ -1,38 +1,741 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` registers the engine's operator surface (SURVEY.md §2 +
+the training-data-pipeline operators) over graphs derived
+deterministically from the driver's TPC-H-ish tables; ``oracle_sql()``
+gives exactly-equivalent DuckDB SQL per query, including recursive-CTE
+oracles for BFS/SSSP/WCC/SCC and unrolled-iteration oracles for
+PageRank/LPA/MinHash/SimHash. All hashes used in oracle-checked
+operators are the portable md5-derived 60-bit ints (see
+linkgraph/functions/text.py) so Spark and DuckDB agree bit-for-bit;
+floats are rounded identically on both sides.
+
+Derived graphs (ids disjoint by construction):
+- cust_supp   directed bipartite: customer --orders--> supplier(+1e6)
+- supp_co     undirected supplier co-occurrence (canonical src<dst)
+- hierarchy   DAG: customer/supplier -> nation(+3e6) -> region(+4e6)
+- supp_dir    directed cyclic supplier graph (forward all pairs,
+              backward where co-occurrence weight >= 3) — the SCC bed
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linkgraph import LinkGraph
+from linkgraph.functions.text import (
+    doc_fingerprint_col,
+    lang_id_col,
+    quality_score_col,
+    token_count_col,
+)
+from linkgraph.operators.components import (
+    strongly_connected_components,
+    weakly_connected_components,
+)
+from linkgraph.operators.dedup import (
+    MERSENNE31,
+    exact_duplicates,
+    lsh_candidate_pairs,
+    minhash_params,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_col,
+)
+from linkgraph.operators.lpa import label_propagation
+from linkgraph.operators.mst import minimum_spanning_forest
+from linkgraph.operators.pagerank import pagerank, pagerank_fixed_iterations
+from linkgraph.operators.similarity import (
+    ann_cosine_topk,
+    cosine_topk,
+    embedding_near_duplicates,
+)
+from linkgraph.operators.traversal import bfs_levels, shortest_paths
+from linkgraph.operators.triangles import clustering_coefficients, triangle_counts
+from linkgraph.sources.edges import tpch_edges, tpch_supplier_graph
+
+SUPP = 1_000_000
+NAT = 3_000_000
+REG = 4_000_000
+
+# ---------------------------------------------------------------------------
+# derived-graph builders (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cust_supp(spark, sf_dir) -> LinkGraph:
+    return LinkGraph(tpch_edges(spark, sf_dir), directed=True)
+
+
+def _supp_co(spark, sf_dir) -> LinkGraph:
+    return LinkGraph(tpch_supplier_graph(spark, sf_dir), directed=False)
+
+
+def _hierarchy_edges(spark, sf_dir) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("src"),
+        (F.col("c_nationkey").cast("long") + NAT).alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    supp = _read(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey").cast("long") + SUPP).alias("src"),
+        (F.col("s_nationkey").cast("long") + NAT).alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    nat = _read(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey").cast("long") + NAT).alias("src"),
+        (F.col("n_regionkey").cast("long") + REG).alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    return cust.unionAll(supp).unionAll(nat)
+
+
+def _supp_dir(spark, sf_dir) -> LinkGraph:
+    co = tpch_supplier_graph(spark, sf_dir)
+    fwd = co.select("src", "dst")
+    bwd = co.filter(F.col("weight") >= 3).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    edges = fwd.unionAll(bwd).withColumn("weight", F.lit(1.0))
+    return LinkGraph(edges, directed=True)
+
+
+def _sssp_dag(spark, sf_dir) -> LinkGraph:
+    cs = tpch_edges(spark, sf_dir)
+    supp_nat = _read(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey").cast("long") + SUPP).alias("src"),
+        (F.col("s_nationkey").cast("long") + NAT).alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    nat_reg = _read(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey").cast("long") + NAT).alias("src"),
+        (F.col("n_regionkey").cast("long") + REG).alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    return LinkGraph(cs.unionAll(supp_nat).unionAll(nat_reg), directed=True)
+
+
+def _docs(spark, sf_dir) -> DataFrame:
+    """documents ∪ a deterministic mutated copy (every 7th doc
+    duplicated with id+100000) so dedup operators have real work."""
+    d = _read(spark, sf_dir, "documents")
+    dup = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return d.select("doc_id", "text", "lang", "source", "n_chars").unionAll(dup)
+
+
+# ---------------------------------------------------------------------------
+# SQL fragments (DuckDB side) — must mirror the builders above exactly
+# ---------------------------------------------------------------------------
+
+CUST_SUPP = """
+SELECT CAST(o_custkey AS BIGINT) AS src,
+       CAST(l_suppkey + 1000000 AS BIGINT) AS dst,
+       CAST(count(*) AS DOUBLE) AS weight
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1, 2
+"""
+
+SUPP_CO = """
+SELECT CAST(a.l_suppkey AS BIGINT) AS src,
+       CAST(b.l_suppkey AS BIGINT) AS dst,
+       CAST(count(*) AS DOUBLE) AS weight
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+GROUP BY 1, 2
+"""
+
+HIER = """
+SELECT CAST(c_custkey AS BIGINT) AS src,
+       CAST(c_nationkey + 3000000 AS BIGINT) AS dst, 1.0 AS weight FROM customer
+UNION ALL
+SELECT CAST(s_suppkey + 1000000 AS BIGINT),
+       CAST(s_nationkey + 3000000 AS BIGINT), 1.0 FROM supplier
+UNION ALL
+SELECT CAST(n_nationkey + 3000000 AS BIGINT),
+       CAST(n_regionkey + 4000000 AS BIGINT), 1.0 FROM nation
+"""
+
+SUPP_DIR = f"""
+SELECT src, dst FROM ({SUPP_CO})
+UNION ALL
+SELECT dst AS src, src AS dst FROM ({SUPP_CO}) WHERE weight >= 3
+"""
+
+SSSP_DAG = f"""
+SELECT src, dst, weight FROM ({CUST_SUPP})
+UNION ALL
+SELECT CAST(s_suppkey + 1000000 AS BIGINT),
+       CAST(s_nationkey + 3000000 AS BIGINT), 1.0 FROM supplier
+UNION ALL
+SELECT CAST(n_nationkey + 3000000 AS BIGINT),
+       CAST(n_regionkey + 4000000 AS BIGINT), 1.0 FROM nation
+"""
+
+DOCS = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source, n_chars FROM documents
+UNION ALL
+SELECT CAST(doc_id + 100000 AS BIGINT), text, lang, source, n_chars
+FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def _md5int(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+TOKENS = "regexp_extract_all(lower({t}), '[a-z0-9]+')"
+
+# vertices of a directed edge table (matches LinkGraph.vertices)
+VERTS = "SELECT src AS id FROM {e} UNION SELECT dst FROM {e}"
+
+
+def _pagerank_sql(k: int = 5, alpha: float = 0.85) -> str:
+    """Unrolled k-iteration weighted PageRank over symmetrized
+    supp_co (no dangling vertices by construction)."""
+    pre = f"""
+WITH edges AS ({SUPP_CO}),
+sym AS (SELECT src, dst, weight FROM edges
+        UNION ALL SELECT dst, src, weight FROM edges),
+verts AS (SELECT DISTINCT src AS id FROM sym),
+nn AS (SELECT count(*) AS n FROM verts),
+outw AS (SELECT src AS id, sum(weight) AS w FROM sym GROUP BY 1),
+r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM verts)"""
+    its = []
+    for i in range(1, k + 1):
+        its.append(f""",
+c{i} AS (SELECT e.dst AS id, sum(r.rank * e.weight / o.w) AS s
+         FROM r{i-1} r JOIN sym e ON r.id = e.src JOIN outw o ON o.id = e.src
+         GROUP BY 1),
+r{i} AS (SELECT v.id,
+         (1.0 - {alpha}) / (SELECT n FROM nn) + {alpha} * coalesce(c.s, 0.0) AS rank
+         FROM verts v LEFT JOIN c{i} c ON v.id = c.id)"""
+        )
+    return pre + "".join(its) + f"\nSELECT id, round(rank, 8) AS rank FROM r{k}"
+
+
+def _lpa_sql(k: int = 3) -> str:
+    """Unrolled k-round deterministic synchronous LPA over the
+    symmetrized hierarchy graph (unweighted votes, ties to min)."""
+    pre = f"""
+WITH edges AS ({HIER}),
+sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+verts AS (SELECT DISTINCT src AS id FROM sym),
+l0 AS (SELECT id, id AS label FROM verts)"""
+    its = []
+    for i in range(1, k + 1):
+        its.append(f""",
+v{i} AS (SELECT e.dst AS id, l.label AS cand, count(*) AS votes
+         FROM l{i-1} l JOIN sym e ON l.id = e.src GROUP BY 1, 2),
+b{i} AS (SELECT id, cand FROM (
+           SELECT id, cand,
+                  row_number() OVER (PARTITION BY id ORDER BY votes DESC, cand ASC) AS rn
+           FROM v{i}) WHERE rn = 1),
+l{i} AS (SELECT v.id, coalesce(b.cand, v.id) AS label
+         FROM verts v LEFT JOIN b{i} b ON v.id = b.id)"""
+        )
+    return pre + "".join(its) + f"\nSELECT id, label FROM l{k}"
+
+
+def _minhash_sql(n_hashes: int = 32, shingle_k: int = 3) -> str:
+    """Per-doc MinHash as (doc_id, pos, mh) rows."""
+    params = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(minhash_params(n_hashes)))
+    toks = TOKENS.format(t="text")
+    return f"""
+WITH docs AS ({DOCS}),
+toked AS (SELECT doc_id, {toks} AS t FROM docs),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - {shingle_k - 1})) AS i
+        FROM toked WHERE len(t) >= {shingle_k}),
+sh AS (SELECT DISTINCT doc_id,
+              t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
+hashed AS (SELECT doc_id, {_md5int('shingle')} % {MERSENNE31} AS h FROM sh),
+params(pos, a, b) AS (VALUES {params})
+SELECT doc_id AS id, pos, min((a * h + b) % {MERSENNE31}) AS mh
+FROM hashed CROSS JOIN params
+GROUP BY 1, 2
+"""
+
+
+def _lsh_pairs_sql(n_hashes: int = 32, bands: int = 8) -> str:
+    rows = n_hashes // bands
+    return f"""
+WITH sig AS ({_minhash_sql(n_hashes)}),
+bandkeys AS (SELECT id, pos // {rows} AS band,
+                    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY pos) AS key
+             FROM sig GROUP BY 1, 2)
+SELECT DISTINCT x.id AS a, y.id AS b
+FROM bandkeys x JOIN bandkeys y ON x.band = y.band AND x.key = y.key
+WHERE x.id < y.id
+"""
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    toks = TOKENS.format(t="text")
+    h = _md5int("tok")
+    terms = " + ".join(
+        f"(CASE WHEN 2 * sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE 0 END) > count(*) "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+WITH docs AS ({DOCS}),
+toks AS (SELECT doc_id, unnest({toks}) AS tok FROM docs),
+hashed AS (SELECT doc_id, {h} AS h FROM toks)
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash
+FROM hashed GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# the contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full PageRank to convergence on the sf0.001
+    customer→supplier graph. Returns DataFrame(id, rank)."""
+    g = _cust_supp(spark, "/root/testdata/sf0.001")
+    res = pagerank(g, alpha=0.85, tol=1e-6, max_iter=100)
+    return res.state
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- scans / construction (§2.1)
+    q["edge_table"] = lambda s, d: _cust_supp(s, d).edges
+    q["supplier_cooccurrence"] = lambda s, d: _supp_co(s, d).edges
+
+    # --- aggregations (§2.3)
+    q["out_degrees"] = lambda s, d: _cust_supp(s, d).out_degrees()
+    q["in_degrees"] = lambda s, d: _cust_supp(s, d).in_degrees()
+    q["degree_centrality"] = lambda s, d: _cust_supp(s, d).degree_centrality().select(
+        "id", F.round("centrality", 9).alias("centrality")
+    )
+    q["graph_counts"] = lambda s, d: s.createDataFrame(
+        [
+            (
+                _cust_supp(s, d).node_count(),
+                _cust_supp(s, d).edge_count(),
+                _supp_co(s, d).edge_count(),
+            )
+        ],
+        "n_nodes long, n_edges long, n_edges_undirected long",
+    )
+    q["degree_histogram"] = lambda s, d: (
+        _cust_supp(s, d)
+        .edges.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .groupBy(F.floor(F.log2(F.col("deg").cast("double"))).cast("long").alias("log2_bucket"))
+        .agg(F.count("*").alias("vertices"))
+    )
+    q["hub_suppliers"] = lambda s, d: (
+        _cust_supp(s, d)
+        .in_degrees()
+        .orderBy(F.desc("in_degree"), F.asc("id"))
+        .limit(10)
+    )
+
+    # --- projections / lookups (§2.2)
+    q["neighbors_of_customer1"] = lambda s, d: _cust_supp(s, d).successors(1)
+    q["edge_lookup"] = lambda s, d: (
+        _cust_supp(s, d).edges.filter((F.col("src") == 1)).select("src", "dst", "weight")
+    )
+
+    # --- subgraphs / conversions (§2.4)
+    q["subgraph_positive_balance"] = lambda s, d: _subgraph_pos(s, d)
+    q["reverse_edges"] = lambda s, d: _cust_supp(s, d).reverse().edges
+    q["to_undirected_mutual"] = lambda s, d: _to_und_mutual(s, d)
+
+    # --- traversals / paths (§2.5)
+    q["bfs_levels_region0"] = lambda s, d: (
+        bfs_levels(LinkGraph(_hierarchy_edges(s, d), directed=True).reverse(), REG + 0)
+        .select("id", F.col("level").cast("int").alias("level"))
+    )
+    q["sssp_from_customer1"] = lambda s, d: (
+        shortest_paths(_sssp_dag(s, d), 1).select("id", F.round("dist", 6).alias("dist"))
+    )
+    q["wcc_hierarchy"] = lambda s, d: (
+        weakly_connected_components(
+            LinkGraph(_hierarchy_edges(s, d), directed=True)
+        ).state
+    )
+    q["scc_suppliers"] = lambda s, d: strongly_connected_components(_supp_dir(s, d))
+    q["pagerank5_suppliers"] = lambda s, d: (
+        pagerank_fixed_iterations(_supp_co(s, d), k=5).select(
+            "id", F.round("rank", 8).alias("rank")
+        )
+    )
+    q["lpa3_hierarchy"] = lambda s, d: (
+        label_propagation(
+            LinkGraph(_hierarchy_edges(s, d), directed=True), max_iter=3
+        ).state
+    )
+    q["triangle_counts"] = lambda s, d: triangle_counts(_supp_co(s, d))
+    q["clustering_coefficients"] = lambda s, d: (
+        clustering_coefficients(_supp_co(s, d)).select(
+            "id", F.round("clustering", 9).alias("clustering")
+        )
+    )
+
+    # --- dedup / text (training-data pipeline ops)
+    q["dedup_exact"] = lambda s, d: exact_duplicates(_docs(s, d), "doc_id", "text")
+    q["minhash_signatures"] = lambda s, d: _minhash_rows(s, d)
+    q["lsh_candidate_pairs"] = lambda s, d: lsh_candidate_pairs(
+        minhash_signatures(_docs(s, d), "doc_id", "text"), bands=8
+    )
+    q["ngram_jaccard"] = lambda s, d: ngram_jaccard_pairs(
+        _docs(s, d), "doc_id", "text", k=3, threshold=0.5
+    )
+    q["simhash"] = lambda s, d: _docs(s, d).select(
+        "doc_id", simhash_col(F.col("text"), 16).alias("simhash")
+    )
+    q["text_stats"] = lambda s, d: _docs(s, d).select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_tokens"),
+        quality_score_col(F.col("text")).alias("quality"),
+        lang_id_col(F.col("text")).alias("lang_pred"),
+        doc_fingerprint_col(F.col("text")).alias("fingerprint"),
+    )
+
+    # --- similarity search
+    q["cosine_topk"] = lambda s, d: cosine_topk(
+        _read(s, d, "embeddings"),
+        _read(s, d, "embeddings").filter("vec_id < 5"),
+        k=5,
+    )
+    q["embedding_near_dups"] = lambda s, d: embedding_near_duplicates(
+        _read(s, d, "embeddings"), threshold=0.35, exact=True
+    )
+
+    # --- relational / window coverage on events
+    q["events_agg"] = lambda s, d: (
+        _read(s, d, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.countDistinct("user_id").alias("users"),
+        )
+    )
+    q["events_sessionize"] = lambda s, d: _sessionize(s, d)
+
+    # --- rows-only (non-SQL-expressible) entries
+    q["pagerank_converged"] = lambda s, d: pagerank(
+        _cust_supp(s, d), tol=1e-6, max_iter=60
+    ).state
+    q["ann_cosine_topk"] = lambda s, d: ann_cosine_topk(
+        _read(s, d, "embeddings"),
+        _read(s, d, "embeddings").filter("vec_id < 5"),
+        k=5,
+    )
+    q["minimum_spanning_forest"] = lambda s, d: minimum_spanning_forest(_supp_co(s, d))
+    q["webgraph_pagerank"] = _webgraph_pagerank
+
+    return q
+
+
+def _subgraph_pos(s, d):
+    g = _cust_supp(s, d)
+    cust = _read(s, d, "customer").filter("c_acctbal > 0").select(
+        F.col("c_custkey").cast("long").alias("id")
+    )
+    supp = _read(s, d, "supplier").filter("s_acctbal > 0").select(
+        (F.col("s_suppkey").cast("long") + SUPP).alias("id")
+    )
+    return g.subgraph(cust.unionAll(supp)).edges
+
+
+def _to_und_mutual(s, d):
+    cs = tpch_edges(s, d)
+    mutual = cs.unionAll(
+        cs.filter(F.col("weight") >= 2).select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+    return LinkGraph(mutual, directed=True).to_undirected().edges
+
+
+def _minhash_rows(s, d):
+    sig = minhash_signatures(_docs(s, d), "doc_id", "text", n_hashes=32)
+    return sig.select(
+        F.col("id"), F.posexplode("sig").alias("pos", "mh")
+    ).select("id", F.col("pos").cast("long").alias("pos"), "mh")
+
+
+def _sessionize(s, d):
+    from pyspark.sql.window import Window
+
+    ev = _read(s, d, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp_ltz").cast("long")  # NTZ->epoch via UTC session
+    gap = secs - F.lag(secs).over(w)
+    return (
+        ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("session_id", F.sum("new_sess").over(w))
+        .select("user_id", "event_id", F.col("session_id").cast("long").alias("session_id"))
+    )
+
+
+def _webgraph_pagerank(s, d):
+    """The true-source path (north rule): synthetic pages → extraction
+    UDFs → edge table → PageRank. No oracle (extraction is not SQL)."""
+    from linkgraph.sources.pages import pages_dataframe
+
+    pages = pages_dataframe(s, 500, n_domains=40)
+    g = LinkGraph.from_pages(pages)
+    return pagerank(g, tol=1e-6, max_iter=50).state
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = TOKENS.format(t="text")
+    fp = _md5int("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")
+    stop_en = "['the','a','and','of','to','is','in','that','it','for']"
+    stop_de = "['der','die','das','und','ist','nicht','ein','zu','mit','von']"
+    stop_fr = "['le','la','et','les','des','un','une','est','pour','que']"
+    verts_cs = VERTS.format(e=f"({CUST_SUPP})")
+    return {
+        "edge_table": CUST_SUPP,
+        "supplier_cooccurrence": SUPP_CO,
+        "out_degrees": f"""
+WITH e AS ({CUST_SUPP}), v AS ({VERTS.format(e='e')})
+SELECT v.id, coalesce(o.n, 0) AS out_degree
+FROM v LEFT JOIN (SELECT src AS id, count(*) AS n FROM e GROUP BY 1) o ON v.id = o.id
+""",
+        "in_degrees": f"""
+WITH e AS ({CUST_SUPP}), v AS ({VERTS.format(e='e')})
+SELECT v.id, coalesce(i.n, 0) AS in_degree
+FROM v LEFT JOIN (SELECT dst AS id, count(*) AS n FROM e GROUP BY 1) i ON v.id = i.id
+""",
+        "degree_centrality": f"""
+WITH e AS ({CUST_SUPP}), v AS ({VERTS.format(e='e')}),
+n AS (SELECT count(*) AS n FROM v),
+i AS (SELECT dst AS id, count(*) AS c FROM e GROUP BY 1),
+o AS (SELECT src AS id, count(*) AS c FROM e GROUP BY 1)
+SELECT v.id,
+       round((coalesce(i.c, 0) + coalesce(o.c, 0)) * 1.0 / ((SELECT n FROM n) - 1), 9)
+       AS centrality
+FROM v LEFT JOIN i ON v.id = i.id LEFT JOIN o ON v.id = o.id
+""",
+        "graph_counts": f"""
+WITH e AS ({CUST_SUPP}), v AS ({VERTS.format(e='e')}), u AS ({SUPP_CO})
+SELECT (SELECT count(*) FROM v) AS n_nodes,
+       (SELECT count(*) FROM e) AS n_edges,
+       (SELECT count(*) FROM (SELECT DISTINCT least(src,dst), greatest(src,dst) FROM u)) AS n_edges_undirected
+""",
+        "degree_histogram": f"""
+WITH e AS ({CUST_SUPP}),
+d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1)
+SELECT CAST(floor(log2(CAST(deg AS DOUBLE))) AS BIGINT) AS log2_bucket,
+       count(*) AS vertices
+FROM d GROUP BY 1
+""",
+        "hub_suppliers": f"""
+WITH e AS ({CUST_SUPP}), v AS ({VERTS.format(e='e')})
+SELECT v.id, coalesce(i.n, 0) AS in_degree
+FROM v LEFT JOIN (SELECT dst AS id, count(*) AS n FROM e GROUP BY 1) i ON v.id = i.id
+ORDER BY in_degree DESC, v.id ASC LIMIT 10
+""",
+        "neighbors_of_customer1": f"SELECT dst AS id FROM ({CUST_SUPP}) WHERE src = 1",
+        "edge_lookup": f"SELECT src, dst, weight FROM ({CUST_SUPP}) WHERE src = 1",
+        "subgraph_positive_balance": f"""
+WITH e AS ({CUST_SUPP}),
+keep AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer WHERE c_acctbal > 0
+         UNION ALL
+         SELECT CAST(s_suppkey + 1000000 AS BIGINT) FROM supplier WHERE s_acctbal > 0)
+SELECT e.src, e.dst, e.weight FROM e
+WHERE e.src IN (SELECT id FROM keep) AND e.dst IN (SELECT id FROM keep)
+""",
+        "reverse_edges": f"SELECT dst AS src, src AS dst, weight FROM ({CUST_SUPP})",
+        "to_undirected_mutual": f"""
+WITH e AS ({CUST_SUPP}),
+m AS (SELECT src, dst, weight FROM e
+      UNION ALL SELECT dst, src, weight FROM e WHERE weight >= 2)
+SELECT least(src, dst) AS src, greatest(src, dst) AS dst, min(weight) AS weight
+FROM m GROUP BY 1, 2
+""",
+        "bfs_levels_region0": f"""
+WITH RECURSIVE rev AS (SELECT dst AS src, src AS dst FROM ({HIER})),
+walk(id, level) AS (
+  SELECT CAST({REG} AS BIGINT), 0
+  UNION ALL
+  SELECT e.dst, walk.level + 1 FROM walk JOIN rev e ON walk.id = e.src
+  WHERE walk.level < 4
+)
+SELECT id, CAST(min(level) AS INT) AS level FROM walk GROUP BY id
+""",
+        "sssp_from_customer1": f"""
+WITH RECURSIVE dag AS ({SSSP_DAG}),
+paths(id, dist) AS (
+  SELECT CAST(1 AS BIGINT), 0.0
+  UNION ALL
+  SELECT e.dst, paths.dist + e.weight FROM paths JOIN dag e ON paths.id = e.src
+)
+SELECT id, round(min(dist), 6) AS dist FROM paths GROUP BY id
+""",
+        "wcc_hierarchy": f"""
+WITH RECURSIVE e AS ({HIER}),
+sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+v AS (SELECT DISTINCT src AS id FROM sym),
+reach(id, r) AS (
+  SELECT id, id FROM v
+  UNION
+  SELECT reach.id, s.dst FROM reach JOIN sym s ON reach.r = s.src
+)
+SELECT id, min(r) AS component FROM reach GROUP BY id
+""",
+        "scc_suppliers": f"""
+WITH RECURSIVE e AS ({SUPP_DIR}),
+v AS (SELECT DISTINCT src AS id FROM e UNION SELECT dst FROM e),
+reach(a, b) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT reach.a, e.dst FROM reach JOIN e ON reach.b = e.src
+),
+mutual AS (SELECT r1.a AS v, r1.b AS u FROM reach r1
+           JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a)
+SELECT v.id, least(v.id, coalesce(min(m.u), v.id)) AS component
+FROM v LEFT JOIN mutual m ON v.id = m.v GROUP BY v.id
+""",
+        "pagerank5_suppliers": _pagerank_sql(5),
+        "lpa3_hierarchy": _lpa_sql(3),
+        "triangle_counts": f"""
+WITH e AS ({SUPP_CO}),
+c AS (SELECT least(src,dst) AS a, greatest(src,dst) AS b FROM e WHERE src <> dst GROUP BY 1,2),
+deg AS (SELECT id, count(*) AS deg FROM
+        (SELECT a AS id FROM c UNION ALL SELECT b FROM c) GROUP BY 1),
+o AS (SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND c.a < c.b) THEN c.a ELSE c.b END AS u,
+             CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND c.a < c.b) THEN c.b ELSE c.a END AS v
+      FROM c JOIN deg da ON c.a = da.id JOIN deg db ON c.b = db.id),
+tri AS (SELECT e1.u AS x, e1.v AS m, e2.v AS y
+        FROM o e1 JOIN o e2 ON e1.v = e2.u
+        WHERE EXISTS (SELECT 1 FROM o e3 WHERE e3.u = e1.u AND e3.v = e2.v)),
+corners AS (SELECT x AS id FROM tri UNION ALL SELECT m FROM tri UNION ALL SELECT y FROM tri),
+verts AS (SELECT DISTINCT src AS id FROM e UNION SELECT dst FROM e)
+SELECT verts.id, coalesce(t.n, 0) AS triangles
+FROM verts LEFT JOIN (SELECT id, count(*) AS n FROM corners GROUP BY 1) t ON verts.id = t.id
+""",
+        "clustering_coefficients": f"""
+WITH e AS ({SUPP_CO}),
+c AS (SELECT least(src,dst) AS a, greatest(src,dst) AS b FROM e WHERE src <> dst GROUP BY 1,2),
+deg AS (SELECT id, count(*) AS deg FROM
+        (SELECT a AS id FROM c UNION ALL SELECT b FROM c) GROUP BY 1),
+o AS (SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND c.a < c.b) THEN c.a ELSE c.b END AS u,
+             CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND c.a < c.b) THEN c.b ELSE c.a END AS v
+      FROM c JOIN deg da ON c.a = da.id JOIN deg db ON c.b = db.id),
+tri AS (SELECT e1.u AS x, e1.v AS m, e2.v AS y
+        FROM o e1 JOIN o e2 ON e1.v = e2.u
+        WHERE EXISTS (SELECT 1 FROM o e3 WHERE e3.u = e1.u AND e3.v = e2.v)),
+corners AS (SELECT x AS id FROM tri UNION ALL SELECT m FROM tri UNION ALL SELECT y FROM tri),
+t AS (SELECT id, count(*) AS n FROM corners GROUP BY 1),
+verts AS (SELECT DISTINCT src AS id FROM e UNION SELECT dst FROM e)
+SELECT verts.id,
+       round(CASE WHEN coalesce(deg.deg, 0) >= 2
+             THEN 2.0 * coalesce(t.n, 0) / (deg.deg * (deg.deg - 1))
+             ELSE 0.0 END, 9) AS clustering
+FROM verts LEFT JOIN deg ON verts.id = deg.id LEFT JOIN t ON verts.id = t.id
+""",
+        "dedup_exact": f"""
+WITH docs AS ({DOCS}),
+fp AS (SELECT doc_id,
+       {fp} AS fingerprint
+       FROM docs)
+SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM fp GROUP BY 1 HAVING count(*) > 1
+""",
+        "minhash_signatures": _minhash_sql(32),
+        "lsh_candidate_pairs": _lsh_pairs_sql(32, 8),
+        "ngram_jaccard": f"""
+WITH docs AS ({DOCS}),
+toked AS (SELECT doc_id, {toks} AS t FROM docs),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM toked WHERE len(t) >= 3),
+sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+           FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           GROUP BY 1, 2)
+SELECT a, b, round(common * 1.0 / (na.n + nb.n - common), 6) AS jaccard
+FROM common JOIN sizes na ON common.a = na.doc_id JOIN sizes nb ON common.b = nb.doc_id
+WHERE round(common * 1.0 / (na.n + nb.n - common), 6) >= 0.5
+""",
+        "simhash": _simhash_sql(16),
+        "text_stats": f"""
+WITH docs AS ({DOCS}),
+base AS (SELECT doc_id, text, {toks} AS t FROM docs),
+m AS (SELECT doc_id, text, t,
+        len(t) AS n_tokens,
+        len(list_filter(t, x -> list_contains({stop_en}, x))) AS hits_en,
+        len(list_filter(t, x -> list_contains({stop_de}, x))) AS hits_de,
+        len(list_filter(t, x -> list_contains({stop_fr}, x))) AS hits_fr,
+        len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS punct,
+        length(text) AS nchar
+      FROM base)
+SELECT doc_id,
+  CAST(n_tokens AS INT) AS n_tokens,
+  round(0.5 * least(1.0, n_tokens / 100.0)
+      + 0.5 * least(1.0, 3.0 * (CASE WHEN n_tokens > 0 THEN hits_en * 1.0 / n_tokens ELSE 0.0 END))
+      - 0.2 * (CASE WHEN nchar > 0 THEN punct * 1.0 / nchar ELSE 0.0 END), 6) AS quality,
+  CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr THEN 'en'
+       WHEN hits_de >= hits_fr THEN 'de' ELSE 'fr' END AS lang_pred,
+  {fp} AS fingerprint
+FROM m
+""",
+        "cosine_topk": """
+WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1),
+dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, sum(a.x * b.x) AS dot
+         FROM ex a JOIN ex b ON a.i = b.i
+         WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id
+         GROUP BY 1, 2),
+sims AS (SELECT query_id, neighbor_id, dot / (qn.nrm * cn.nrm) AS sim
+         FROM dots JOIN norms qn ON dots.query_id = qn.vec_id
+                   JOIN norms cn ON dots.neighbor_id = cn.vec_id),
+ranked AS (SELECT query_id, neighbor_id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id ASC) AS rank
+           FROM sims)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 6) AS sim
+FROM ranked WHERE rank <= 5
+""",
+        "embedding_near_dups": """
+WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1),
+dots AS (SELECT a.vec_id AS a, b.vec_id AS b, sum(a.x * b.x) AS dot
+         FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+         GROUP BY 1, 2),
+sims AS (SELECT a, b, round(dot / (na.nrm * nb.nrm), 6) AS sim
+         FROM dots JOIN norms na ON dots.a = na.vec_id
+                   JOIN norms nb ON dots.b = nb.vec_id)
+SELECT a, b, sim FROM sims WHERE sim >= 0.35
+""",
+        "events_agg": """
+SELECT event_type, count(*) AS n, round(sum(value), 6) AS total_value,
+       count(DISTINCT user_id) AS users
+FROM events GROUP BY 1
+""",
+        "events_sessionize": """
+WITH g AS (SELECT user_id, event_id, ts,
+                  epoch(ts) - lag(epoch(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+           FROM events)
+SELECT user_id, event_id,
+       CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+FROM g
+""",
+    }

@@ -1,0 +1,105 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "headline_suite_seconds", "value": <total>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <dir>,
+   "pagerank_edges_per_sec": <SpMV throughput>, ...}
+
+The north-rule headline is PageRank throughput (edges processed per
+second per iteration) — reported as ``pagerank_edges_per_sec``.
+Scaling-efficiency evidence (local[8] vs local[32]) lives in
+scripts/scaling_bench.py → BENCH/BASELINE.md (too slow to run per
+bench invocation: two fresh JVMs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_PAGES = int(os.environ.get("LINKGRAPH_BENCH_PAGES", "20000"))
+PR_ITERS = 5
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from linkgraph import LinkGraph, get_spark
+    from linkgraph.operators.dedup import minhash_near_duplicates
+    from linkgraph.operators.pagerank import pagerank_fixed_iterations
+    from linkgraph.operators.similarity import ann_cosine_topk
+    from linkgraph.operators.triangles import total_triangles
+    from linkgraph.operators.components import weakly_connected_components
+    from linkgraph.operators.traversal import shortest_paths
+    from linkgraph.sources.edges import build_edges
+    from linkgraph.sources.pages import pages_dataframe
+
+    spark = get_spark("linkgraph-bench")
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # 1. true-source path: synthetic pages → extraction UDFs → edge table
+    pages = pages_dataframe(spark, N_PAGES, n_domains=max(50, N_PAGES // 400))
+    n_web_edges = timed("extract_edges", lambda: build_edges(pages).count())
+    extra["extract_pages_per_sec"] = round(N_PAGES / timings["extract_edges"], 1)
+
+    # 2. headline: PageRank SpMV throughput on the customer→supplier graph
+    g = LinkGraph(entry.tpch_edges(spark, SF_DIR), directed=True).partitioned(32)
+    g.edges.persist()
+    n_edges = g.edges.count()
+    timed("pagerank5", lambda: pagerank_fixed_iterations(g, k=PR_ITERS).count())
+    extra["pagerank_edges_per_sec"] = round(PR_ITERS * n_edges / timings["pagerank5"], 1)
+    extra["pagerank_edges"] = n_edges
+
+    # 3. connected components (hierarchy graph, diameter-bounded)
+    hier = LinkGraph(entry._hierarchy_edges(spark, SF_DIR), directed=True)
+    timed("wcc", lambda: weakly_connected_components(hier).state.count())
+
+    # 4. triangle counting, degree-ordered (sparsified co-occurrence)
+    co = entry.tpch_supplier_graph(spark, SF_DIR).filter(F.col("weight") >= 4)
+    tri_g = LinkGraph(co, directed=False)
+    timed("triangles", lambda: total_triangles(tri_g))
+
+    # 5. SSSP relaxation over the 3-level DAG
+    timed("sssp", lambda: shortest_paths(entry._sssp_dag(spark, SF_DIR), 1).count())
+
+    # 6. MinHash near-dup pipeline over documents
+    docs = entry._docs(spark, SF_DIR)
+    timed("minhash_dedup", lambda: minhash_near_duplicates(
+        docs, "doc_id", "text", threshold=0.7).count())
+
+    # 7. ANN cosine top-k over embeddings (LSH-bucketed scale path)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    timed("ann_topk", lambda: ann_cosine_topk(
+        emb, emb.filter("vec_id < 20"), k=10).count())
+
+    # 8. windowed sessionization over events
+    timed("sessionize", lambda: entry._sessionize(spark, SF_DIR).count())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        **extra,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

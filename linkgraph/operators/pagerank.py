@@ -69,6 +69,8 @@ def pagerank(
     init = verts.select("id", F.lit(1.0 / n).alias("rank"), "dangling")
     base = (1.0 - alpha) / n
 
+    fixed_iters = tol < 0  # pagerank_fixed_iterations: skip the delta action
+
     def step(state: DataFrame, i: int) -> tuple[DataFrame, float]:
         # dangling mass as an in-plan scalar (1-row cross join), no collect
         dangling = state.filter("dangling").agg(
@@ -80,20 +82,20 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("csum"))
         )
-        new = (
-            verts.join(contribs, "id", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "id",
-                (
-                    F.lit(base)
-                    + F.lit(alpha)
-                    * (F.coalesce(F.col("csum"), F.lit(0.0)) + F.col("dm") / n)
-                ).alias("rank"),
-                "dangling",
-            )
-            .persist()
+        new = verts.join(contribs, "id", "left").crossJoin(F.broadcast(dangling)).select(
+            "id",
+            (
+                F.lit(base)
+                + F.lit(alpha)
+                * (F.coalesce(F.col("csum"), F.lit(0.0)) + F.col("dm") / n)
+            ).alias("rank"),
+            "dangling",
         )
+        if fixed_iters:
+            # no convergence check wanted: keep the plan lazy; the
+            # iterate() driver's periodic localCheckpoint bounds depth
+            return new, float("inf")
+        new = new.persist()
         delta = (
             new.join(state.select("id", F.col("rank").alias("old")), "id")
             .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("d"))
@@ -121,6 +123,9 @@ def pagerank(
 def pagerank_fixed_iterations(graph: LinkGraph, k: int, alpha: float = 0.85) -> DataFrame:
     """Exactly-k-iteration PageRank (no convergence check) — the
     SQL-oracle-comparable variant (an unrolled k-deep plan matches a
-    k-level recursive SQL exactly, up to float summation order)."""
-    res = pagerank(graph, alpha=alpha, tol=-1.0, max_iter=k)
+    k-level recursive SQL exactly, up to float summation order).
+    truncate_every=1: each state feeds TWO consumers next round
+    (dangling agg + contributions), so without per-iteration
+    materialization the join tree recomputes 2^depth times."""
+    res = pagerank(graph, alpha=alpha, tol=-1.0, max_iter=k, truncate_every=1)
     return res.state

@@ -132,9 +132,12 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     n_planes: int = 8,
     seed: int = 42,
+    exact: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a, b, sim ≥ threshold) within
-    LSH buckets — the all-pairs variant of ann_cosine_topk."""
+    LSH buckets — the all-pairs variant of ann_cosine_topk.
+    ``exact=True`` skips bucketing (full O(n²) pair scan): the oracle
+    path and the right call below ~10^5 rows."""
     dim = len(df.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
     v = with_norm(df, vec_col).select(
@@ -146,9 +149,11 @@ def embedding_near_duplicates(
     a = v.select(F.col("id").alias("a"), F.col("v").alias("va"), F.col("n").alias("na"), "bucket")
     b = v.select(F.col("id").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb"), "bucket")
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda ac, x: ac + x)
+    joined = (
+        a.drop("bucket").crossJoin(b.drop("bucket")) if exact else a.join(b, "bucket")
+    )
     return (
-        a.join(b, "bucket")
-        .filter(F.col("a") < F.col("b"))
+        joined.filter(F.col("a") < F.col("b"))
         .select("a", "b", F.round(dot / (F.col("na") * F.col("nb")), 6).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
