@@ -49,6 +49,8 @@ from linkgraph.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_col,
 )
+from linkgraph.operators.kcore import core_numbers, k_core
+from linkgraph.operators.layout import circular_layout, shell_layout, spiral_layout
 from linkgraph.operators.lpa import label_propagation
 from linkgraph.operators.mst import minimum_spanning_forest
 from linkgraph.operators.pagerank import pagerank, pagerank_fixed_iterations
@@ -57,7 +59,7 @@ from linkgraph.operators.similarity import (
     cosine_topk,
     embedding_near_duplicates,
 )
-from linkgraph.operators.traversal import bfs_levels, shortest_paths
+from linkgraph.operators.traversal import bfs_levels, reachable_from, shortest_paths
 from linkgraph.operators.triangles import clustering_coefficients, triangle_counts
 from linkgraph.sources.edges import tpch_edges, tpch_supplier_graph
 
@@ -222,6 +224,50 @@ c{i} AS (SELECT e.dst AS id, sum(r.rank * e.weight / o.w) AS s
 r{i} AS (SELECT v.id,
          (1.0 - {alpha}) / (SELECT n FROM nn) + {alpha} * coalesce(c.s, 0.0) AS rank
          FROM verts v LEFT JOIN c{i} c ON v.id = c.id)"""
+        )
+    return pre + "".join(its) + f"\nSELECT id, round(rank, 8) AS rank FROM r{k}"
+
+
+NAT_REG = """
+SELECT CAST(n_nationkey + 3000000 AS BIGINT) AS src,
+       CAST(n_regionkey + 4000000 AS BIGINT) AS dst, 1.0 AS weight FROM nation
+"""
+
+LAYOUT_IDX = f"""
+WITH e AS ({NAT_REG}),
+v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+idx AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS i,
+               count(*) OVER () AS n FROM v)
+"""
+
+
+def _ppr_sql(k: int = 5, alpha: float = 0.85) -> str:
+    """Unrolled k-iteration personalized PageRank over symmetrized
+    supp_co: teleport distribution uniform over suppliers with
+    s_acctbal > 5000 (0 elsewhere), uniform 1/n start, no dangling
+    vertices by construction of the symmetrized graph."""
+    pre = f"""
+WITH edges AS ({SUPP_CO}),
+sym AS (SELECT src, dst, weight FROM edges
+        UNION ALL SELECT dst, src, weight FROM edges),
+verts AS (SELECT DISTINCT src AS id FROM sym),
+nn AS (SELECT count(*) AS n FROM verts),
+outw AS (SELECT src AS id, sum(weight) AS w FROM sym GROUP BY 1),
+rich AS (SELECT CAST(s_suppkey AS BIGINT) AS id FROM supplier WHERE s_acctbal > 5000),
+psum AS (SELECT count(*) AS s FROM rich),
+tp AS (SELECT v.id,
+              CASE WHEN r.id IS NOT NULL THEN 1.0 / (SELECT s FROM psum) ELSE 0.0 END AS tp
+       FROM verts v LEFT JOIN rich r ON v.id = r.id),
+r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM verts)"""
+    its = []
+    for i in range(1, k + 1):
+        its.append(f""",
+c{i} AS (SELECT e.dst AS id, sum(r.rank * e.weight / o.w) AS s
+         FROM r{i-1} r JOIN sym e ON r.id = e.src JOIN outw o ON o.id = e.src
+         GROUP BY 1),
+r{i} AS (SELECT v.id,
+         (1.0 - {alpha}) * t.tp + {alpha} * coalesce(c.s, 0.0) AS rank
+         FROM verts v JOIN tp t ON v.id = t.id LEFT JOIN c{i} c ON v.id = c.id)"""
         )
     return pre + "".join(its) + f"\nSELECT id, round(rank, 8) AS rank FROM r{k}"
 
@@ -432,6 +478,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["events_sessionize"] = lambda s, d: _sessionize(s, d)
 
+    # --- layouts (§2.7 — pure column math, SQL-oracle-checked)
+    q["circular_layout"] = lambda s, d: circular_layout(
+        LinkGraph(_nat_reg_edges(s, d), directed=True)
+    ).select("id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"))
+    q["spiral_layout"] = lambda s, d: spiral_layout(
+        LinkGraph(_nat_reg_edges(s, d), directed=True)
+    ).select("id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"))
+    q["shell_layout"] = lambda s, d: shell_layout(
+        LinkGraph(_nat_reg_edges(s, d), directed=True),
+        nlist=[[REG + i for i in range(5)], [NAT + i for i in range(25)]],
+    ).select("id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"))
+
+    # --- more traversals / set ops / views
+    q["bfs_levels_undirected"] = lambda s, d: (
+        bfs_levels(_supp_co(s, d), 1)
+        .select("id", F.col("level").cast("int").alias("level"))
+    )
+    q["reachable_from_supplier1"] = lambda s, d: reachable_from(_supp_dir(s, d), 1)
+    q["edge_set_difference"] = lambda s, d: _co_diff(s, d)
+    q["edge_set_intersection"] = lambda s, d: _co_intersect(s, d)
+    q["adjacency_lists"] = lambda s, d: (
+        _cust_supp(s, d).edges.groupBy(F.col("src").alias("id")).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("dst", F.col("weight").cast("long").alias("w"))
+                        )
+                    ),
+                    lambda x: F.concat_ws(
+                        ":", x["dst"].cast("string"), x["w"].cast("string")
+                    ),
+                ),
+                ",",
+            ).alias("adj")
+        )
+    )
+    q["pagerank5_personalized"] = lambda s, d: (
+        pagerank_fixed_iterations(
+            _supp_co(s, d), k=5, personalization=_rich_suppliers(s, d)
+        ).select("id", F.round("rank", 8).alias("rank"))
+    )
+
     # --- rows-only (non-SQL-expressible) entries
     q["pagerank_converged"] = lambda s, d: pagerank(
         _cust_supp(s, d), tol=1e-6, max_iter=60
@@ -442,9 +531,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         k=5,
     )
     q["minimum_spanning_forest"] = lambda s, d: minimum_spanning_forest(_supp_co(s, d))
+    q["core_numbers_suppliers"] = lambda s, d: core_numbers(_supp_co(s, d))
+    q["k_core4_suppliers"] = lambda s, d: k_core(_supp_co(s, d), 4).edges
     q["webgraph_pagerank"] = _webgraph_pagerank
 
     return q
+
+
+def _nat_reg_edges(s, d):
+    """Small fixed graph (25 nations → 5 regions) for layout oracles."""
+    return _read(s, d, "nation").select(
+        (F.col("n_nationkey").cast("long") + NAT).alias("src"),
+        (F.col("n_regionkey").cast("long") + REG).alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+
+
+def _co_split(s, d):
+    """(whole co-occurrence graph, its even-weight subset) — a
+    deterministic, scale-independent split for the set-op queries."""
+    co = tpch_supplier_graph(s, d)
+    g_all = LinkGraph(co, directed=False)
+    g_even = LinkGraph(co.filter(F.col("weight").cast("long") % 2 == 0), directed=False)
+    return g_all, g_even
+
+
+def _co_diff(s, d):
+    g_all, g_even = _co_split(s, d)
+    return g_all.difference_edges(g_even).edges
+
+
+def _co_intersect(s, d):
+    g_all, g_even = _co_split(s, d)
+    return g_all.intersect_edges(g_even).edges
+
+
+def _rich_suppliers(s, d):
+    return _read(s, d, "supplier").filter("s_acctbal > 5000").select(
+        (F.col("s_suppkey").cast("long")).alias("id"), F.lit(1.0).alias("p")
+    )
 
 
 def _subgraph_pos(s, d):
@@ -610,7 +735,75 @@ SELECT v.id, least(v.id, coalesce(min(m.u), v.id)) AS component
 FROM v LEFT JOIN mutual m ON v.id = m.v GROUP BY v.id
 """,
         "pagerank5_suppliers": _pagerank_sql(5),
+        "pagerank5_personalized": _ppr_sql(5),
         "lpa3_hierarchy": _lpa_sql(3),
+        "circular_layout": f"""
+{LAYOUT_IDX}
+SELECT id, round(cos(2 * pi() * i / n), 6) AS x,
+       round(sin(2 * pi() * i / n), 6) AS y
+FROM idx
+""",
+        "spiral_layout": f"""
+{LAYOUT_IDX},
+raw AS (SELECT id, i * cos(0.35 * i) AS x, i * sin(0.35 * i) AS y FROM idx),
+st AS (SELECT avg(x) AS mx, avg(y) AS my FROM raw),
+lim AS (SELECT max(greatest(abs(x - mx), abs(y - my))) AS lim FROM raw, st)
+SELECT id, round((x - mx) / lim, 6) AS x, round((y - my) / lim, 6) AS y
+FROM raw, st, lim
+""",
+        "shell_layout": """
+WITH sh AS (
+  SELECT CAST(4000000 + r AS BIGINT) AS id, 0 AS shell
+  FROM (SELECT unnest(generate_series(0, 4)) AS r)
+  UNION ALL
+  SELECT CAST(3000000 + r AS BIGINT), 1
+  FROM (SELECT unnest(generate_series(0, 24)) AS r)
+),
+idx AS (SELECT id, shell,
+               row_number() OVER (PARTITION BY shell ORDER BY id) - 1 AS j,
+               count(*) OVER (PARTITION BY shell) AS cnt FROM sh)
+SELECT id,
+       round((shell + 1) / 2.0 * cos(2 * pi() * j / cnt), 6) AS x,
+       round((shell + 1) / 2.0 * sin(2 * pi() * j / cnt), 6) AS y
+FROM idx
+""",
+        "bfs_levels_undirected": f"""
+WITH RECURSIVE e AS ({SUPP_CO}),
+sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+walk(id, level) AS (
+  SELECT CAST(1 AS BIGINT), 0
+  UNION
+  SELECT s.dst, walk.level + 1 FROM walk JOIN sym s ON walk.id = s.src
+  WHERE walk.level < 6
+)
+SELECT id, CAST(min(level) AS INT) AS level FROM walk GROUP BY id
+""",
+        "reachable_from_supplier1": f"""
+WITH RECURSIVE e AS ({SUPP_DIR}),
+walk(id) AS (
+  SELECT CAST(1 AS BIGINT)
+  UNION
+  SELECT e.dst FROM walk JOIN e ON walk.id = e.src
+)
+SELECT id FROM walk
+""",
+        "edge_set_difference": f"""
+SELECT src, dst, weight FROM ({SUPP_CO})
+EXCEPT
+SELECT src, dst, weight FROM ({SUPP_CO}) WHERE CAST(weight AS BIGINT) % 2 = 0
+""",
+        "edge_set_intersection": f"""
+SELECT src, dst, weight FROM ({SUPP_CO})
+INTERSECT
+SELECT src, dst, weight FROM ({SUPP_CO}) WHERE CAST(weight AS BIGINT) % 2 = 0
+""",
+        "adjacency_lists": f"""
+SELECT src AS id,
+       string_agg(CAST(dst AS VARCHAR) || ':' ||
+                  CAST(CAST(weight AS BIGINT) AS VARCHAR),
+                  ',' ORDER BY dst) AS adj
+FROM ({CUST_SUPP}) GROUP BY src
+""",
         "triangle_counts": f"""
 WITH e AS ({SUPP_CO}),
 c AS (SELECT least(src,dst) AS a, greatest(src,dst) AS b FROM e WHERE src <> dst GROUP BY 1,2),

@@ -51,10 +51,21 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         return out
 
-    # 1. true-source path: synthetic pages → extraction UDFs → edge table
-    pages = pages_dataframe(spark, N_PAGES, n_domains=max(50, N_PAGES // 400))
+    # 1. true-source path: synthetic pages → extraction UDFs → edge table.
+    # Generation (the sandbox stand-in for the Iceberg scan) is timed
+    # separately from extraction so extract_pages_per_sec measures the
+    # engine, not the data synthesizer.
+    pages = pages_dataframe(spark, N_PAGES, n_domains=max(50, N_PAGES // 400)).persist()
+    timed("generate_pages", lambda: pages.count())
+    # One untimed warm-up run amortizes whole-stage-codegen compilation
+    # (~12s one-time for the regex+explode+aggregate pipeline — noise in
+    # a bench, nothing in a real long-running job); the timed run is a
+    # FRESH plan instance, so the shuffle re-executes but the compiled
+    # codegen is cache-hit — i.e. steady-state throughput.
+    build_edges(pages).count()
     n_web_edges = timed("extract_edges", lambda: build_edges(pages).count())
     extra["extract_pages_per_sec"] = round(N_PAGES / timings["extract_edges"], 1)
+    pages.unpersist()
 
     # 2. headline: PageRank SpMV throughput on the customer→supplier graph
     g = LinkGraph(entry.tpch_edges(spark, SF_DIR), directed=True).partitioned(32)

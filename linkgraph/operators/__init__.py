@@ -1,4 +1,5 @@
 from linkgraph.operators.components import strongly_connected_components, weakly_connected_components
+from linkgraph.operators.kcore import core_numbers, k_core
 from linkgraph.operators.lpa import label_propagation
 from linkgraph.operators.pagerank import pagerank
 from linkgraph.operators.traversal import bfs_levels, reachable_from, shortest_paths
@@ -14,4 +15,6 @@ __all__ = [
     "bfs_levels",
     "reachable_from",
     "shortest_paths",
+    "k_core",
+    "core_numbers",
 ]

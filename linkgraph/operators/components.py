@@ -137,16 +137,17 @@ def strongly_connected_components(graph: LinkGraph, max_peels: int = 50) -> Data
             state.unpersist()
             return new.select("id", "color", "mark"), float(changed)
 
+        # localCheckpoint per peel: hard lineage cuts keep the plan
+        # depth O(1) across peels (persist alone does not).
         marked = iterate(marks, bw_step, tol=0.0, max_iter=50).state.persist()
         scc = marked.filter("mark").select("id", F.col("color").alias("component"))
-        assigned = assigned.unionAll(scc).persist()
-        assigned.count()
+        assigned = assigned.unionAll(scc).localCheckpoint(eager=True)
         done = scc.select("id")
-        remaining_v = remaining_v.join(done, "id", "left_anti").persist()
+        remaining_v = remaining_v.join(done, "id", "left_anti").localCheckpoint(eager=True)
         remaining_e = (
             remaining_e.join(done, remaining_e.src == done.id, "left_anti")
             .join(done, F.col("dst") == done.id, "left_anti")
-            .persist()
+            .localCheckpoint(eager=True)
         )
         colors.unpersist()
         marked.unpersist()

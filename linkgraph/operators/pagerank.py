@@ -33,11 +33,18 @@ def pagerank(
     tol: float = 1e-6,
     max_iter: int = 100,
     weighted: bool = True,
+    personalization: DataFrame | None = None,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 0,
     truncate_every: int = 3,
 ) -> IterationResult:
-    """Returns IterationResult whose state is DataFrame(id, rank)."""
+    """Returns IterationResult whose state is DataFrame(id, rank).
+
+    ``personalization``: optional DataFrame(id, p) — the teleport
+    distribution (NetworkX ``personalization=`` semantics: normalized
+    over the given vertices, unlisted vertices get 0; dangling mass
+    also redistributes by p). None = uniform.
+    """
     spark = graph.edges.sparkSession
     edges = graph.sym_edges
     vertices = graph.vertices.select("id")
@@ -54,7 +61,8 @@ def pagerank(
         .select("src", "dst", (w / F.col("out_w")).alias("p"))
         .persist()
     )
-    # Vertex table with dangling flag (out-degree 0), cached once.
+    # Vertex table with dangling flag (out-degree 0) and teleport
+    # probability column, cached once.
     verts = (
         vertices.join(out_sums.select(F.col("src").alias("id")), "id", "left_semi")
         .withColumn("dangling", F.lit(False))
@@ -62,12 +70,20 @@ def pagerank(
             vertices.join(out_sums.select(F.col("src").alias("id")), "id", "left_anti")
             .withColumn("dangling", F.lit(True))
         )
-        .persist()
     )
+    if personalization is None:
+        verts = verts.withColumn("tp", F.lit(1.0 / n))
+    else:
+        pn = personalization.select("id", F.col("p").cast("double").alias("p"))
+        psum = pn.agg(F.sum("p")).collect()[0][0]
+        verts = verts.join(pn, "id", "left").withColumn(
+            "tp", F.coalesce(F.col("p") / psum, F.lit(0.0))
+        ).drop("p")
+    verts = verts.persist()
     verts.count()
 
-    init = verts.select("id", F.lit(1.0 / n).alias("rank"), "dangling")
-    base = (1.0 - alpha) / n
+    # uniform start regardless of personalization (NetworkX nstart=None)
+    init = verts.select("id", F.lit(1.0 / n).alias("rank"), "dangling", "tp")
 
     fixed_iters = tol < 0  # pagerank_fixed_iterations: skip the delta action
 
@@ -85,11 +101,12 @@ def pagerank(
         new = verts.join(contribs, "id", "left").crossJoin(F.broadcast(dangling)).select(
             "id",
             (
-                F.lit(base)
+                F.lit(1.0 - alpha) * F.col("tp")
                 + F.lit(alpha)
-                * (F.coalesce(F.col("csum"), F.lit(0.0)) + F.col("dm") / n)
+                * (F.coalesce(F.col("csum"), F.lit(0.0)) + F.col("dm") * F.col("tp"))
             ).alias("rank"),
             "dangling",
+            "tp",
         )
         if fixed_iters:
             # no convergence check wanted: keep the plan lazy; the
@@ -120,12 +137,20 @@ def pagerank(
     return res
 
 
-def pagerank_fixed_iterations(graph: LinkGraph, k: int, alpha: float = 0.85) -> DataFrame:
+def pagerank_fixed_iterations(
+    graph: LinkGraph,
+    k: int,
+    alpha: float = 0.85,
+    personalization: DataFrame | None = None,
+) -> DataFrame:
     """Exactly-k-iteration PageRank (no convergence check) — the
     SQL-oracle-comparable variant (an unrolled k-deep plan matches a
     k-level recursive SQL exactly, up to float summation order).
     truncate_every=1: each state feeds TWO consumers next round
     (dangling agg + contributions), so without per-iteration
     materialization the join tree recomputes 2^depth times."""
-    res = pagerank(graph, alpha=alpha, tol=-1.0, max_iter=k, truncate_every=1)
+    res = pagerank(
+        graph, alpha=alpha, tol=-1.0, max_iter=k, truncate_every=1,
+        personalization=personalization,
+    )
     return res.state

@@ -25,27 +25,24 @@ def bfs_levels(graph: LinkGraph, start: int, max_depth: int = 10_000) -> DataFra
     guarantee (depth k before k+1)."""
     spark = graph.edges.sparkSession
     edges = graph.sym_edges.select("src", "dst").persist()
-    visited = spark.createDataFrame([(int(start), 0)], "id long, level int").persist()
+    visited = spark.createDataFrame([(int(start), 0)], "id long, level int")
     frontier = visited
     depth = 0
     while depth < max_depth:
         depth += 1
+        # localCheckpoint cuts lineage each level — persist alone
+        # leaves a depth-deep join/union nest in the logical plan.
         nxt = (
             frontier.join(edges, frontier.id == edges.src)
             .select(F.col("dst").alias("id"))
             .distinct()
             .join(visited, "id", "left_anti")
             .withColumn("level", F.lit(depth))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         if nxt.limit(1).count() == 0:
-            nxt.unpersist()
             break
-        new_visited = visited.unionAll(nxt).persist()
-        new_visited.count()
-        visited.unpersist()
-        frontier.unpersist() if frontier is not visited else None
-        visited = new_visited
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt
     edges.unpersist()
     return visited
@@ -62,17 +59,25 @@ def shortest_paths(
     max_iter: int = 200,
 ) -> DataFrame:
     """Single-source shortest path lengths + parent pointers by
-    iterative relaxation (delta = improved-row count per round):
-    DataFrame(id, dist, via). Weighted, non-negative weights assumed
-    (same contract as the reference's Dijkstra)."""
+    frontier-based iterative relaxation: DataFrame(id, dist, via).
+    Weighted, non-negative weights assumed (same contract as the
+    reference's Dijkstra).
+
+    Only vertices improved in round i-1 relax their out-edges in
+    round i (Bellman-Ford with a frontier) — after the wavefront
+    passes, later rounds touch a vanishing fraction of the graph
+    instead of re-joining every settled vertex against the full edge
+    table. The per-round frontier⋈edges join is the only big shuffle;
+    the merge keys both sides by id."""
     spark = graph.edges.sparkSession
     edges = graph.sym_edges.select("src", "dst", F.col("weight").cast("double").alias("w")).persist()
     state = spark.createDataFrame(
         [(int(source), 0.0, None)], "id long, dist double, via long"
-    ).persist()
+    )
+    frontier = state
     for _ in range(max_iter):
         cand = (
-            state.join(edges, state.id == edges.src)
+            frontier.join(edges, frontier.id == edges.src)
             .select(
                 F.col("dst").alias("id"),
                 (F.col("dist") + F.col("w")).alias("nd"),
@@ -82,6 +87,9 @@ def shortest_paths(
             .agg(F.min_by(F.struct("nd", "nvia"), F.struct("nd", "nvia")).alias("m"))
             .select("id", F.col("m.nd").alias("nd"), F.col("m.nvia").alias("nvia"))
         )
+        # localCheckpoint = hard lineage cut: persist alone leaves the
+        # per-round join nesting in the logical plan, which grows
+        # unboundedly over rounds (SURVEY §4.2 risk #1).
         merged = (
             state.join(cand, "id", "full")
             .select(
@@ -94,13 +102,11 @@ def shortest_paths(
                 .alias("s"),
             )
             .select("id", "s.dist", "s.via", "s.chg")
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        improved = merged.filter("chg = 1").count()
-        state.unpersist()
-        state = merged.select("id", "dist", "via").persist()
-        merged.unpersist()
-        if improved == 0:
+        frontier = merged.filter("chg = 1").select("id", "dist", "via")
+        state = merged.select("id", "dist", "via")
+        if frontier.limit(1).count() == 0:
             break
     edges.unpersist()
     return state

@@ -18,6 +18,7 @@ def pagerank_oracle(
     max_iter: int = 200,
     weighted: bool = True,
     undirected: bool = False,
+    personalization: dict[int, float] | None = None,
 ) -> dict[int, float]:
     if undirected:
         edges = edges + [(d, s, w) for (s, d, w) in edges if s != d]
@@ -30,6 +31,11 @@ def pagerank_oracle(
         ww = float(w) if weighted else 1.0
         out_w[s] = out_w.get(s, 0.0) + ww
         adj.setdefault(s, []).append((d, ww))
+    if personalization is None:
+        tp = {v: 1.0 / n for v in vertices}
+    else:  # NetworkX semantics: normalize, unlisted vertices get 0
+        psum = sum(personalization.values())
+        tp = {v: personalization.get(v, 0.0) / psum for v in vertices}
     x = {v: 1.0 / n for v in vertices}
     dangling = [v for v in vertices if v not in out_w]
     for _ in range(max_iter):
@@ -41,9 +47,8 @@ def pagerank_oracle(
             ow = out_w[s]
             for d, ww in nbrs:
                 x[d] += alpha * rs * ww / ow
-        base = (1.0 - alpha) / n + alpha * dm / n
         for v in vertices:
-            x[v] += base
+            x[v] += (1.0 - alpha) * tp[v] + alpha * dm * tp[v]
         err = sum(abs(x[v] - xlast[v]) for v in vertices)
         if err < n * tol:
             return x

@@ -70,3 +70,38 @@ def test_pagerank_isolated_vertices(spark):
 def test_pagerank_empty(spark):
     g = LinkGraph.empty(spark)
     assert pagerank(g).state.count() == 0
+
+
+def test_pagerank_personalized(spark, star_hub):
+    """Personalization vector: teleport mass to vertex 0 only;
+    dangling mass also redistributes by p (NetworkX semantics)."""
+    from conftest import collect_map
+
+    g = star_hub
+    edges = [(r["src"], r["dst"], r["weight"]) for r in g.edges.collect()]
+    verts = [r["id"] for r in g.vertices.select("id").collect()]
+    p = spark.createDataFrame([(verts[0], 1.0)], "id long, p double")
+    res = pagerank(g, tol=1e-10, max_iter=300, personalization=p)
+    got = collect_map(res.state, "id", "rank")
+    want = pagerank_oracle(
+        edges, verts, tol=1e-10, personalization={verts[0]: 1.0}
+    )
+    a = np.array([got[k] for k in sorted(got)])
+    b = np.array([want[k] for k in sorted(want)])
+    assert np.allclose(a, b, atol=1e-8), float(np.abs(a - b).max())
+    assert abs(a.sum() - 1.0) < 1e-9
+
+
+def test_pagerank_personalized_partial(spark, diamond_weighted):
+    """Unnormalized p over a subset; engine normalizes, others get 0."""
+    from conftest import collect_map
+
+    g = diamond_weighted
+    p = spark.createDataFrame([(1, 3.0), (4, 1.0)], "id long, p double")
+    res = pagerank(g, tol=1e-10, max_iter=300, personalization=p)
+    got = collect_map(res.state, "id", "rank")
+    edges = [(r["src"], r["dst"], r["weight"]) for r in g.edges.collect()]
+    verts = [r["id"] for r in g.vertices.select("id").collect()]
+    want = pagerank_oracle(edges, verts, tol=1e-10, personalization={1: 3.0, 4: 1.0})
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-8
