@@ -49,6 +49,7 @@ from linkgraph.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_col,
 )
+from linkgraph.operators.centrality import closeness_centrality
 from linkgraph.operators.kcore import core_numbers, k_core
 from linkgraph.operators.layout import circular_layout, shell_layout, spiral_layout
 from linkgraph.operators.lpa import label_propagation
@@ -520,6 +521,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _supp_co(s, d), k=5, personalization=_rich_suppliers(s, d)
         ).select("id", F.round("rank", 8).alias("rank"))
     )
+    q["closeness_hierarchy"] = lambda s, d: (
+        closeness_centrality(LinkGraph(_hierarchy_edges(s, d), directed=True))
+        .select("id", F.round("closeness", 9).alias("closeness"))
+    )
 
     # --- rows-only (non-SQL-expressible) entries
     q["pagerank_converged"] = lambda s, d: pagerank(
@@ -796,6 +801,32 @@ SELECT src, dst, weight FROM ({SUPP_CO}) WHERE CAST(weight AS BIGINT) % 2 = 0
 SELECT src, dst, weight FROM ({SUPP_CO})
 INTERSECT
 SELECT src, dst, weight FROM ({SUPP_CO}) WHERE CAST(weight AS BIGINT) % 2 = 0
+""",
+        # The recursive scope is confined to a nested subquery: in
+        # DuckDB 1.0 a join against an aggregated CTE INSIDE a
+        # WITH RECURSIVE scope mis-expands (30-row agg joined as
+        # ~1650 rows); an ordinary outer WITH over a nested recursive
+        # subquery evaluates correctly.
+        "closeness_hierarchy": f"""
+WITH agg AS (
+  WITH RECURSIVE e AS ({HIER}),
+  v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+  walk(source, id, level) AS (
+    SELECT id, id, 0 FROM v
+    UNION
+    SELECT walk.source, s.dst, walk.level + 1
+    FROM walk JOIN e s ON walk.id = s.src WHERE walk.level < 4
+  ),
+  d AS (SELECT source, id, min(level) AS lvl FROM walk GROUP BY 1, 2)
+  SELECT id, sum(lvl) AS dsum, count(*) AS r1 FROM d WHERE lvl > 0 GROUP BY 1
+),
+verts AS (SELECT src AS id FROM ({HIER}) UNION SELECT dst FROM ({HIER})),
+n AS (SELECT count(*) AS n FROM verts)
+SELECT verts.id,
+       round(CASE WHEN agg.dsum IS NOT NULL
+             THEN (r1 * 1.0 / dsum) * (r1 * 1.0 / ((SELECT n FROM n) - 1))
+             ELSE 0.0 END, 9) AS closeness
+FROM verts LEFT JOIN agg ON verts.id = agg.id
 """,
         "adjacency_lists": f"""
 SELECT src AS id,

@@ -1,3 +1,4 @@
+from linkgraph.operators.centrality import closeness_centrality, multi_source_bfs
 from linkgraph.operators.components import strongly_connected_components, weakly_connected_components
 from linkgraph.operators.kcore import core_numbers, k_core
 from linkgraph.operators.lpa import label_propagation
@@ -17,4 +18,6 @@ __all__ = [
     "shortest_paths",
     "k_core",
     "core_numbers",
+    "multi_source_bfs",
+    "closeness_centrality",
 ]

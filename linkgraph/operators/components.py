@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import LinkGraph
-from linkgraph.plans.iterate import IterationResult, iterate
+from linkgraph.plans.iterate import IterationResult, iterate, truncate_lineage
 
 
 def _min_label_step(edges: DataFrame):
@@ -137,17 +137,17 @@ def strongly_connected_components(graph: LinkGraph, max_peels: int = 50) -> Data
             state.unpersist()
             return new.select("id", "color", "mark"), float(changed)
 
-        # localCheckpoint per peel: hard lineage cuts keep the plan
+        # truncate_lineage per peel: hard lineage cuts keep the plan
         # depth O(1) across peels (persist alone does not).
         marked = iterate(marks, bw_step, tol=0.0, max_iter=50).state.persist()
         scc = marked.filter("mark").select("id", F.col("color").alias("component"))
-        assigned = assigned.unionAll(scc).localCheckpoint(eager=True)
+        assigned = assigned.unionAll(scc).transform(truncate_lineage)
         done = scc.select("id")
-        remaining_v = remaining_v.join(done, "id", "left_anti").localCheckpoint(eager=True)
+        remaining_v = remaining_v.join(done, "id", "left_anti").transform(truncate_lineage)
         remaining_e = (
             remaining_e.join(done, remaining_e.src == done.id, "left_anti")
             .join(done, F.col("dst") == done.id, "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
         colors.unpersist()
         marked.unpersist()

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import LinkGraph
+from linkgraph.plans.iterate import truncate_lineage
 
 
 def k_core(graph: LinkGraph, k: int, max_rounds: int = 1000) -> LinkGraph:
@@ -35,9 +36,9 @@ def k_core(graph: LinkGraph, k: int, max_rounds: int = 1000) -> LinkGraph:
     sym = simple.unionAll(
         simple.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    # localCheckpoint per round: hard lineage cut so the peel loop's
+    # truncate_lineage per round: hard lineage cut so the peel loop's
     # plan depth stays O(1) (SURVEY §4.2 risk #1).
-    edges = sym.localCheckpoint(eager=True)
+    edges = sym.transform(truncate_lineage)
     for _ in range(max_rounds):
         deg = edges.groupBy("src").agg(F.count("*").alias("d"))
         low = deg.filter(F.col("d") < k).select(F.col("src").alias("id"))
@@ -46,7 +47,7 @@ def k_core(graph: LinkGraph, k: int, max_rounds: int = 1000) -> LinkGraph:
         edges = (
             edges.join(low, edges.src == low.id, "left_anti")
             .join(low, F.col("dst") == low.id, "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
     kept = edges.select(F.col("src").alias("id")).distinct()
     return graph.subgraph(kept)
@@ -71,8 +72,8 @@ def core_numbers(graph: LinkGraph, max_k: int = 10_000) -> DataFrame:
         .distinct()
     )
     sym = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    edges = sym.localCheckpoint(eager=True)
-    all_vertices = graph.vertices.select("id").localCheckpoint(eager=True)
+    edges = sym.transform(truncate_lineage)
+    all_vertices = graph.vertices.select("id").transform(truncate_lineage)
 
     assigned = spark.createDataFrame([], "id long, core long")
     remaining = all_vertices
@@ -85,27 +86,24 @@ def core_numbers(graph: LinkGraph, max_k: int = 10_000) -> DataFrame:
             present = remaining.join(
                 deg.select(F.col("src").alias("id"), "d"), "id", "left"
             ).select("id", F.coalesce("d", F.lit(0)).alias("d"))
-            # localCheckpoint (not persist) everywhere: each round's
+            # truncate_lineage (not persist) everywhere: each round's
             # frames derive from the last round's, so without hard
             # lineage cuts the logical plan grows multiplicatively
             # across peels and kills the driver long before data size
             # matters (SURVEY §4.2 risk #1).
-            low = present.filter(F.col("d") < k).select("id").localCheckpoint(eager=True)
+            low = present.filter(F.col("d") < k).select("id").transform(truncate_lineage)
             if low.limit(1).count() == 0:
                 break
             assigned = assigned.unionAll(
                 low.select("id", F.lit(k - 1).alias("core"))
-            ).localCheckpoint(eager=True)
-            nxt_remaining = remaining.join(low, "id", "left_anti").localCheckpoint(eager=True)
+            ).transform(truncate_lineage)
+            nxt_remaining = remaining.join(low, "id", "left_anti").transform(truncate_lineage)
             nxt_edges = (
                 edges.join(low, edges.src == low.id, "left_anti")
                 .join(low, F.col("dst") == low.id, "left_anti")
-                .localCheckpoint(eager=True)
+                .transform(truncate_lineage)
             )
             remaining, edges = nxt_remaining, nxt_edges
         if remaining.limit(1).count() == 0:
             break
-    result = assigned
-    edges.unpersist()
-    all_vertices.unpersist()
-    return result
+    return assigned

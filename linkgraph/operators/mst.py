@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import LinkGraph
+from linkgraph.plans.iterate import truncate_lineage
 from linkgraph.operators.components import weakly_connected_components
 
 
@@ -57,17 +58,17 @@ def minimum_spanning_forest(graph: LinkGraph, max_rounds: int = 40) -> DataFrame
             .select(F.col("m.src").alias("src"), F.col("m.dst").alias("dst"), F.col("m.weight").alias("weight"))
             .distinct()
         )
-        # localCheckpoint (not just persist): each round's plan nests
+        # truncate_lineage (not just persist): each round's plan nests
         # the previous round's WCC plan — without truncation the
         # logical plan grows multiplicatively and optimization time
         # explodes after ~2 rounds
-        chosen = chosen.unionAll(picks).localCheckpoint(eager=True)
+        chosen = chosen.unionAll(picks).transform(truncate_lineage)
         # merge components: WCC over the chosen forest so far
         forest = LinkGraph(chosen, graph.vertices.select("id"), directed=False)
         new_comp = (
             weakly_connected_components(forest)
             .state.select("id", F.col("component").alias("comp"))
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
         comp.unpersist()
         comp = new_comp

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import LinkGraph
-from linkgraph.plans.iterate import IterationResult, iterate
+from linkgraph.plans.iterate import IterationResult, iterate, truncate_lineage
 
 
 def pagerank(
@@ -55,12 +55,17 @@ def pagerank(
     w = F.col("weight").cast("double") if weighted else F.lit(1.0)
     out_sums = edges.groupBy("src").agg(F.sum(w).alias("out_w"))
     # Normalized transition edges: weight column becomes P(u→v).
-    # Built once, cached — the invariant operand of every iteration.
-    trans = (
+    # Built once — the invariant operand of every iteration. The
+    # parquet roundtrip UNDER the cache matters: persisting a frame
+    # whose lineage contains AQE shuffles is fragile on long runs
+    # (an evicted/lazily-missing cache partition recomputes through
+    # shuffle files the cleaner may have already removed —
+    # "shuffle_N.data does not exist"). With the roundtrip, any
+    # recompute path is a durable parquet scan.
+    trans = truncate_lineage(
         edges.join(out_sums, "src")
         .select("src", "dst", (w / F.col("out_w")).alias("p"))
-        .persist()
-    )
+    ).persist()
     # Vertex table with dangling flag (out-degree 0) and teleport
     # probability column, cached once.
     verts = (
@@ -79,7 +84,7 @@ def pagerank(
         verts = verts.join(pn, "id", "left").withColumn(
             "tp", F.coalesce(F.col("p") / psum, F.lit(0.0))
         ).drop("p")
-    verts = verts.persist()
+    verts = truncate_lineage(verts).persist()
     verts.count()
 
     # uniform start regardless of personalization (NetworkX nstart=None)
@@ -110,7 +115,7 @@ def pagerank(
         )
         if fixed_iters:
             # no convergence check wanted: keep the plan lazy; the
-            # iterate() driver's periodic localCheckpoint bounds depth
+            # iterate() driver's periodic lineage truncation bounds depth
             return new, float("inf")
         new = new.persist()
         delta = (

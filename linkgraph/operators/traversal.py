@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import LinkGraph
+from linkgraph.plans.iterate import truncate_lineage
 
 
 def bfs_levels(graph: LinkGraph, start: int, max_depth: int = 10_000) -> DataFrame:
@@ -30,7 +31,7 @@ def bfs_levels(graph: LinkGraph, start: int, max_depth: int = 10_000) -> DataFra
     depth = 0
     while depth < max_depth:
         depth += 1
-        # localCheckpoint cuts lineage each level — persist alone
+        # truncate_lineage cuts lineage each level — persist alone
         # leaves a depth-deep join/union nest in the logical plan.
         nxt = (
             frontier.join(edges, frontier.id == edges.src)
@@ -38,11 +39,11 @@ def bfs_levels(graph: LinkGraph, start: int, max_depth: int = 10_000) -> DataFra
             .distinct()
             .join(visited, "id", "left_anti")
             .withColumn("level", F.lit(depth))
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
         if nxt.limit(1).count() == 0:
             break
-        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        visited = visited.unionAll(nxt).transform(truncate_lineage)
         frontier = nxt
     edges.unpersist()
     return visited
@@ -87,7 +88,7 @@ def shortest_paths(
             .agg(F.min_by(F.struct("nd", "nvia"), F.struct("nd", "nvia")).alias("m"))
             .select("id", F.col("m.nd").alias("nd"), F.col("m.nvia").alias("nvia"))
         )
-        # localCheckpoint = hard lineage cut: persist alone leaves the
+        # truncate_lineage = hard lineage cut: persist alone leaves the
         # per-round join nesting in the logical plan, which grows
         # unboundedly over rounds (SURVEY §4.2 risk #1).
         merged = (
@@ -102,7 +103,7 @@ def shortest_paths(
                 .alias("s"),
             )
             .select("id", "s.dist", "s.via", "s.chg")
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
         frontier = merged.filter("chg = 1").select("id", "dist", "via")
         state = merged.select("id", "dist", "via")

@@ -33,6 +33,36 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 
+_TRUNC_SEQ = [0]
+
+
+def truncate_lineage(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` and cut its logical plan.
+
+    Default mechanism is a Parquet roundtrip into the SparkContext's
+    checkpoint dir (get_spark always sets one; on a cluster it is
+    HDFS/object storage — the Iceberg-state-table pattern): one write
+    job computes the frame exactly once, the read back is lazy, and
+    the truncated frame is DISK-BACKED — immune to cache eviction.
+    The alternatives both lose: ``localCheckpoint`` dies with "Block
+    rdd_N does not exist" when memory pressure evicts a block whose
+    lineage was already discarded, and reliable ``df.checkpoint``
+    computes every frame twice (materialize + rewrite). Falls back to
+    localCheckpoint when no checkpoint dir is configured."""
+    import os
+
+    try:
+        ckpt = df.sparkSession.sparkContext.getCheckpointDir()
+    except Exception:
+        ckpt = None
+    if ckpt:
+        _TRUNC_SEQ[0] += 1
+        path = os.path.join(ckpt, f"trunc-{os.getpid()}-{_TRUNC_SEQ[0]:06d}")
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+    return df.localCheckpoint(eager=True)
+
+
 @dataclass
 class IterationStats:
     iteration: int
@@ -131,7 +161,7 @@ def iterate(
         state, delta = step(state, i)
         if truncate_every and (i + 1) % truncate_every == 0:
             # Materialize + cut lineage; eager so timing is honest.
-            state = state.localCheckpoint(eager=True)
+            state = truncate_lineage(state)
         if checkpoint_dir and checkpoint_every and (i + 1) % checkpoint_every == 0:
             commit_checkpoint(state, checkpoint_dir, i, delta)
         result.stats.append(IterationStats(i, delta, -1, time.time() - t0))

@@ -57,4 +57,13 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if spark.sparkContext.getCheckpointDir() is None:
+        # Reliable-checkpoint target for iterative lineage truncation
+        # (plans/iterate.truncate_lineage). On a cluster point this at
+        # HDFS/object storage via setCheckpointDir before first use.
+        import tempfile
+
+        spark.sparkContext.setCheckpointDir(
+            tempfile.mkdtemp(prefix="linkgraph-ckpt-")
+        )
     return spark
