@@ -49,7 +49,7 @@ from linkgraph.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_col,
 )
-from linkgraph.operators.centrality import closeness_centrality
+from linkgraph.operators.centrality import betweenness_centrality, closeness_centrality
 from linkgraph.operators.kcore import core_numbers, k_core
 from linkgraph.operators.layout import circular_layout, shell_layout, spiral_layout
 from linkgraph.operators.lpa import label_propagation
@@ -525,6 +525,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         closeness_centrality(LinkGraph(_hierarchy_edges(s, d), directed=True))
         .select("id", F.round("closeness", 9).alias("closeness"))
     )
+    q["betweenness_hierarchy"] = lambda s, d: (
+        betweenness_centrality(LinkGraph(_hierarchy_edges(s, d), directed=True))
+        .select("id", F.round("betweenness", 6).alias("betweenness"))
+    )
 
     # --- rows-only (non-SQL-expressible) entries
     q["pagerank_converged"] = lambda s, d: pagerank(
@@ -827,6 +831,25 @@ SELECT verts.id,
              THEN (r1 * 1.0 / dsum) * (r1 * 1.0 / ((SELECT n FROM n) - 1))
              ELSE 0.0 END, 9) AS closeness
 FROM verts LEFT JOIN agg ON verts.id = agg.id
+""",
+        # Closed-form Brandes oracle for the hierarchy DAG: every
+        # shortest path is unique (cust/supp→nation→region), so the
+        # only pairs routed THROUGH a vertex are (member, region)
+        # through the member's nation — betweenness(nation) = its
+        # member count, 0 elsewhere. (The general algorithm is
+        # NetworkX-verified on random graphs in tests/test_centrality.)
+        "betweenness_hierarchy": f"""
+WITH e AS ({HIER}),
+verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+nat_members AS (
+  SELECT CAST(c_nationkey + 3000000 AS BIGINT) AS id, count(*) AS m
+  FROM customer GROUP BY 1
+  UNION ALL
+  SELECT CAST(s_nationkey + 3000000 AS BIGINT), count(*) FROM supplier GROUP BY 1
+),
+b AS (SELECT id, sum(m) AS m FROM nat_members GROUP BY 1)
+SELECT verts.id, round(coalesce(b.m, 0) * 1.0, 6) AS betweenness
+FROM verts LEFT JOIN b ON verts.id = b.id
 """,
         "adjacency_lists": f"""
 SELECT src AS id,

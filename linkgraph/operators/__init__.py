@@ -1,4 +1,8 @@
-from linkgraph.operators.centrality import closeness_centrality, multi_source_bfs
+from linkgraph.operators.centrality import (
+    betweenness_centrality,
+    closeness_centrality,
+    multi_source_bfs,
+)
 from linkgraph.operators.components import strongly_connected_components, weakly_connected_components
 from linkgraph.operators.kcore import core_numbers, k_core
 from linkgraph.operators.lpa import label_propagation
@@ -20,4 +24,5 @@ __all__ = [
     "core_numbers",
     "multi_source_bfs",
     "closeness_centrality",
+    "betweenness_centrality",
 ]

@@ -95,3 +95,124 @@ def closeness_centrality(
             F.when(F.col("dsum").isNotNull(), scale).otherwise(F.lit(0.0)).alias("closeness"),
         )
     )
+
+
+def _brandes_forward(
+    edges: DataFrame, sources: DataFrame, max_depth: int
+) -> tuple[DataFrame, int]:
+    """Batched shortest-path counting (Brandes forward pass): BFS per
+    source with sigma accumulation. Returns (DataFrame(source, id,
+    level, sigma), max_level). sigma(s,v) = number of shortest s→v
+    paths = Σ sigma(s,u) over level-(d-1) predecessors u of v."""
+    visited = sources.select(
+        F.col(sources.columns[0]).cast("long").alias("source")
+    ).select(
+        "source", F.col("source").alias("id"), F.lit(0).alias("level"),
+        F.lit(1.0).alias("sigma"),
+    )
+    visited = truncate_lineage(visited)
+    frontier = visited
+    depth = 0
+    while depth < max_depth:
+        depth += 1
+        nxt = (
+            frontier.join(edges, frontier.id == edges.src)
+            .select("source", F.col("dst").alias("id"), "sigma")
+            .groupBy("source", "id")
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited, ["source", "id"], "left_anti")
+            .withColumn("level", F.lit(depth))
+            .select("source", "id", "level", "sigma")
+            .transform(truncate_lineage)
+        )
+        if nxt.limit(1).count() == 0:
+            depth -= 1
+            break
+        visited = truncate_lineage(visited.unionAll(nxt))
+        frontier = nxt
+    return visited, depth
+
+
+def betweenness_centrality(
+    graph: LinkGraph,
+    sources: DataFrame | None = None,
+    normalized: bool = False,
+    max_depth: int = 10_000,
+) -> DataFrame:
+    """Brandes betweenness centrality over hop-shortest paths:
+    DataFrame(id, betweenness).
+
+    Exact (= ``networkx.betweenness_centrality(G, normalized=...)``,
+    unweighted) when ``sources`` is None; with a sampled source set it
+    is the standard Brandes-subset estimator scaled by n/|S|. Backward
+    dependency accumulation runs level-by-level as joins keyed by
+    (source, id): delta(s,v) = Σ_{w: succ} sigma_v/sigma_w·(1+delta_w),
+    accumulated from the deepest BFS level upward — the driver loop is
+    bounded by the diameter, every step is partition-parallel."""
+    n = graph.vertices.count()
+    src = sources if sources is not None else graph.vertices.select("id")
+    n_sources = src.count()
+    edges = graph.sym_edges.select("src", "dst").distinct().persist()
+    dist, max_level = _brandes_forward(edges, src, max_depth)
+    dist = dist.persist()
+
+    spark = graph.edges.sparkSession
+    delta_done = spark.createDataFrame([], "source long, id long, delta double")
+    # rows of the level currently holding finished deltas
+    cur = (
+        dist.filter(F.col("level") == max_level)
+        .withColumn("delta", F.lit(0.0))
+        .select("source", "id", "sigma", "delta")
+        .persist()
+    )
+    for lev in range(max_level, 0, -1):
+        prev = dist.filter(F.col("level") == lev - 1).select("source", "id", "sigma")
+        contrib = (
+            cur.alias("w")
+            .join(edges.alias("e"), F.col("w.id") == F.col("e.dst"))
+            .select(
+                F.col("w.source").alias("source"),
+                F.col("e.src").alias("pid"),
+                ((F.lit(1.0) + F.col("w.delta")) / F.col("w.sigma")).alias("share"),
+            )
+            .groupBy("source", F.col("pid").alias("id"))
+            .agg(F.sum("share").alias("share_sum"))
+        )
+        new_cur = (
+            prev.join(contrib, ["source", "id"], "left")
+            .select(
+                "source", "id", "sigma",
+                (F.coalesce("share_sum", F.lit(0.0)) * F.col("sigma")).alias("delta"),
+            )
+            .transform(truncate_lineage)
+        )
+        delta_done = truncate_lineage(
+            delta_done.unionAll(cur.select("source", "id", "delta"))
+        )
+        cur.unpersist()
+        cur = new_cur.persist()
+    delta_done = delta_done.unionAll(cur.select("source", "id", "delta"))
+
+    # accumulate over sources, excluding the source's own row
+    raw = (
+        delta_done.filter(F.col("source") != F.col("id"))
+        .groupBy("id")
+        .agg(F.sum("delta").alias("b"))
+    )
+    scale = 1.0
+    if not graph.directed:
+        scale *= 0.5  # each unordered pair counted from both endpoints
+    if n_sources < n:
+        scale *= n / float(n_sources)  # subset-sampling estimator
+    if normalized:
+        denom = (n - 1) * (n - 2) if graph.directed else (n - 1) * (n - 2) / 2.0
+        scale *= 1.0 / denom if denom > 0 else 1.0
+    out = (
+        graph.vertices.select("id")
+        .join(raw, "id", "left")
+        .select("id", (F.coalesce("b", F.lit(0.0)) * F.lit(scale)).alias("betweenness"))
+    )
+    cur.unpersist()
+    dist.unpersist()
+    edges.unpersist()
+    return out

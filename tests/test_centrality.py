@@ -60,3 +60,40 @@ def test_multi_source_bfs_levels(spark):
     for s in (1, 3):
         for v, d in nx.single_source_shortest_path_length(G, s).items():
             assert got[(s, v)] == d
+
+
+def test_betweenness_path_graph(spark):
+    from linkgraph.operators.centrality import betweenness_centrality
+
+    edges = [(1, 2), (2, 3), (3, 4)]
+    g = graph_from_edges(spark, edges, directed=False)
+    got = {r["id"]: r["betweenness"] for r in betweenness_centrality(g).collect()}
+    want = nx.betweenness_centrality(nx.Graph(edges), normalized=False)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9, (k, got[k], v)
+
+
+def test_betweenness_directed(spark):
+    from linkgraph.operators.centrality import betweenness_centrality
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 1)]
+    g = graph_from_edges(spark, edges, directed=True)
+    got = {r["id"]: r["betweenness"] for r in betweenness_centrality(g).collect()}
+    want = nx.betweenness_centrality(nx.DiGraph(edges), normalized=False)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9, (k, got[k], v)
+
+
+def test_betweenness_random_normalized(spark):
+    from linkgraph.operators.centrality import betweenness_centrality
+
+    rng = random.Random(5)
+    edges = list({(rng.randrange(25), rng.randrange(25)) for _ in range(60)})
+    edges = [(a, b) for a, b in edges if a != b]
+    g = graph_from_edges(spark, edges, directed=False)
+    got = {r["id"]: r["betweenness"]
+           for r in betweenness_centrality(g, normalized=True).collect()}
+    want = nx.betweenness_centrality(nx.Graph(edges), normalized=True)
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9, (k, got[k], v)
