@@ -81,12 +81,18 @@ class LinkGraph:
         """Traversal view: directed graphs as-is; undirected graphs
         materialize both directions (what graph.rs:391-394 does by
         double-insert) with self-loops emitted once."""
-        e = self.edges.select("src", "dst", "weight")
+        e = self.edges
         if self.directed:
             return e
-        mirrored = e.filter(F.col("src") != F.col("dst")).select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
-        )
+        # mirror swaps src/dst and carries every other edge column
+        # (edge_id, attr payloads) through unchanged
+        sel = [
+            F.col("dst").alias("src") if c == "src"
+            else F.col("src").alias("dst") if c == "dst"
+            else F.col(c)
+            for c in e.columns
+        ]
+        mirrored = e.filter(F.col("src") != F.col("dst")).select(*sel)
         return e.unionAll(mirrored)
 
     def canonical_edges(self) -> DataFrame:

@@ -5,26 +5,49 @@ semantics exactly (the oracle the reference benchmarks against,
 /root/reference/benchmarks/src/benchmark_networkx.py:217-222):
 
 - contributions out-weight-normalized: rank(u) * w(u,v) / Σ_x w(u,x)
-- dangling (no-out-edge) mass redistributed uniformly
-- rank' = (1-α)/N + α·(Σ contribs + dangling_mass/N)
-- stop when Σ|rank'-rank| < N·tol
+- dangling (no-out-edge) mass redistributed by the teleport dist
+- rank' = (1-α)·tp + α·(Σ contribs + dangling_mass·tp)
+- stop when Σ|rank'-rank| < N·tol (raises ConvergenceError when the
+  iteration budget runs out, like NetworkX's
+  PowerIterationFailedConvergence)
 
-Per iteration exactly ONE big shuffle (the contribution sum keyed by
-dst); the ranks⋈edges join co-partitions when the edge table is
-pre-partitioned by src (LinkGraph.partitioned), so at 1000 executors
-the join is shuffle-free on the edge side and the edge table never
-moves. Dangling mass and delta are tiny scalar aggs. Hub skew on the
-dst-sum is handled by map-side partial aggregation + AQE; see
-plans/skew.py for the explicit salting variant.
+Physical plan per iteration (the 100 TB shape):
+
+- the transition table is built ONCE, hash-partitioned by ``src``
+  and persisted — the EDGE data never moves again. The per-iteration
+  ranks⋈trans join co-partitions (ranks come out of the previous
+  iteration's groupBy("id") with the same hash partitioning), so the
+  only shuffle per iteration is the contribution sum keyed by dst:
+  O(V·P) pre-combined rows, not O(E).
+- the convergence delta rides the rank update itself (old rank is a
+  carried column) — ONE agg action per iteration, no second join.
+- dangling mass is an in-plan 1-row broadcast, no collect.
+- hub skew on the dst-sum: map-side partial aggregation covers the
+  sum itself; ``salt_contribs`` adds an explicit two-level salted
+  aggregation (plans/skew.salted_sum) for plans where partial agg
+  degrades — "auto" turns it on when the max in-degree dominates
+  the mean by 64x (degree-stats-driven switch, north-rule skew item).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import LinkGraph
 from linkgraph.plans.iterate import IterationResult, iterate, truncate_lineage
+from linkgraph.plans.skew import salted_sum
+
+
+def _weight_col(weighted: bool, weight_expr: Column | str | None) -> Column:
+    """The reference takes weight closures ``Fn(&E) -> f64``
+    (graph.rs:1054-1061) and duck-typed JSON extraction
+    (layout.rs:38-52); our analog is a Column expression over the
+    edge row — e.g. ``F.get_json_object("attrs", "$.cost")``."""
+    if weight_expr is not None:
+        expr = F.col(weight_expr) if isinstance(weight_expr, str) else weight_expr
+        return expr.cast("double")
+    return F.col("weight").cast("double") if weighted else F.lit(1.0)
 
 
 def pagerank(
@@ -33,10 +56,13 @@ def pagerank(
     tol: float = 1e-6,
     max_iter: int = 100,
     weighted: bool = True,
+    weight_expr: Column | str | None = None,
     personalization: DataFrame | None = None,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 0,
     truncate_every: int = 3,
+    salt_contribs: int | str = 0,
+    on_exhaustion: str = "raise",
 ) -> IterationResult:
     """Returns IterationResult whose state is DataFrame(id, rank).
 
@@ -44,6 +70,14 @@ def pagerank(
     distribution (NetworkX ``personalization=`` semantics: normalized
     over the given vertices, unlisted vertices get 0; dangling mass
     also redistributes by p). None = uniform.
+
+    ``weight_expr``: optional Column/str evaluated against the edge
+    row as the weight (overrides ``weighted``) — the weight-closure
+    parameter of the reference API.
+
+    ``salt_contribs``: 0 = plain groupBy (map-side combine handles
+    hubs); int n = explicit n-salt two-level aggregation; "auto" =
+    decide from the in-degree distribution.
     """
     spark = graph.edges.sparkSession
     edges = graph.sym_edges
@@ -51,8 +85,9 @@ def pagerank(
     n = vertices.count()
     if n == 0:
         return IterationResult(state=spark.createDataFrame([], "id long, rank double"))
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    w = F.col("weight").cast("double") if weighted else F.lit(1.0)
+    w = _weight_col(weighted, weight_expr)
     out_sums = edges.groupBy("src").agg(F.sum(w).alias("out_w"))
     # Normalized transition edges: weight column becomes P(u→v).
     # Built once — the invariant operand of every iteration. The
@@ -61,11 +96,28 @@ def pagerank(
     # (an evicted/lazily-missing cache partition recomputes through
     # shuffle files the cleaner may have already removed —
     # "shuffle_N.data does not exist"). With the roundtrip, any
-    # recompute path is a durable parquet scan.
-    trans = truncate_lineage(
-        edges.join(out_sums, "src")
-        .select("src", "dst", (w / F.col("out_w")).alias("p"))
-    ).persist()
+    # recompute path is a durable parquet scan. The explicit
+    # repartition(src) gives the cache HashPartitioning(src, P): the
+    # per-iteration ranks⋈trans join then co-partitions and the edge
+    # table NEVER re-shuffles — only the (small) rank frame moves.
+    trans = (
+        truncate_lineage(
+            edges.join(out_sums, "src")
+            .select("src", "dst", (w / F.col("out_w")).alias("p"))
+        )
+        .repartition(n_parts, "src")
+        .persist()
+    )
+
+    if salt_contribs == "auto":
+        # degree-stats-driven switch: explicit salting only when one
+        # hub's in-degree dwarfs the mean (otherwise map-side combine
+        # already bounds the per-reducer row count at V·P).
+        stats = trans.groupBy("dst").agg(F.count("*").alias("d")).agg(
+            F.max("d").alias("mx"), F.avg("d").alias("av")
+        ).collect()[0]
+        salt_contribs = 16 if (stats["mx"] or 0) > 64 * max(stats["av"] or 1.0, 1.0) else 0
+
     # Vertex table with dangling flag (out-degree 0) and teleport
     # probability column, cached once.
     verts = (
@@ -81,10 +133,16 @@ def pagerank(
     else:
         pn = personalization.select("id", F.col("p").cast("double").alias("p"))
         psum = pn.agg(F.sum("p")).collect()[0][0]
+        if psum is None or not (float(psum) > 0.0) or psum != psum or psum == float("inf"):
+            raise ValueError(
+                f"personalization must have a positive finite sum, got {psum} "
+                "(empty/zero/NaN teleport distributions silently decay every "
+                "rank to 0 — NetworkX raises here too)"
+            )
         verts = verts.join(pn, "id", "left").withColumn(
             "tp", F.coalesce(F.col("p") / psum, F.lit(0.0))
         ).drop("p")
-    verts = truncate_lineage(verts).persist()
+    verts = truncate_lineage(verts).repartition(n_parts, "id").persist()
     verts.count()
 
     # uniform start regardless of personalization (NetworkX nstart=None)
@@ -97,32 +155,36 @@ def pagerank(
         dangling = state.filter("dangling").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
-        contribs = (
-            state.join(trans, state.id == trans.src)
-            .select(F.col("dst").alias("id"), (F.col("rank") * F.col("p")).alias("c"))
-            .groupBy("id")
-            .agg(F.sum("c").alias("csum"))
+        pre = state.join(trans, state.id == trans.src).select(
+            F.col("dst").alias("id"), (F.col("rank") * F.col("p")).alias("c")
         )
-        new = verts.join(contribs, "id", "left").crossJoin(F.broadcast(dangling)).select(
-            "id",
-            (
-                F.lit(1.0 - alpha) * F.col("tp")
-                + F.lit(alpha)
-                * (F.coalesce(F.col("csum"), F.lit(0.0)) + F.col("dm") * F.col("tp"))
-            ).alias("rank"),
-            "dangling",
-            "tp",
+        if salt_contribs:
+            contribs = salted_sum(pre, "id", "c", "csum", n_salts=int(salt_contribs))
+        else:
+            contribs = pre.groupBy("id").agg(F.sum("c").alias("csum"))
+        # old rank rides along as a column: delta needs no second join
+        new = (
+            state.select("id", F.col("rank").alias("_old"), "dangling", "tp")
+            .join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - alpha) * F.col("tp")
+                    + F.lit(alpha)
+                    * (F.coalesce(F.col("csum"), F.lit(0.0)) + F.col("dm") * F.col("tp"))
+                ).alias("rank"),
+                "dangling",
+                "tp",
+                "_old",
+            )
         )
         if fixed_iters:
             # no convergence check wanted: keep the plan lazy; the
             # iterate() driver's periodic lineage truncation bounds depth
-            return new, float("inf")
+            return new.drop("_old"), float("inf")
         new = new.persist()
-        delta = (
-            new.join(state.select("id", F.col("rank").alias("old")), "id")
-            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("d"))
-            .collect()[0]["d"]
-        )
+        delta = new.agg(F.sum(F.abs(F.col("rank") - F.col("_old"))).alias("d")).collect()[0]["d"]
         state.unpersist()
         return new, float(delta)
 
@@ -135,6 +197,7 @@ def pagerank(
         checkpoint_dir=checkpoint_dir,
         checkpoint_every=checkpoint_every,
         spark=spark,
+        on_exhaustion="ok" if fixed_iters else on_exhaustion,
     )
     res.state = res.state.select("id", "rank")
     trans.unpersist()

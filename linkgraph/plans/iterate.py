@@ -26,11 +26,20 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class ConvergenceError(RuntimeError):
+    """An iterative operator exhausted its iteration budget without
+    converging. Raised instead of silently returning a partial /
+    unconverged result (the NetworkX PowerIterationFailedConvergence
+    analog) — a truncated fixpoint is a WRONG answer for
+    WCC/SCC/MST/core-numbers, not a degraded one."""
 
 
 _TRUNC_SEQ = [0]
@@ -59,8 +68,41 @@ def truncate_lineage(df: DataFrame) -> DataFrame:
         _TRUNC_SEQ[0] += 1
         path = os.path.join(ckpt, f"trunc-{os.getpid()}-{_TRUNC_SEQ[0]:06d}")
         df.write.mode("overwrite").parquet(path)
-        return df.sparkSession.read.parquet(path)
+        out = df.sparkSession.read.parquet(path)
+        out._lg_trunc_path = path  # consumed by LineageChain GC
+        return out
     return df.localCheckpoint(eager=True)
+
+
+class LineageChain:
+    """truncate_lineage with garbage collection for hot loops.
+
+    Each ``cut`` materializes the new frame, then deletes the parquet
+    directory of the PREVIOUS frame cut by this same chain (safe: the
+    successor is fully materialized and owns its own copy of the
+    data). One chain per logically-advancing frame (state, frontier,
+    visited, …) so loops no longer grow disk unboundedly — a
+    core_numbers peel used to leave ~4 directories per round behind.
+    Only directories created by this chain are ever deleted; frames
+    truncated by callers are never touched."""
+
+    def __init__(self) -> None:
+        self._prev: str | None = None
+
+    def cut(self, df: DataFrame) -> DataFrame:
+        out = truncate_lineage(df)
+        new_path = getattr(out, "_lg_trunc_path", None)
+        if self._prev and new_path and self._prev != new_path:
+            shutil.rmtree(self._prev, ignore_errors=True)
+        self._prev = new_path or self._prev
+        return out
+
+    def release(self) -> None:
+        """Drop the last directory too (call when the chain's final
+        frame has been consumed/copied elsewhere)."""
+        if self._prev:
+            shutil.rmtree(self._prev, ignore_errors=True)
+            self._prev = None
 
 
 @dataclass
@@ -131,6 +173,7 @@ def iterate(
     checkpoint_every: int = 0,
     resume: bool = True,
     spark: SparkSession | None = None,
+    on_exhaustion: str = "ok",
 ) -> IterationResult:
     """Run ``step(state, i) -> (state', delta)`` until delta <= tol.
 
@@ -139,10 +182,16 @@ def iterate(
     the driver only compares it to ``tol``. Each step builds ONE
     lazily-planned Spark job; the only driver-side action per
     iteration is computing delta (an agg) — no collect of state.
+
+    ``on_exhaustion``: what to do when max_iter runs out with
+    delta > tol — "ok" (return as-is; fixed-iteration callers),
+    "warn" (stderr warning), or "raise" (ConvergenceError; the right
+    default for operators whose partial result is a wrong answer).
     """
     spark = spark or state.sparkSession
     result = IterationResult(state=state)
     start_i = 0
+    chain = LineageChain()
 
     if checkpoint_dir and resume:
         meta = latest_checkpoint(checkpoint_dir)
@@ -156,16 +205,32 @@ def iterate(
                 result.state = state
                 return result
 
+    delta = float("inf")
     for i in range(start_i, max_iter):
         t0 = time.time()
         state, delta = step(state, i)
         if truncate_every and (i + 1) % truncate_every == 0:
             # Materialize + cut lineage; eager so timing is honest.
-            state = truncate_lineage(state)
+            # The chain deletes the previous iteration's trunc dir
+            # once this one is durable.
+            cut = chain.cut(state)
+            state.unpersist()  # no-op unless step persisted it
+            state = cut
         if checkpoint_dir and checkpoint_every and (i + 1) % checkpoint_every == 0:
             commit_checkpoint(state, checkpoint_dir, i, delta)
         result.stats.append(IterationStats(i, delta, -1, time.time() - t0))
         if delta <= tol:
             break
+    else:
+        if delta > tol and on_exhaustion != "ok":
+            msg = (
+                f"iteration budget exhausted: delta={delta} > tol={tol} "
+                f"after {max_iter} iterations"
+            )
+            if on_exhaustion == "raise":
+                raise ConvergenceError(msg)
+            import sys
+
+            print(f"WARNING linkgraph.iterate: {msg}", file=sys.stderr)
     result.state = state
     return result

@@ -61,9 +61,22 @@ def get_spark(
         # Reliable-checkpoint target for iterative lineage truncation
         # (plans/iterate.truncate_lineage). On a cluster point this at
         # HDFS/object storage via setCheckpointDir before first use.
+        import atexit
+        import shutil
         import tempfile
 
-        spark.sparkContext.setCheckpointDir(
-            tempfile.mkdtemp(prefix="linkgraph-ckpt-")
-        )
+        if not spark.sparkContext.master.startswith("local"):
+            # A driver-local checkpoint path is WRONG on a real
+            # cluster: executors write parquet parts to their own
+            # local filesystems and the lazy read-back in
+            # truncate_lineage fails. Refuse rather than corrupt.
+            raise RuntimeError(
+                f"master={spark.sparkContext.master} but no checkpoint dir is set; "
+                "call spark.sparkContext.setCheckpointDir(<HDFS/object-store path>) "
+                "before using iterative operators — a driver-local tempdir does "
+                "not work across executors"
+            )
+        ckpt = tempfile.mkdtemp(prefix="linkgraph-ckpt-")
+        spark.sparkContext.setCheckpointDir(ckpt)
+        atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
     return spark

@@ -7,7 +7,14 @@ import pyspark.sql.functions as F
 
 from conftest import collect_map
 from linkgraph.operators.pagerank import pagerank
-from linkgraph.plans.iterate import commit_checkpoint, iterate, latest_checkpoint
+import pytest
+
+from linkgraph.plans.iterate import (
+    ConvergenceError,
+    commit_checkpoint,
+    iterate,
+    latest_checkpoint,
+)
 
 
 def _counting_step(state, i):
@@ -56,8 +63,11 @@ def test_pagerank_resume_identical(spark, tmp_path, two_cliques_bridge):
     g = two_cliques_bridge
     full = collect_map(pagerank(g, tol=1e-10).state, "id", "rank")
     d = str(tmp_path / "prck")
-    # interrupted run: only 3 iterations, checkpointing every 2
-    pagerank(g, tol=1e-10, max_iter=3, checkpoint_dir=d, checkpoint_every=2)
+    # interrupted run: only 3 iterations, checkpointing every 2.
+    # Exhausting the budget unconverged now raises (loud-failure
+    # contract) — the durable checkpoint is committed before that.
+    with pytest.raises(ConvergenceError):
+        pagerank(g, tol=1e-10, max_iter=3, checkpoint_dir=d, checkpoint_every=2)
     # resumed run completes from the durable checkpoint
     resumed = collect_map(
         pagerank(g, tol=1e-10, checkpoint_dir=d, checkpoint_every=2).state, "id", "rank"
