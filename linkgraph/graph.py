@@ -120,7 +120,10 @@ class LinkGraph:
         if upsert:
             from pyspark.sql.window import Window
 
-            w = Window.partitionBy("src", "dst").orderBy(F.desc("_batch"))
+            # new batch wins; duplicates WITHIN a batch break ties by
+            # min weight — fully deterministic (partition order never
+            # decides which row survives; SURVEY §4.2.6)
+            w = Window.partitionBy("src", "dst").orderBy(F.desc("_batch"), F.asc("weight"))
             both = both.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
         merged = both.select("src", "dst", "weight")
         v = self._vertices
@@ -153,11 +156,23 @@ class LinkGraph:
         return LinkGraph(self.edges.limit(0), self.vertices, self.directed, self.name)
 
     def update(self, other: "LinkGraph") -> "LinkGraph":
-        """Graph union (graph.rs:980-999): nodes then edges."""
+        """Graph union (graph.rs:980-999): nodes then edges. The
+        reference inserts other's edges via upsert, so on a (src,dst)
+        conflict OTHER's weight wins; duplicate pairs within one side
+        resolve to min weight — a deterministic rule (dropDuplicates
+        would keep a partition-order-dependent row)."""
+        from pyspark.sql.window import Window
+
         v = self.vertices.select("id").unionAll(other.vertices.select("id")).distinct()
-        e = self.edges.select("src", "dst", "weight").unionAll(
-            other.edges.select("src", "dst", "weight")
-        ).dropDuplicates(["src", "dst"])
+        a = self.edges.select("src", "dst", "weight").withColumn("_pri", F.lit(0))
+        b = other.edges.select("src", "dst", "weight").withColumn("_pri", F.lit(1))
+        w = Window.partitionBy("src", "dst").orderBy(F.desc("_pri"), F.asc("weight"))
+        e = (
+            a.unionAll(b)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("src", "dst", "weight")
+        )
         return LinkGraph(e, v, self.directed, self.name)
 
     # --- predicates / lookups -------------------------------------------------

@@ -23,7 +23,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import LinkGraph
-from linkgraph.plans.iterate import IterationResult, iterate, truncate_lineage
+from linkgraph.plans.iterate import (
+    ConvergenceError,
+    IterationResult,
+    LineageChain,
+    iterate,
+)
 
 
 def _min_label_step(edges: DataFrame):
@@ -53,7 +58,7 @@ def _min_label_step(edges: DataFrame):
 
 def weakly_connected_components(
     graph: LinkGraph,
-    max_iter: int = 50,
+    max_iter: int = 10_000,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 0,
 ) -> IterationResult:
@@ -71,20 +76,23 @@ def weakly_connected_components(
         max_iter=max_iter,
         checkpoint_dir=checkpoint_dir,
         checkpoint_every=checkpoint_every,
+        on_exhaustion="raise",
     )
     sym.unpersist()
     res.state = res.state.select("id", F.col("label").alias("component"))
     return res
 
 
-def _propagate_min(vertices: DataFrame, edges: DataFrame, max_iter: int = 50) -> DataFrame:
+def _propagate_min(vertices: DataFrame, edges: DataFrame, max_iter: int = 10_000) -> DataFrame:
     """Forward min-label fixpoint over directed edges: result(v) =
     min id over {v} ∪ {u : u reaches v}. Returns (id, label)."""
     init = vertices.select("id", F.col("id").alias("label"))
-    return iterate(init, _min_label_step(edges), tol=0.0, max_iter=max_iter).state
+    return iterate(
+        init, _min_label_step(edges), tol=0.0, max_iter=max_iter, on_exhaustion="raise"
+    ).state
 
 
-def strongly_connected_components(graph: LinkGraph, max_peels: int = 50) -> DataFrame:
+def strongly_connected_components(graph: LinkGraph, max_peels: int = 1000) -> DataFrame:
     """DataFrame(id, component); component = min vertex id in the SCC.
 
     Coloring/FW-BW peeling. Driver loop count = number of peels (each
@@ -95,9 +103,12 @@ def strongly_connected_components(graph: LinkGraph, max_peels: int = 50) -> Data
     remaining_v = graph.vertices.select("id").persist()
     remaining_e = graph.edges.select("src", "dst").persist()
     assigned = spark.createDataFrame([], "id long, component long")
+    vchain, echain, achain = LineageChain(), LineageChain(), LineageChain()
 
+    done_all = False
     for _ in range(max_peels):
         if remaining_v.limit(1).count() == 0:
+            done_all = True
             break
         # 1. color(v) = min vertex id that reaches v (forward fixpoint)
         colors = _propagate_min(remaining_v, remaining_e).withColumnRenamed("label", "color")
@@ -111,24 +122,27 @@ def strongly_connected_components(graph: LinkGraph, max_peels: int = 50) -> Data
         marks = colors.select("id", "color", (F.col("id") == F.col("color")).alias("mark"))
 
         def bw_step(state: DataFrame, i: int) -> tuple[DataFrame, float]:
-            # propagate mark along reversed edges, same-color only
+            # propagate mark along reversed edges, same-color only.
+            # The join is keyed on (id, color): a vertex whose marked
+            # predecessors span SEVERAL colors has several hit rows,
+            # and an id-only join would fan its state row out into
+            # duplicates (observed: 181 SCC rows on a 150-vertex
+            # graph); keying on the color too matches at most one.
             src_side = state.filter("mark").select(
                 F.col("id").alias("src"), F.col("color").alias("mcolor")
             )
             hits = (
                 src_side.join(rev, "src")
-                .select(F.col("dst").alias("id"), "mcolor")
+                .select(F.col("dst").alias("id"), F.col("mcolor").alias("color"))
                 .distinct()
+                .withColumn("_hit", F.lit(True))
             )
             new = (
-                state.join(hits, ["id"], "left")
+                state.join(hits, ["id", "color"], "left")
                 .select(
                     "id",
                     "color",
-                    (
-                        F.col("mark")
-                        | (F.coalesce(F.col("mcolor"), F.lit(-1)) == F.col("color"))
-                    ).alias("mark"),
+                    (F.col("mark") | F.coalesce(F.col("_hit"), F.lit(False))).alias("mark"),
                     F.col("mark").alias("_old"),
                 )
                 .persist()
@@ -137,19 +151,31 @@ def strongly_connected_components(graph: LinkGraph, max_peels: int = 50) -> Data
             state.unpersist()
             return new.select("id", "color", "mark"), float(changed)
 
-        # truncate_lineage per peel: hard lineage cuts keep the plan
-        # depth O(1) across peels (persist alone does not).
-        marked = iterate(marks, bw_step, tol=0.0, max_iter=50).state.persist()
+        # LineageChain per peel: hard lineage cuts keep the plan depth
+        # O(1) across peels (persist alone does not), and superseded
+        # trunc dirs are deleted as the loop advances.
+        marked = iterate(
+            marks, bw_step, tol=0.0, max_iter=10_000, on_exhaustion="raise"
+        ).state.persist()
         scc = marked.filter("mark").select("id", F.col("color").alias("component"))
-        assigned = assigned.unionAll(scc).transform(truncate_lineage)
+        assigned = achain.cut(assigned.unionAll(scc))
         done = scc.select("id")
-        remaining_v = remaining_v.join(done, "id", "left_anti").transform(truncate_lineage)
-        remaining_e = (
+        remaining_v = vchain.cut(remaining_v.join(done, "id", "left_anti"))
+        remaining_e = echain.cut(
             remaining_e.join(done, remaining_e.src == done.id, "left_anti")
             .join(done, F.col("dst") == done.id, "left_anti")
-            .transform(truncate_lineage)
         )
         colors.unpersist()
         marked.unpersist()
+    else:
+        done_all = remaining_v.limit(1).count() == 0
 
+    if not done_all:
+        raise ConvergenceError(
+            f"strongly_connected_components: {max_peels} peels exhausted with "
+            "vertices still unassigned — a partial SCC map is a wrong answer; "
+            "raise max_peels for graphs with a deep SCC condensation"
+        )
+    vchain.release()
+    echain.release()
     return assigned

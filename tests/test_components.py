@@ -56,3 +56,17 @@ def test_wcc_chain_deep(spark):
     g = graph_from_edges(spark, [(i, i + 1) for i in range(12)], directed=False)
     got = collect_map(weakly_connected_components(g, max_iter=30).state, "id", "component")
     assert set(got.values()) == {0}
+
+
+def test_scc_no_duplicate_rows_with_multi_color_predecessors(spark):
+    """Regression: marked predecessors of SEVERAL colors used to fan a
+    vertex's state row out into duplicates (181 rows on a 150-vertex
+    graph). Exactly one row per vertex, always."""
+    from conftest import graph_from_edges
+
+    g = graph_from_edges(spark, [(1, 3), (2, 3), (3, 4), (4, 3)])
+    rows = strongly_connected_components(g).collect()
+    assert len(rows) == 4
+    comp = {r["id"]: r["component"] for r in rows}
+    assert comp[3] == comp[4]
+    assert comp[1] != comp[2]
