@@ -129,6 +129,34 @@ def _sssp_dag(spark, sf_dir) -> LinkGraph:
     return LinkGraph(cs.unionAll(supp_nat).unionAll(nat_reg), directed=True)
 
 
+def _clique_graph(spark, sf_dir) -> LinkGraph:
+    """Closed-form k-core bed: the 25 nations form a clique (core 24),
+    the 5 regions a disjoint clique (core 4), customers hang off their
+    nation as leaves (core 1). Every core number is a one-line SQL
+    fact while the engine still runs the full distributed peel."""
+    nat = _read(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey").cast("long") + NAT).alias("id")
+    )
+    reg = _read(spark, sf_dir, "region").select(
+        (F.col("r_regionkey").cast("long") + REG).alias("id")
+    )
+
+    def clique(v):
+        a, b = v.alias("a"), v.alias("b")
+        return a.join(b, F.col("a.id") < F.col("b.id")).select(
+            F.col("a.id").alias("src"), F.col("b.id").alias("dst"), F.lit(1.0).alias("weight")
+        )
+
+    leaves = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("src"),
+        (F.col("c_nationkey").cast("long") + NAT).alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    return LinkGraph(
+        clique(nat).unionAll(clique(reg)).unionAll(leaves), directed=False
+    )
+
+
 def _docs(spark, sf_dir) -> DataFrame:
     """documents ∪ a deterministic mutated copy (every 7th doc
     duplicated with id+100000) so dedup operators have real work."""
@@ -271,6 +299,91 @@ r{i} AS (SELECT v.id,
          FROM verts v JOIN tp t ON v.id = t.id LEFT JOIN c{i} c ON v.id = c.id)"""
         )
     return pre + "".join(its) + f"\nSELECT id, round(rank, 8) AS rank FROM r{k}"
+
+
+def _pagerank_converged_sql(kmax: int = 50, alpha: float = 0.85, tol: float = 1e-6) -> str:
+    """Convergence-SELECTING PageRank oracle over the directed
+    cust_supp graph (suppliers are dangling): unroll kmax iterations
+    with the engine's exact update rule, compute the L1 delta per
+    level, and emit the FIRST level whose delta meets the engine's
+    n·tol stop rule. Faithful to pagerank(tol=1e-6) at any scale
+    factor whose convergence is ≤ kmax iterations (observed: 42 at
+    sf0.001, 32 at sf0.01). MATERIALIZED stops DuckDB re-inlining
+    each level into its several consumers."""
+    pre = f"""
+WITH edges AS MATERIALIZED ({CUST_SUPP}),
+verts AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM verts),
+outw AS MATERIALIZED (SELECT src AS id, sum(weight) AS w FROM edges GROUP BY 1),
+r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM verts)"""
+    its = []
+    for i in range(1, kmax + 1):
+        its.append(f""",
+d{i} AS (SELECT coalesce(sum(r.rank), 0.0) AS dm FROM r{i-1} r
+         WHERE r.id NOT IN (SELECT id FROM outw)),
+c{i} AS (SELECT e.dst AS id, sum(r.rank * e.weight / o.w) AS s
+         FROM r{i-1} r JOIN edges e ON r.id = e.src JOIN outw o ON o.id = e.src
+         GROUP BY 1),
+r{i} AS MATERIALIZED (SELECT v.id,
+         (1.0 - {alpha}) / (SELECT n FROM nn)
+         + {alpha} * (coalesce(c.s, 0.0) + (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS rank
+         FROM verts v LEFT JOIN c{i} c ON v.id = c.id),
+dl{i} AS (SELECT {i} AS lvl, sum(abs(a.rank - b.rank)) AS d
+          FROM r{i} a JOIN r{i-1} b ON a.id = b.id)"""
+        )
+    levels = "\nUNION ALL ".join(
+        f"SELECT {i} AS lvl, id, rank FROM r{i}" for i in range(1, kmax + 1)
+    )
+    deltas = "\nUNION ALL ".join(f"SELECT lvl, d FROM dl{i}" for i in range(1, kmax + 1))
+    return f"""{pre}{"".join(its)},
+levels AS ({levels}),
+deltas AS ({deltas}),
+pick AS (SELECT min(lvl) AS l FROM deltas WHERE d <= (SELECT n FROM nn) * {tol})
+SELECT id, round(rank, 8) AS rank FROM levels WHERE lvl = (SELECT l FROM pick)"""
+
+
+def _ann_topk_sql(k: int = 5, n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """Hyperplane-LSH-bucketed cosine top-k oracle: the 8 random
+    hyperplanes are the SAME seeded constants the engine bakes into
+    its column expressions (operators/similarity.hyperplanes), so the
+    bucket assignment — and therefore the candidate set — is computed
+    independently on both sides."""
+    from linkgraph.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, seed)
+    vals = ",\n".join(
+        f"({p}, {i + 1}, {float(planes[p][i])!r})"
+        for p in range(n_planes)
+        for i in range(dim)
+    )
+    return f"""
+WITH ex AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                 CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1),
+planes(p, i, v) AS (VALUES
+{vals}),
+pdots AS (SELECT e.vec_id, pl.p, sum(e.x * pl.v) AS d
+          FROM ex e JOIN planes pl ON e.i = pl.i GROUP BY 1, 2),
+buckets AS (SELECT vec_id,
+                   sum(CASE WHEN d >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
+            FROM pdots GROUP BY 1),
+cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         FROM buckets q JOIN buckets c ON q.bucket = c.bucket
+         WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+dots AS (SELECT cand.query_id, cand.neighbor_id, sum(a.x * b.x) AS dot
+         FROM cand JOIN ex a ON a.vec_id = cand.query_id
+                   JOIN ex b ON b.vec_id = cand.neighbor_id AND a.i = b.i
+         GROUP BY 1, 2),
+sims AS (SELECT query_id, neighbor_id, dot / (qn.nrm * cn.nrm) AS sim
+         FROM dots JOIN norms qn ON dots.query_id = qn.vec_id
+                   JOIN norms cn ON dots.neighbor_id = cn.vec_id),
+ranked AS (SELECT query_id, neighbor_id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id ASC) AS rank
+           FROM sims)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 6) AS sim
+FROM ranked WHERE rank <= {k}
+"""
 
 
 def _lpa_sql(k: int = 3) -> str:
@@ -492,8 +605,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).select("id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"))
 
     # --- more traversals / set ops / views
+    # max_depth=6 matches the oracle CTE's recursion cap exactly, so
+    # both sides compute the same "BFS truncated at depth 6" contract
+    # even if the graph's eccentricity exceeds 6 at some scale factor
     q["bfs_levels_undirected"] = lambda s, d: (
-        bfs_levels(_supp_co(s, d), 1)
+        bfs_levels(_supp_co(s, d), 1, max_depth=6)
         .select("id", F.col("level").cast("int").alias("level"))
     )
     q["reachable_from_supplier1"] = lambda s, d: reachable_from(_supp_dir(s, d), 1)
@@ -530,21 +646,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select("id", F.round("betweenness", 6).alias("betweenness"))
     )
 
-    # --- rows-only (non-SQL-expressible) entries
+    # --- formerly rows-only entries, now oracle-checked end-to-end
+    # Converged (tol-stopped) PageRank vs a convergence-SELECTING SQL
+    # oracle: the SQL unrolls the power iteration, computes the same
+    # L1 delta per level, and picks the first level meeting the same
+    # n·tol stop rule the engine uses.
     q["pagerank_converged"] = lambda s, d: pagerank(
         _cust_supp(s, d), tol=1e-6, max_iter=60
-    ).state
+    ).state.select("id", F.round("rank", 8).alias("rank"))
     q["ann_cosine_topk"] = lambda s, d: ann_cosine_topk(
         _read(s, d, "embeddings"),
         _read(s, d, "embeddings").filter("vec_id < 5"),
         k=5,
     )
-    q["minimum_spanning_forest"] = lambda s, d: minimum_spanning_forest(_supp_co(s, d))
-    q["core_numbers_suppliers"] = lambda s, d: core_numbers(_supp_co(s, d))
-    q["k_core4_suppliers"] = lambda s, d: k_core(_supp_co(s, d), 4).edges
+    # A forest's MSF is itself: run full Borůvka on the hierarchy
+    # forest where the answer has a closed SQL form. (General-graph
+    # MSF is NetworkX-verified in tests/test_mst.py.)
+    q["minimum_spanning_forest"] = lambda s, d: minimum_spanning_forest(
+        LinkGraph(_hierarchy_edges(s, d), directed=False)
+    )
+    q["core_numbers_cliques"] = lambda s, d: core_numbers(_clique_graph(s, d))
+    q["k_core4_cliques"] = lambda s, d: k_core(_clique_graph(s, d), 4).edges
     q["webgraph_pagerank"] = _webgraph_pagerank
 
+    # --- multigraph edge identity (§2.1/§2.2: multigraph.rs:78-90)
+    q["multigraph_edge_ids"] = lambda s, d: _multi_graph(s, d).edges
+
+    # --- multimodal plumbing (binary cols + mapInPandas features)
+    q["multimodal_frame_samples"] = lambda s, d: _frame_samples(s, d)
+    q["multimodal_feature_bytes"] = lambda s, d: _feature_bytes(s, d)
+
     return q
+
+
+def _multi_graph(s, d) -> LinkGraph:
+    """Parallel-edge (MultiDiGraph) table: one edge PER LINEITEM
+    (dedup=False semantics), weight = a globally-unique order stamp so
+    with_edge_ids' per-pair ranking is deterministic and
+    SQL-reproducible."""
+    orders = _read(s, d, "orders")
+    li = _read(s, d, "lineitem")
+    e = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").cast("long").alias("src"),
+        (F.col("l_suppkey").cast("long") + SUPP).alias("dst"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("double").alias("weight"),
+    )
+    return LinkGraph(e, directed=True).with_edge_ids()
+
+
+def _frame_samples(s, d):
+    from linkgraph.operators.multimodal import frame_sample_plan
+
+    media = _read(s, d, "events").select(
+        F.col("event_id").cast("long").alias("media_id"),
+        F.when(F.col("event_id") % 3 == 0, "video").otherwise("image").alias("kind"),
+        ((F.col("event_id") % 5) * 1000 + 1000).cast("int").alias("duration_ms"),
+    )
+    return frame_sample_plan(media, every_ms=500).select(
+        "media_id", F.col("sample_ts_ms").cast("long").alias("sample_ts_ms")
+    )
+
+
+def _feature_bytes(s, d):
+    """Documents' utf-8 bytes as opaque media payloads through the
+    REAL Arrow-batched mapInPandas feature extractor; the byte-count
+    output is independently checkable in SQL (octet_length)."""
+    from linkgraph.operators.multimodal import extract_features
+
+    media = _docs(s, d).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+        F.lit(0).alias("duration_ms"),
+    )
+    return extract_features(media).select(
+        "media_id", F.col("n_bytes").cast("long").alias("n_bytes")
+    )
 
 
 def _nat_reg_edges(s, d):
@@ -623,14 +802,87 @@ def _sessionize(s, d):
     )
 
 
+WEB_N_PAGES = 500
+WEB_N_DOMAINS = 40
+WEB_PR_ITERS = 10
+
+
 def _webgraph_pagerank(s, d):
-    """The true-source path (north rule): synthetic pages → extraction
-    UDFs → edge table → PageRank. No oracle (extraction is not SQL)."""
+    """The true-source path (north rule): synthetic pages → pandas-UDF
+    link extraction → edge table → PageRank, keyed back to urls. The
+    oracle replays the SAME pipeline through the pinned pure-Python
+    extractor (the per-row contract of functions/extract.py) entirely
+    outside Spark and embeds the resulting edge list in unrolled
+    PageRank SQL — two independent implementations, value-exact."""
     from linkgraph.sources.pages import pages_dataframe
 
-    pages = pages_dataframe(s, 500, n_domains=40)
+    pages = pages_dataframe(s, WEB_N_PAGES, n_domains=WEB_N_DOMAINS)
     g = LinkGraph.from_pages(pages)
-    return pagerank(g, tol=1e-6, max_iter=50).state
+    ranks = pagerank_fixed_iterations(g, k=WEB_PR_ITERS)
+    return ranks.join(g.vertices.select("id", "url"), "id").select(
+        "url", F.round("rank", 8).alias("rank")
+    )
+
+
+def _webgraph_oracle_edges() -> list[tuple[str, str, int]]:
+    """(src_url, dst_url, multiplicity) via the pinned pure-Python
+    extractors — no Spark involved."""
+    import collections
+    import re as _re
+
+    from linkgraph.functions.extract import pinned_extract_links
+    from linkgraph.sources.pages import generate_pages_local
+
+    def norm(u: str) -> str:
+        # mirror functions/extract.normalize_url_col
+        u = _re.sub(r"#.*$", "", u)
+        u = _re.sub(r"/$", "", u)
+        m = _re.match(r"(?i)^(https?://[^/]+)", u)
+        if m:
+            u = m.group(1).lower() + u[m.end():]
+        return u
+
+    pdf = generate_pages_local(WEB_N_PAGES, WEB_N_DOMAINS)
+    weights: collections.Counter = collections.Counter()
+    for _, row in pdf.iterrows():
+        src = norm(row["url"])
+        for href in pinned_extract_links(row["html"]):
+            weights[(src, norm(href))] += 1
+    return sorted((a, b, w) for (a, b), w in weights.items())
+
+
+def _webgraph_pagerank_sql(alpha: float = 0.85) -> str:
+    """Unrolled WEB_PR_ITERS-iteration weighted PageRank over the
+    pinned-extractor edge list as VALUES, keyed by url."""
+    vals = ",\n".join(
+        f"('{a}', '{b}', {w}.0)" for a, b, w in _webgraph_oracle_edges()
+    )
+    pre = f"""
+WITH edges AS MATERIALIZED (SELECT * FROM (VALUES
+{vals}) AS t(src, dst, weight)),
+verts AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM verts),
+outw AS MATERIALIZED (SELECT src AS id, sum(weight) AS w FROM edges GROUP BY 1),
+r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM verts)"""
+    its = []
+    for i in range(1, WEB_PR_ITERS + 1):
+        # MATERIALIZED: each level feeds several consumers; without it
+        # DuckDB re-inlines the whole chain per consumer (2^k blowup)
+        its.append(f""",
+d{i} AS (SELECT coalesce(sum(r.rank), 0.0) AS dm FROM r{i-1} r
+         WHERE r.id NOT IN (SELECT id FROM outw)),
+c{i} AS (SELECT e.dst AS id, sum(r.rank * e.weight / o.w) AS s
+         FROM r{i-1} r JOIN edges e ON r.id = e.src JOIN outw o ON o.id = e.src
+         GROUP BY 1),
+r{i} AS MATERIALIZED (SELECT v.id,
+         (1.0 - {alpha}) / (SELECT n FROM nn)
+         + {alpha} * (coalesce(c.s, 0.0) + (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS rank
+         FROM verts v LEFT JOIN c{i} c ON v.id = c.id)"""
+        )
+    return (
+        pre + "".join(its)
+        + f"\nSELECT id AS url, round(rank, 8) AS rank FROM r{WEB_PR_ITERS}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -984,5 +1236,58 @@ SELECT user_id, event_id,
        CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
 FROM g
+""",
+        # the hierarchy graph is a forest (members are leaves, each
+        # nation has exactly one region) — its MSF is its own edge set
+        "minimum_spanning_forest": f"""
+SELECT least(src, dst) AS src, greatest(src, dst) AS dst, min(weight) AS weight
+FROM ({HIER}) GROUP BY 1, 2
+""",
+        # closed-form cores of the clique construction: a c-clique's
+        # vertices have core c-1; leaves have core 1
+        "core_numbers_cliques": """
+SELECT CAST(c_custkey AS BIGINT) AS id, CAST(1 AS BIGINT) AS core FROM customer
+UNION ALL
+SELECT CAST(n_nationkey + 3000000 AS BIGINT),
+       (SELECT count(*) FROM nation) - 1 FROM nation
+UNION ALL
+SELECT CAST(r_regionkey + 4000000 AS BIGINT),
+       (SELECT count(*) FROM region) - 1 FROM region
+""",
+        # the 4-core of the clique construction = both cliques, leaves
+        # peeled (nations keep degree 24 ≥ 4, regions 4 ≥ 4)
+        "k_core4_cliques": """
+SELECT a.id AS src, b.id AS dst, 1.0 AS weight FROM
+  (SELECT CAST(n_nationkey + 3000000 AS BIGINT) AS id FROM nation) a
+  JOIN (SELECT CAST(n_nationkey + 3000000 AS BIGINT) AS id FROM nation) b
+  ON a.id < b.id
+UNION ALL
+SELECT a.id, b.id, 1.0 FROM
+  (SELECT CAST(r_regionkey + 4000000 AS BIGINT) AS id FROM region) a
+  JOIN (SELECT CAST(r_regionkey + 4000000 AS BIGINT) AS id FROM region) b
+  ON a.id < b.id
+""",
+        "pagerank_converged": _pagerank_converged_sql(50),
+        "ann_cosine_topk": _ann_topk_sql(5),
+        "webgraph_pagerank": _webgraph_pagerank_sql(),
+        "multigraph_edge_ids": """
+SELECT CAST(o_custkey AS BIGINT) AS src,
+       CAST(l_suppkey + 1000000 AS BIGINT) AS dst,
+       CAST(l_orderkey * 10 + l_linenumber AS DOUBLE) AS weight,
+       'e' || CAST(row_number() OVER (
+                 PARTITION BY o_custkey, l_suppkey
+                 ORDER BY l_orderkey * 10 + l_linenumber) - 1 AS VARCHAR) AS edge_id
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+""",
+        "multimodal_frame_samples": """
+SELECT CAST(event_id AS BIGINT) AS media_id,
+       CAST(unnest(generate_series(0, CAST((event_id % 5) * 1000 + 1000 AS BIGINT), 500)) AS BIGINT)
+         AS sample_ts_ms
+FROM events WHERE event_id % 3 = 0
+""",
+        "multimodal_feature_bytes": f"""
+WITH docs AS ({DOCS})
+SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM docs
 """,
     }

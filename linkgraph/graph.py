@@ -184,6 +184,25 @@ class LinkGraph:
         probe = self.sym_edges if not self.directed else self.edges
         return probe.filter((F.col("src") == u) & (F.col("dst") == v)).limit(1).count() > 0
 
+    def get_node_data(self, key: int):
+        """Point lookup of a vertex's payload row (graph.rs:344-346);
+        None when absent. In-plan batches should semi-join instead."""
+        rows = self.vertices.filter(F.col("id") == key).take(1)
+        return rows[0] if rows else None
+
+    def has_successor(self, u: int, v: int) -> bool:
+        """digraph.rs:154-157 — edge u→v exists."""
+        return self.edges.filter((F.col("src") == u) & (F.col("dst") == v)).limit(1).count() > 0
+
+    def has_predecessor(self, u: int, v: int) -> bool:
+        """digraph.rs:159-161 — edge v→u exists."""
+        return self.edges.filter((F.col("src") == v) & (F.col("dst") == u)).limit(1).count() > 0
+
+    def clear(self) -> "LinkGraph":
+        """graph.rs:851-856 — drop all nodes and edges (immutable:
+        returns the empty graph)."""
+        return LinkGraph.empty(self.edges.sparkSession, self.directed)
+
     def get_edge_weight(self, u: int, v: int) -> float | None:
         probe = self.sym_edges if not self.directed else self.edges
         rows = probe.filter((F.col("src") == u) & (F.col("dst") == v)).select("weight").take(1)
@@ -288,11 +307,58 @@ class LinkGraph:
 
     def reverse(self) -> "LinkGraph":
         """reverse()/reverse_par() (digraph.rs:203-221, 299-332) —
-        a pure projection, no data movement until acted on."""
-        e = self.edges.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        a pure projection, no data movement until acted on. Extra
+        edge columns (edge_id, attrs) survive, matching MultiDiGraph
+        reverse's key preservation (multidigraph.rs:578-596)."""
+        sel = [
+            F.col("dst").alias("src") if c == "src"
+            else F.col("src").alias("dst") if c == "dst"
+            else F.col(c)
+            for c in self.edges.columns
+        ]
+        return LinkGraph(self.edges.select(*sel), self._vertices, self.directed, self.name)
+
+    # --- multigraph edge identity (multigraph.rs:78-90, 878-910) --------------
+
+    def with_edge_ids(self, order_cols: list[str] | None = None) -> "LinkGraph":
+        """Assign the parallel-edge key column ``edge_id`` the
+        reference keys edges with ("e{n}", multigraph.rs:79). A global
+        insertion counter doesn't distribute; the deterministic analog
+        is "e{rank within (src,dst)}" ranked by ``order_cols``
+        (default: weight — callers supply columns that totally order
+        parallel edges for a stable key). Keys survive subgraph /
+        edge_subgraph / reverse, matching multigraph.rs:878-910."""
+        from pyspark.sql.window import Window
+
+        if "edge_id" in self.edges.columns:
+            return self
+        order = order_cols or ["weight"]
+        w = Window.partitionBy("src", "dst").orderBy(*order)
+        e = self.edges.withColumn(
+            "edge_id", F.concat(F.lit("e"), (F.row_number().over(w) - 1).cast("string"))
         )
         return LinkGraph(e, self._vertices, self.directed, self.name)
+
+    def edges_between(self, u: int, v: int) -> DataFrame:
+        """All parallel edges u-v (multigraph.rs:922-928, 956-968);
+        undirected graphs probe both orientations."""
+        probe = self.edges if self.directed else self.sym_edges
+        return probe.filter((F.col("src") == u) & (F.col("dst") == v))
+
+    def number_of_edges_between(self, u: int, v: int) -> int:
+        """multigraph.rs:240-242 — parallel-edge multiplicity."""
+        return self.edges_between(u, v).count()
+
+    def remove_edge_by_key(self, u: int, v: int, edge_id: str) -> "LinkGraph":
+        """Keyed removal of ONE parallel edge (the MultiGraph
+        remove_edge_with_key semantics). Requires with_edge_ids."""
+        assert "edge_id" in self.edges.columns, "call with_edge_ids() first"
+        cond = (F.col("src") == u) & (F.col("dst") == v) & (F.col("edge_id") == edge_id)
+        if not self.directed:
+            cond = cond | (
+                (F.col("src") == v) & (F.col("dst") == u) & (F.col("edge_id") == edge_id)
+            )
+        return LinkGraph(self.edges.filter(~cond), self._vertices, self.directed, self.name)
 
     def to_undirected(self) -> "LinkGraph":
         """Canonical (min,max) dedup (graph.rs:203-237). The reference

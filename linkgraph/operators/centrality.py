@@ -32,8 +32,13 @@ def multi_source_bfs(
 ) -> DataFrame:
     """Hop distances from every source: DataFrame(source, id, level),
     reached pairs only. ``sources``: DataFrame with an id column.
-    ``reverse=True`` walks edges backwards (distance TO the source —
-    what directed closeness wants)."""
+
+    Orientation: a FORWARD walk (reverse=False) from source u reaches
+    v at d(u, v); grouping by the REACHED vertex v therefore yields
+    v's incoming distances — exactly what directed closeness needs
+    (closeness_centrality below uses reverse=False for this reason).
+    ``reverse=True`` walks edges backwards, giving distances FROM the
+    reached vertex TO the source (distance-to-source use cases)."""
     edges = graph.sym_edges.select("src", "dst")
     if reverse:
         edges = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -77,9 +82,9 @@ def closeness_centrality(
     Directed graphs use incoming distance, like NetworkX."""
     n = graph.vertices.count()
     src = sources if sources is not None else graph.vertices.select("id")
-    # distance TO v from each source = forward BFS when undirected,
-    # reverse... no: walking FORWARD from u reaches v with d(u,v);
-    # grouping by destination vertex v gives incoming distances.
+    # forward walk from each source u reaches v at d(u, v); grouping
+    # by the reached vertex v yields v's INCOMING distances — the
+    # directed-closeness definition (see multi_source_bfs docstring)
     dists = multi_source_bfs(graph, src, reverse=False)
     agg = dists.filter(F.col("level") > 0).groupBy("id").agg(
         F.sum("level").alias("dsum"), F.count("*").alias("r1")

@@ -22,8 +22,43 @@ TWO_PI = 2.0 * math.pi
 
 
 def _indexed(vertices: DataFrame) -> DataFrame:
-    w = Window.orderBy("id")
-    return vertices.select("id").withColumn("i", F.row_number().over(w) - 1)
+    """Dense 0..n-1 rank by ascending id WITHOUT a global
+    single-partition window (a Window.orderBy with no partitionBy
+    funnels every vertex through one task — fine for a 30-node
+    oracle, a scale-killer on a 10^8-vertex circle).
+
+    Distributed zipWithIndex: bucket ids by their HIGH BITS (an
+    arithmetic right shift is monotone, so bucket order = id order),
+    rank within each bucket's window, and add per-bucket offsets
+    from a tiny driver-side cumulative sum. For xxhash64 web ids the
+    buckets are uniform by construction; for dense sequential ids
+    the shift adapts to the observed id span. Two small driver
+    actions (min/max, bucket counts); no single-reducer stage."""
+    v = vertices.select("id")
+    row = v.agg(F.min("id").alias("lo"), F.max("id").alias("hi")).collect()[0]
+    if row["lo"] is None:
+        return v.withColumn("i", F.lit(0).cast("long"))
+    span = int(row["hi"]) - int(row["lo"])
+    # ≤ ~2048 ordered buckets over the observed span
+    shift = max(0, span.bit_length() - 10)
+    b = F.shiftright(F.col("id"), shift).alias("_b")
+    counts = {
+        r["_b"]: r["c"]
+        for r in v.select(b).groupBy("_b").agg(F.count("*").alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for bk in sorted(counts):
+        offsets[bk] = acc
+        acc += counts[bk]
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )[F.col("_b")]
+    w = Window.partitionBy("_b").orderBy("id")
+    return (
+        v.select("id", b)
+        .withColumn("i", F.row_number().over(w) - 1 + off)
+        .drop("_b")
+    )
 
 
 def circular_layout(graph: LinkGraph, scale: float = 1.0, center=(0.0, 0.0)) -> DataFrame:
@@ -110,6 +145,87 @@ def rescale_layout(pos: DataFrame, scale: float = 1.0, center=(0.0, 0.0)) -> Dat
         ((F.col("x") - mx) * k + center[0]).alias("x"),
         ((F.col("y") - my) * k + center[1]).alias("y"),
     )
+
+
+def kamada_kawai_layout(
+    graph: LinkGraph,
+    max_nodes: int = 2000,
+    iterations: int = 300,
+    scale: float = 1.0,
+    center=(0.0, 0.0),
+) -> DataFrame:
+    """Kamada-Kawai stress layout (reference layout.rs:679-853: APSP
+    precompute + Newton steps on the stress function) via the survey's
+    sample-then-local policy (§2.7): APSP is O(n²) output by nature,
+    so the layout runs driver-side on a bounded subgraph — at web
+    scale you lay out a sampled neighborhood, not the crawl.
+
+    Driver-side implementation: BFS APSP (numpy over the collected
+    edge list), then gradient descent on the KK stress
+    E = Σ_{i<j} (|p_i-p_j| - d_ij)² / d_ij², deterministic circular
+    init (the reference's own init, layout.rs:714-721). No scipy
+    dependency."""
+    import numpy as np
+
+    n = graph.vertices.count()
+    if n > max_nodes:
+        raise ValueError(
+            f"kamada_kawai layout needs O(n²) all-pairs distances; graph has "
+            f"{n} > {max_nodes} nodes — sample a subgraph first (LinkGraph.subgraph)"
+        )
+    spark = graph.edges.sparkSession
+    if n == 0:
+        return spark.createDataFrame([], "id long, x double, y double")
+    ids = sorted(r["id"] for r in graph.vertices.select("id").collect())
+    idx = {v: i for i, v in enumerate(ids)}
+    if n == 1:
+        return spark.createDataFrame(
+            [(ids[0], float(center[0]), float(center[1]))], "id long, x double, y double"
+        )
+    # hop-distance APSP via repeated BFS over an adjacency list
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for r in graph.edges.select("src", "dst").collect():
+        a, b = idx.get(r["src"]), idx.get(r["dst"])
+        if a is None or b is None or a == b:
+            continue
+        adj[a].append(b)
+        adj[b].append(a)
+    dist = np.full((n, n), np.inf)
+    for s in range(n):
+        dist[s, s] = 0.0
+        frontier = [s]
+        d = 0
+        while frontier:
+            d += 1
+            nxt = []
+            for u in frontier:
+                for v2 in adj[u]:
+                    if dist[s, v2] == np.inf:
+                        dist[s, v2] = d
+                        nxt.append(v2)
+            frontier = nxt
+    # disconnected pairs: NetworkX uses max finite distance as filler
+    finite = dist[np.isfinite(dist)]
+    filler = float(finite.max()) if finite.size else 1.0
+    dist[~np.isfinite(dist)] = max(filler, 1.0)
+    np.fill_diagonal(dist, 0.0)
+
+    theta = 2.0 * np.pi * np.arange(n) / n
+    pos = np.stack([np.cos(theta), np.sin(theta)], axis=1) * max(dist.max() / 2.0, 1.0)
+    w = np.zeros_like(dist)
+    nz = dist > 0
+    w[nz] = 1.0 / dist[nz] ** 2
+    lr = 0.1
+    for _ in range(iterations):
+        delta = pos[:, None, :] - pos[None, :, :]
+        norm = np.sqrt((delta**2).sum(-1))
+        np.fill_diagonal(norm, 1.0)
+        coef = w * (norm - dist) / norm
+        grad = (coef[:, :, None] * delta).sum(axis=1)
+        pos -= lr * grad
+    rows = [(int(ids[i]), float(pos[i, 0]), float(pos[i, 1])) for i in range(n)]
+    raw = spark.createDataFrame(rows, "id long, x double, y double")
+    return rescale_layout(raw, scale=scale, center=center)
 
 
 def spring_layout_sampled(

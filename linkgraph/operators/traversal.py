@@ -113,6 +113,94 @@ def shortest_paths(
     return state
 
 
+def dfs_preorder(graph: LinkGraph, start: int, max_nodes: int = 100_000) -> list[int]:
+    """Exact preorder DFS (graph.rs:1015-1033) — the driver-side
+    small-graph fallback SURVEY §2.5 commits to: exact visit ORDER is
+    inherently sequential (the distributed answer is
+    ``reachable_from``'s visit set), so collect the reachable
+    adjacency and run an iterative stack DFS. Deterministic neighbor
+    order: ascending id (the reference's HashMap order is
+    nondeterministic; its tests only assert start-first + visit set,
+    lib.rs:124-127). Raises on graphs over ``max_nodes``."""
+    n = graph.vertices.count()
+    if n > max_nodes:
+        raise ValueError(
+            f"exact preorder DFS is driver-side; graph has {n} > {max_nodes} "
+            "nodes — use reachable_from (visit-set semantics) at scale"
+        )
+    adj: dict[int, list[int]] = {}
+    for r in graph.sym_edges.select("src", "dst").collect():
+        adj.setdefault(r["src"], []).append(r["dst"])
+    for k in adj:
+        adj[k].sort()
+    seen: set[int] = set()
+    order: list[int] = []
+    stack = [int(start)]
+    while stack:
+        u = stack.pop()
+        if u in seen:
+            continue
+        seen.add(u)
+        order.append(u)
+        # push reversed so the smallest neighbor pops first
+        for v in reversed(adj.get(u, [])):
+            if v not in seen:
+                stack.append(v)
+    return order
+
+
+def dijkstra_exact(
+    graph: LinkGraph, source: int, target: int | None = None, max_nodes: int = 100_000
+) -> dict[int, tuple[float, list[int]]]:
+    """Exact binary-heap Dijkstra (graph.rs:1054-1134) — the
+    driver-side small-graph fallback; the distributed path is
+    ``shortest_paths`` (frontier relaxation). Returns
+    {vertex: (cost, path)}; restricted to ``target`` when given
+    (early exit, like the reference). Deterministic tie-break:
+    (dist, vertex id)."""
+    import heapq
+
+    n = graph.vertices.count()
+    if n > max_nodes:
+        raise ValueError(
+            f"exact Dijkstra is driver-side; graph has {n} > {max_nodes} nodes — "
+            "use shortest_paths at scale"
+        )
+    adj: dict[int, list[tuple[int, float]]] = {}
+    for r in graph.sym_edges.select("src", "dst", "weight").collect():
+        adj.setdefault(r["src"], []).append((r["dst"], float(r["weight"])))
+    dist: dict[int, float] = {int(source): 0.0}
+    prev: dict[int, int | None] = {int(source): None}
+    heap: list[tuple[float, int]] = [(0.0, int(source))]
+    settled: set[int] = set()
+    while heap:
+        d, u = heapq.heappop(heap)
+        if u in settled:
+            continue
+        settled.add(u)
+        if target is not None and u == target:
+            break
+        for v, w in sorted(adj.get(u, [])):
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                prev[v] = u
+                heapq.heappush(heap, (nd, v))
+
+    def path_to(v: int) -> list[int]:
+        out = []
+        node: int | None = v
+        while node is not None:
+            out.append(node)
+            node = prev[node]
+        return out[::-1]
+
+    keys = [target] if target is not None and target in dist else (
+        [] if target is not None else list(dist)
+    )
+    return {k: (dist[k], path_to(k)) for k in keys}
+
+
 def reconstruct_path(dists: DataFrame, source: int, target: int, max_len: int = 10_000) -> tuple[list[int], float] | None:
     """Walk parent pointers target→source (driver-side point lookups;
     path length is tiny relative to the graph — the same asymmetry
