@@ -484,16 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["degree_centrality"] = lambda s, d: _cust_supp(s, d).degree_centrality().select(
         "id", F.round("centrality", 9).alias("centrality")
     )
-    q["graph_counts"] = lambda s, d: s.createDataFrame(
-        [
-            (
-                _cust_supp(s, d).node_count(),
-                _cust_supp(s, d).edge_count(),
-                _supp_co(s, d).edge_count(),
-            )
-        ],
-        "n_nodes long, n_edges long, n_edges_undirected long",
-    )
+    q["graph_counts"] = lambda s, d: _graph_counts(s, d)
     q["degree_histogram"] = lambda s, d: (
         _cust_supp(s, d)
         .edges.groupBy("src")
@@ -723,6 +714,21 @@ def _feature_bytes(s, d):
     )
     return extract_features(media).select(
         "media_id", F.col("n_bytes").cast("long").alias("n_bytes")
+    )
+
+
+def _graph_counts(s, d):
+    """Build the cust_supp edge table ONCE (cached) for its three
+    scalar consumers — not three orders⋈lineitem joins for three
+    numbers."""
+    g = _cust_supp(s, d)
+    g.edges.persist()
+    try:
+        row = (g.node_count(), g.edge_count(), _supp_co(s, d).edge_count())
+    finally:
+        g.edges.unpersist()
+    return s.createDataFrame(
+        [row], "n_nodes long, n_edges long, n_edges_undirected long"
     )
 
 

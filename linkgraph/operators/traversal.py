@@ -58,11 +58,15 @@ def shortest_paths(
     graph: LinkGraph,
     source: int,
     max_iter: int = 200,
+    weight_expr=None,
 ) -> DataFrame:
     """Single-source shortest path lengths + parent pointers by
     frontier-based iterative relaxation: DataFrame(id, dist, via).
     Weighted, non-negative weights assumed (same contract as the
-    reference's Dijkstra).
+    reference's Dijkstra). ``weight_expr``: optional Column/str
+    evaluated against the edge row as the weight — the reference's
+    weight-closure parameter (graph.rs:1054-1061), e.g.
+    ``F.get_json_object("attrs", "$.cost")``.
 
     Only vertices improved in round i-1 relax their out-edges in
     round i (Bellman-Ford with a frontier) — after the wavefront
@@ -71,7 +75,13 @@ def shortest_paths(
     table. The per-round frontier⋈edges join is the only big shuffle;
     the merge keys both sides by id."""
     spark = graph.edges.sparkSession
-    edges = graph.sym_edges.select("src", "dst", F.col("weight").cast("double").alias("w")).persist()
+    if weight_expr is None:
+        wcol = F.col("weight")
+    elif isinstance(weight_expr, str):
+        wcol = F.col(weight_expr)
+    else:
+        wcol = weight_expr
+    edges = graph.sym_edges.select("src", "dst", wcol.cast("double").alias("w")).persist()
     state = spark.createDataFrame(
         [(int(source), 0.0, None)], "id long, dist double, via long"
     )

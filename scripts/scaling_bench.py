@@ -92,6 +92,7 @@ WORKER_PR = r"""
 import json, os, sys, time
 sys.path.insert(0, %(repo)r)
 cores = int(sys.argv[1])
+salt = int(sys.argv[2]) if len(sys.argv) > 2 else 0
 os.environ["SPARK_GRAFT_CPUS"] = str(cores)
 os.environ.setdefault("LINKGRAPH_DRIVER_MEM", "64g")
 from linkgraph import LinkGraph, get_spark
@@ -104,12 +105,13 @@ spark = get_spark("scaling-%%d" %% cores, cores=cores, shuffle_partitions=64)
 g = LinkGraph(spark.read.parquet(%(edges)r), directed=True)
 g.edges.persist()
 n_edges = g.edges.count()
-res = pagerank(g, tol=-1.0, max_iter=%(warmup)d + %(iters)d, truncate_every=1)
+res = pagerank(g, tol=-1.0, max_iter=%(warmup)d + %(iters)d, truncate_every=1,
+               salt_contribs=salt)
 res.state.count()
 steady = [s.seconds for s in res.stats][%(warmup)d:]
 wall = sum(steady)
 print(json.dumps({"cores": cores, "edges": n_edges, "iters": len(steady),
-                  "warmup_iters": %(warmup)d,
+                  "warmup_iters": %(warmup)d, "salt": salt,
                   "per_iter_sec": [round(s, 2) for s in steady],
                   "wall_sec": round(wall, 3),
                   "edges_per_sec": round(len(steady) * n_edges / wall, 1)}))
@@ -152,8 +154,8 @@ def run(code: str, *args: str, timeout: int = 5400) -> str:
     return out.stdout
 
 
-def run_level(worker: str, cores: int) -> dict:
-    out = run(worker, str(cores))
+def run_level(worker: str, cores: int, *extra: str) -> dict:
+    out = run(worker, str(cores), *extra)
     line = [l for l in out.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
@@ -179,6 +181,16 @@ def main() -> None:
     print(run(BUILD).strip() or "inputs cached")
     pr = load_or_run("levels_pr.json", WORKER_PR)
     ex = load_or_run("levels_ex.json", WORKER_EX)
+    # salting ablation at the widest level: explicit 16-salt two-level
+    # agg vs plain groupBy (map-side combine)
+    salt_cache = os.path.join(SCRATCH, "levels_pr_salt.json")
+    if os.path.exists(salt_cache):
+        with open(salt_cache) as f:
+            pr_salt = json.load(f)
+    else:
+        pr_salt = run_level(WORKER_PR, 32, "16")
+        with open(salt_cache, "w") as f:
+            json.dump(pr_salt, f)
     report = {
         "extraction": {
             "levels": ex,
@@ -189,11 +201,13 @@ def main() -> None:
             "levels": pr,
             "eff_2_to_8": round(eff(pr, "edges_per_sec", 2, 8), 3),
             "eff_8_to_32": round(eff(pr, "edges_per_sec", 8, 32), 3),
+            "salt16_at_32": pr_salt,
         },
         "note": "sandbox substitute for N->4N executors per driver instruction",
     }
     print(json.dumps(report))
 
+    pr32 = [r for r in pr if r["cores"] == 32][0]
     ex_rows = "\n".join(
         f"| local[{r['cores']}] | {r['wall_sec']} | {r['pages_per_sec']:,.0f} |" for r in ex
     )
@@ -236,6 +250,20 @@ partitions fixed at 64 (~140 MB tasks) at every level.
 {pr_rows}
 
 **Efficiency 2→8: {p28:.3f} · 8→32: {p832:.3f}**
+
+### Hub-skew salting ablation (local[32], same input)
+
+| contribution aggregation | edges/sec |
+|---|---|
+| plain groupBy (map-side combine) | {pr32['edges_per_sec']:,.0f} |
+| explicit 16-salt two-level agg | {pr_salt['edges_per_sec']:,.0f} |
+
+Spark's map-side partial aggregation already bounds the per-reducer
+row count for a SUM at V·P rows regardless of hub in-degree, so the
+explicit salt adds a shuffle stage without reducing reducer input —
+the ablation quantifies that directly on the hub-skewed input. The
+salted path stays wired (`pagerank(salt_contribs=...)`) for plans
+where partial aggregation degrades.
 
 ## Reading
 

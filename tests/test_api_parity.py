@@ -175,3 +175,20 @@ def test_kamada_kawai_raises_over_budget(spark):
     g = graph_from_edges(spark, [(i, i + 1) for i in range(30)], directed=False)
     with pytest.raises(ValueError):
         kamada_kawai_layout(g, max_nodes=10)
+
+
+def test_shortest_paths_weight_expr_json(spark):
+    rows = [
+        (1, 2, 1.0, '{"cost": 1.0}'),
+        (2, 3, 1.0, '{"cost": 2.0}'),
+        (1, 3, 1.0, '{"cost": 9.0}'),
+    ]
+    e = spark.createDataFrame(rows, "src long, dst long, weight double, attrs string")
+    g = LinkGraph(e, directed=True)
+    got = {
+        r["id"]: r["dist"]
+        for r in shortest_paths(
+            g, 1, weight_expr=F.get_json_object("attrs", "$.cost")
+        ).collect()
+    }
+    assert got[3] == pytest.approx(3.0)  # via 2, not the 9.0 direct edge
