@@ -5,9 +5,26 @@ from linkgraph.operators.centrality import (
 )
 from linkgraph.operators.components import strongly_connected_components, weakly_connected_components
 from linkgraph.operators.kcore import core_numbers, k_core
+from linkgraph.operators.layout import (
+    circular_layout,
+    kamada_kawai_layout,
+    random_layout,
+    rescale_layout,
+    shell_layout,
+    spiral_layout,
+    spring_layout_sampled,
+)
 from linkgraph.operators.lpa import label_propagation
+from linkgraph.operators.mst import minimum_spanning_forest
 from linkgraph.operators.pagerank import pagerank
-from linkgraph.operators.traversal import bfs_levels, reachable_from, shortest_paths
+from linkgraph.operators.traversal import (
+    bfs_levels,
+    dfs_preorder,
+    dijkstra_exact,
+    reachable_from,
+    reconstruct_path,
+    shortest_paths,
+)
 from linkgraph.operators.triangles import clustering_coefficients, triangle_counts
 
 __all__ = [
@@ -23,6 +40,17 @@ __all__ = [
     "k_core",
     "core_numbers",
     "multi_source_bfs",
+    "minimum_spanning_forest",
+    "dfs_preorder",
+    "dijkstra_exact",
+    "reconstruct_path",
+    "circular_layout",
+    "shell_layout",
+    "spiral_layout",
+    "random_layout",
+    "rescale_layout",
+    "spring_layout_sampled",
+    "kamada_kawai_layout",
     "closeness_centrality",
     "betweenness_centrality",
 ]

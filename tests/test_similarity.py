@@ -59,3 +59,35 @@ def test_embedding_near_duplicates(spark):
     out = embedding_near_duplicates(df, threshold=0.99).collect()
     pairs = {(r["a"], r["b"]) for r in out}
     assert (3, 7) in pairs
+
+
+def test_ann_multiprobe_improves_recall(spark):
+    """Multi-probe probes the smallest-margin neighbor buckets: its
+    recall against the exact top-k must dominate single-probe's.
+    Clustered embeddings (the case LSH exists for — iid gaussian
+    vectors have no neighborhood structure to recover)."""
+    rng = np.random.RandomState(11)
+    centroids = rng.normal(size=(6, 16))
+    vecs = np.vstack([
+        c + 0.15 * rng.normal(size=(10, 16)) for c in centroids
+    ]).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter("vec_id < 8")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(df, queries, k=5).collect()
+    }
+
+    def recall(multiprobe):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ann_cosine_topk(
+                df, queries, k=5, n_planes=8, multiprobe=multiprobe
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r0, r4 = recall(0), recall(4)
+    assert r4 >= r0
+    assert r4 >= 0.5  # 4 extra probes over 8 planes recovers most of top-5
