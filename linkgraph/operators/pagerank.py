@@ -85,7 +85,16 @@ def pagerank(
     n = vertices.count()
     if n == 0:
         return IterationResult(state=spark.createDataFrame([], "id long, rank double"))
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Partition the stationary transition table by DATA, capped at the
+    # session's shuffle width: ~2M edge rows (~50 MB) per partition.
+    # A fixed wide layout costs real scheduler floor per iteration on
+    # small graphs (64 near-empty tasks × k iterations) while big
+    # graphs hit the cap and behave like the shuffle setting.
+    m = edges.count()
+    n_parts = max(1, min(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        (m + 1_999_999) // 2_000_000,
+    ))
 
     w = _weight_col(weighted, weight_expr)
     out_sums = edges.groupBy("src").agg(F.sum(w).alias("out_w"))

@@ -279,16 +279,30 @@ workers warm; steady passes land at 6-10 s), so the 8→32 extraction
 ratio mostly measures process-spawn jitter. The stable, reproducible
 reading is 2→8.
 
-The PageRank SpMV curve saturates on this box: every local[K] thread
-shares ONE memory bus, ONE shuffle disk, ONE driver and ONE GC, so
-past a few threads aggregate bandwidth — the resource an SpMV
-actually consumes — stops growing with K. That is a hardware ceiling
-of thread-scaling, not executor-scaling: a real 8→32 *executor* step
-multiplies memory bandwidth, shuffle disks and network fabric by 4,
-which thread-scaling on one box cannot emulate. The per-iteration
-stats (levels_pr.json) show steady ~9 s/iter at local[32] vs ~41 s at
-local[2] — a 4.4× end-to-end speedup at 16× threads that is
-bandwidth-, not engine-, limited.
+PageRank SpMV, round-over-round (software-side attack on the curve,
+per VERDICT r1): the round-2 engine keeps the transition table cached
+hash-partitioned by src — the per-iteration ranks⋈edges join
+co-partitions and the 375M-edge operand NEVER re-shuffles (round 1
+re-shuffled it every iteration) — and the convergence delta rides the
+rank update as a carried column instead of a second join. Result:
+local[32] throughput rose 26.0M → {pr32['edges_per_sec']/1e6:.1f}M
+edges/sec (+{(pr32['edges_per_sec']/25976747-1)*100:.0f}%) and the
+8→32 efficiency rose 0.364 → {p832:.3f}. The salting ablation above
+closes the remaining software hypothesis: explicit hub salting makes
+the iteration {pr32['edges_per_sec']/pr_salt['edges_per_sec']:.1f}×
+SLOWER, i.e. the shuffle is not reducer-skew-bound.
+
+What remains under the 0.8 bar is thread-scaling saturation: every
+local[K] thread shares ONE memory bus, ONE shuffle disk, ONE driver
+and ONE GC, so past a few threads aggregate bandwidth — the resource
+an SpMV actually consumes — stops growing with K. A real 8→32
+*executor* step multiplies memory bandwidth, shuffle disks and
+network fabric by 4, which thread-scaling on one box cannot emulate.
+The per-iteration stats (levels_pr.json) show steady
+~{sum(pr32['per_iter_sec'])/len(pr32['per_iter_sec']):.1f} s/iter at
+local[32] vs ~{sum(pr[0]['per_iter_sec'])/len(pr[0]['per_iter_sec']):.1f} s
+at local[2] — a {pr32['edges_per_sec']/pr[0]['edges_per_sec']:.1f}×
+speedup at 16× threads that is bandwidth-, not engine-, limited.
 
 The harness is spark-submit-shaped (fresh JVM per level, conf-only
 topology) and ports to a real N→4N executor run unchanged.

@@ -87,3 +87,7 @@ def two_cliques_bridge(spark):
 
 def collect_map(df, k, v):
     return {r[k]: r[v] for r in df.collect()}
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: multi-example property-based Spark tests")
