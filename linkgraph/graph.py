@@ -113,7 +113,18 @@ class LinkGraph:
     def add_edges(self, new_edges: DataFrame, upsert: bool = True) -> "LinkGraph":
         """Batch add_edge (graph.rs:384-396). ``upsert`` = last-wins
         weight on duplicate (src,dst); False keeps parallel rows
-        (MultiGraph semantics)."""
+        (MultiGraph semantics). When BOTH sides carry ``edge_id`` and
+        ``upsert=False``, the keys ride along — the
+        add_edge_with_key path (multigraph.rs:878-910)."""
+        if (
+            not upsert
+            and "edge_id" in self.edges.columns
+            and "edge_id" in new_edges.columns
+        ):
+            merged = self.edges.select("src", "dst", "weight", "edge_id").unionAll(
+                new_edges.select("src", "dst", "weight", "edge_id")
+            )
+            return LinkGraph(merged, self._vertices, self.directed, self.name)
         old = self.edges.select("src", "dst", "weight").withColumn("_batch", F.lit(0))
         new = new_edges.select("src", "dst", "weight").withColumn("_batch", F.lit(1))
         both = old.unionAll(new)

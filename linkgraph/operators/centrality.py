@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import LinkGraph
-from linkgraph.plans.iterate import truncate_lineage
+from linkgraph.plans.iterate import LineageChain, truncate_lineage
 
 
 def multi_source_bfs(
@@ -48,22 +48,23 @@ def multi_source_bfs(
     ).select("source", F.col("source").alias("id"), F.lit(0).alias("level"))
     visited = visited.transform(truncate_lineage)
     frontier = visited
+    fchain, vchain = LineageChain(), LineageChain()
     depth = 0
     while depth < max_depth:
         depth += 1
-        nxt = (
+        nxt = fchain.cut(
             frontier.join(edges, frontier.id == edges.src)
             .select("source", F.col("dst").alias("id"))
             .distinct()
             .join(visited, ["source", "id"], "left_anti")
             .withColumn("level", F.lit(depth))
-            .transform(truncate_lineage)
         )
         if nxt.limit(1).count() == 0:
             break
-        visited = visited.unionAll(nxt).transform(truncate_lineage)
+        visited = vchain.cut(visited.unionAll(nxt))
         frontier = nxt
     edges.unpersist()
+    fchain.release()
     return visited
 
 
@@ -117,10 +118,11 @@ def _brandes_forward(
     )
     visited = truncate_lineage(visited)
     frontier = visited
+    fchain, vchain = LineageChain(), LineageChain()
     depth = 0
     while depth < max_depth:
         depth += 1
-        nxt = (
+        nxt = fchain.cut(
             frontier.join(edges, frontier.id == edges.src)
             .select("source", F.col("dst").alias("id"), "sigma")
             .groupBy("source", "id")
@@ -128,13 +130,13 @@ def _brandes_forward(
             .join(visited, ["source", "id"], "left_anti")
             .withColumn("level", F.lit(depth))
             .select("source", "id", "level", "sigma")
-            .transform(truncate_lineage)
         )
         if nxt.limit(1).count() == 0:
             depth -= 1
             break
-        visited = truncate_lineage(visited.unionAll(nxt))
+        visited = vchain.cut(visited.unionAll(nxt))
         frontier = nxt
+    fchain.release()
     return visited, depth
 
 
@@ -162,6 +164,7 @@ def betweenness_centrality(
     dist = dist.persist()
 
     spark = graph.edges.sparkSession
+    cchain, dchain = LineageChain(), LineageChain()
     delta_done = spark.createDataFrame([], "source long, id long, delta double")
     # rows of the level currently holding finished deltas
     cur = (
@@ -183,16 +186,17 @@ def betweenness_centrality(
             .groupBy("source", F.col("pid").alias("id"))
             .agg(F.sum("share").alias("share_sum"))
         )
-        new_cur = (
+        # dchain cut FIRST: it consumes cur, whose backing dir the
+        # cchain cut below deletes once new_cur is materialized
+        delta_done = dchain.cut(
+            delta_done.unionAll(cur.select("source", "id", "delta"))
+        )
+        new_cur = cchain.cut(
             prev.join(contrib, ["source", "id"], "left")
             .select(
                 "source", "id", "sigma",
                 (F.coalesce("share_sum", F.lit(0.0)) * F.col("sigma")).alias("delta"),
             )
-            .transform(truncate_lineage)
-        )
-        delta_done = truncate_lineage(
-            delta_done.unionAll(cur.select("source", "id", "delta"))
         )
         cur.unpersist()
         cur = new_cur.persist()

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import LinkGraph
-from linkgraph.plans.iterate import truncate_lineage
+from linkgraph.plans.iterate import LineageChain, truncate_lineage
 
 
 def bfs_levels(graph: LinkGraph, start: int, max_depth: int = 10_000) -> DataFrame:
@@ -28,24 +28,26 @@ def bfs_levels(graph: LinkGraph, start: int, max_depth: int = 10_000) -> DataFra
     edges = graph.sym_edges.select("src", "dst").persist()
     visited = spark.createDataFrame([(int(start), 0)], "id long, level int")
     frontier = visited
+    fchain, vchain = LineageChain(), LineageChain()
     depth = 0
     while depth < max_depth:
         depth += 1
-        # truncate_lineage cuts lineage each level — persist alone
-        # leaves a depth-deep join/union nest in the logical plan.
-        nxt = (
+        # chain cuts per level: persist alone leaves a depth-deep
+        # join/union nest in the logical plan, and the chain GCs the
+        # previous level's trunc dir once this one is durable
+        nxt = fchain.cut(
             frontier.join(edges, frontier.id == edges.src)
             .select(F.col("dst").alias("id"))
             .distinct()
             .join(visited, "id", "left_anti")
             .withColumn("level", F.lit(depth))
-            .transform(truncate_lineage)
         )
         if nxt.limit(1).count() == 0:
             break
-        visited = visited.unionAll(nxt).transform(truncate_lineage)
+        visited = vchain.cut(visited.unionAll(nxt))
         frontier = nxt
     edges.unpersist()
+    fchain.release()
     return visited
 
 
@@ -86,6 +88,7 @@ def shortest_paths(
         [(int(source), 0.0, None)], "id long, dist double, via long"
     )
     frontier = state
+    mchain = LineageChain()
     for _ in range(max_iter):
         cand = (
             frontier.join(edges, frontier.id == edges.src)
@@ -98,10 +101,11 @@ def shortest_paths(
             .agg(F.min_by(F.struct("nd", "nvia"), F.struct("nd", "nvia")).alias("m"))
             .select("id", F.col("m.nd").alias("nd"), F.col("m.nvia").alias("nvia"))
         )
-        # truncate_lineage = hard lineage cut: persist alone leaves the
+        # chain cut = hard lineage cut: persist alone leaves the
         # per-round join nesting in the logical plan, which grows
-        # unboundedly over rounds (SURVEY §4.2 risk #1).
-        merged = (
+        # unboundedly over rounds (SURVEY §4.2 risk #1); superseded
+        # round dirs are GC'd as the wavefront advances.
+        merged = mchain.cut(
             state.join(cand, "id", "full")
             .select(
                 "id",
@@ -113,7 +117,6 @@ def shortest_paths(
                 .alias("s"),
             )
             .select("id", "s.dist", "s.via", "s.chg")
-            .transform(truncate_lineage)
         )
         frontier = merged.filter("chg = 1").select("id", "dist", "via")
         state = merged.select("id", "dist", "via")

@@ -192,3 +192,13 @@ def test_shortest_paths_weight_expr_json(spark):
         ).collect()
     }
     assert got[3] == pytest.approx(3.0)  # via 2, not the 9.0 direct edge
+
+
+def test_add_edges_with_key_preserves_edge_ids(spark, parallel_graph):
+    new = spark.createDataFrame(
+        [(1, 2, 9.0, "e9")], "src long, dst long, weight double, edge_id string"
+    )
+    g2 = parallel_graph.add_edges(new, upsert=False)
+    assert g2.number_of_edges_between(1, 2) == 3
+    ids = {r["edge_id"] for r in g2.edges_between(1, 2).collect()}
+    assert ids == {"e0", "e1", "e9"}
