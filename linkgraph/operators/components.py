@@ -31,8 +31,16 @@ from linkgraph.plans.iterate import (
 )
 
 
-def _min_label_step(edges: DataFrame):
-    """One synchronous round: label'(v) = min(label(v), min_{u→v} label(u))."""
+def _min_label_step(edges: DataFrame, jump: bool = False):
+    """One synchronous round: label'(v) = min(label(v), min_{u→v} label(u)).
+
+    ``jump`` additionally folds in the label-of-label L(L(v))
+    (pointer jumping / hash-to-min): labels then shortcut along
+    already-discovered chains, so a diameter-d component converges in
+    O(log d) rounds instead of d — the difference between 6 and 10^6
+    rounds on a long path. Costs one extra V-row self-join per round,
+    so it pays off on high-diameter graphs; the fixpoint (min id per
+    component) is identical either way."""
 
     def step(state: DataFrame, i: int) -> tuple[DataFrame, float]:
         nbr = (
@@ -40,15 +48,23 @@ def _min_label_step(edges: DataFrame):
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nbr_min"))
         )
-        new = (
-            state.join(nbr, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
-                F.col("label").alias("_old"),
-            )
-            .persist()
-        )
+        new = state.join(nbr, "id", "left")
+        if jump:
+            lol = state.alias("a").join(
+                state.alias("b"), F.col("a.label") == F.col("b.id")
+            ).select(F.col("a.id").alias("id"), F.col("b.label").alias("ll"))
+            new = new.join(lol, "id", "left")
+        else:
+            new = new.withColumn("ll", F.lit(None).cast("long"))
+        new = new.select(
+            "id",
+            F.least(
+                F.col("label"),
+                F.coalesce("nbr_min", F.col("label")),
+                F.coalesce("ll", F.col("label")),
+            ).alias("label"),
+            F.col("label").alias("_old"),
+        ).persist()
         changed = new.filter(F.col("label") != F.col("_old")).count()
         state.unpersist()
         return new.select("id", "label"), float(changed)
@@ -61,17 +77,23 @@ def weakly_connected_components(
     max_iter: int = 10_000,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 0,
+    jump: bool = False,
 ) -> IterationResult:
     """DataFrame(id, component); component = min vertex id in it.
     Directed edges treated weakly (both directions), matching the
-    reference's directed WCC semantics (graph.rs:1406-1412)."""
+    reference's directed WCC semantics (graph.rs:1406-1412).
+
+    ``jump=True`` enables pointer jumping: O(log diameter) rounds at
+    one extra self-join per round — use it when components may be
+    deep (long chains); web graphs' shallow diameter makes the plain
+    step cheaper per round."""
     und = graph.to_directed() if not graph.directed else graph
     e = und.edges.select("src", "dst")
     sym = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).persist()
     init = graph.vertices.select("id", F.col("id").alias("label"))
     res = iterate(
         init,
-        _min_label_step(sym),
+        _min_label_step(sym, jump=jump),
         tol=0.0,
         max_iter=max_iter,
         checkpoint_dir=checkpoint_dir,

@@ -70,3 +70,22 @@ def test_scc_no_duplicate_rows_with_multi_color_predecessors(spark):
     comp = {r["id"]: r["component"] for r in rows}
     assert comp[3] == comp[4]
     assert comp[1] != comp[2]
+
+
+def test_wcc_pointer_jumping_logarithmic_rounds(spark):
+    """A 120-vertex path needs ~120 plain label rounds but O(log)
+    with pointer jumping; labels (min id per component) identical."""
+    from conftest import graph_from_edges
+
+    g = graph_from_edges(spark, [(i, i + 1) for i in range(120)], directed=False)
+    res = weakly_connected_components(g, max_iter=20, jump=True)
+    assert res.iterations <= 20
+    labels = {r["id"]: r["component"] for r in res.state.collect()}
+    assert set(labels.values()) == {0}
+    # the plain step cannot finish a 120-path in 20 rounds
+    import pytest as _pytest
+
+    from linkgraph.plans.iterate import ConvergenceError
+
+    with _pytest.raises(ConvergenceError):
+        weakly_connected_components(g, max_iter=20, jump=False)
