@@ -429,6 +429,30 @@ class LinkGraph:
         e = self.edges.repartition(n, "src").sortWithinPartitions("src", "dst")
         return LinkGraph(e, self._vertices, self.directed, self.name)
 
+    def write_bucketed(
+        self, table: str, n_buckets: int = 64, path: str | None = None
+    ) -> None:
+        """Durable CSR layout (SURVEY §4.2.4): bucket the edge table
+        by ``src`` and sort within buckets, so EVERY later session's
+        src-keyed joins and aggregations read it pre-distributed —
+        Catalyst sees the bucket spec in the catalog and plans no
+        Exchange on this side. On a production catalog this is the
+        Iceberg `bucket(src)` partition transform; here it is Spark
+        native bucketing (requires saveAsTable)."""
+        w = (
+            self.edges.write.mode("overwrite")
+            .bucketBy(n_buckets, "src")
+            .sortBy("src", "dst")
+        )
+        if path:
+            w = w.option("path", path)
+        w.saveAsTable(table)
+
+    @classmethod
+    def read_table(cls, spark, table: str, directed: bool = True) -> "LinkGraph":
+        """Read a write_bucketed table back with its bucket spec."""
+        return cls(spark.table(table), directed=directed)
+
     def degree_stats(self) -> DataFrame:
         """Out-degree histogram in log2 buckets — drives hub/salt
         decisions (north rule skew mitigation)."""

@@ -147,3 +147,21 @@ def test_degree_stats_and_hubs(star_hub):
     assert hubs.count() == 0  # spokes have in-degree 1
     rev_hubs = star_hub.reverse().hubs(min_degree=50)
     assert collect_map(rev_hubs, "id", "in_degree") == {0: 50}
+
+
+def test_bucketed_table_roundtrip_avoids_shuffle(spark, tmp_path):
+    """write_bucketed persists the CSR layout durably: a src-keyed
+    aggregation over the read-back table plans NO Exchange (the
+    bucket spec satisfies the required distribution)."""
+    from conftest import graph_from_edges
+
+    g = graph_from_edges(spark, [(i % 7, i % 5 + 10, float(i)) for i in range(100)])
+    g.write_bucketed("bucketed_edges_test", n_buckets=4, path=str(tmp_path / "be"))
+    try:
+        g2 = LinkGraph.read_table(spark, "bucketed_edges_test")
+        assert g2.edge_count() == g.edge_count()
+        agg = g2.edges.groupBy("src").count()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_edges_test")
