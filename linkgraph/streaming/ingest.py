@@ -49,3 +49,62 @@ def incremental_edge_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked tumbling/sliding-window aggregation over a
+    streaming events frame (ts timestamp, event_type string, value):
+    (window, event_type, n, total_value).
+
+    The watermark bounds state: rows later than ``watermark`` behind
+    the max observed ts are dropped and windows older than that are
+    finalized and evicted — the standard late-data contract. Works
+    identically on a batch frame (no watermark semantics, same
+    values), keeping one code path for backfill and live."""
+    from pyspark.sql import functions as F
+
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(win.alias("window"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+    )
+
+
+def running_user_counts(events: DataFrame, timeout_minutes: int = 30) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running event count with an idle-timeout that emits and
+    clears state (the applyInPandasWithState pattern from the north
+    brief). Output: (user_id, n_events, closed)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            (n,) = state.get
+            state.remove()
+            yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "closed": [True]})
+            return
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "closed": [False]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, closed boolean",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

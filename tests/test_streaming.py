@@ -25,3 +25,68 @@ def test_incremental_ingest_matches_batch(spark, tmp_path):
     q2 = incremental_edge_ingest(spark, pages_dir, edges_dir, ckpt, available_now=True)
     q2.awaitTermination(120)
     assert spark.read.parquet(edges_dir).count() == len(s)
+
+
+def test_windowed_event_counts_with_watermark(spark, tmp_path):
+    """Watermarked windowed agg over a file-source stream equals the
+    same aggregation computed in batch (one code path, two modes)."""
+    import datetime as dt
+
+    from linkgraph.streaming.ingest import windowed_event_counts
+
+    rows = [
+        (dt.datetime(2025, 1, 1, 0, m, 0), "click" if m % 2 else "view", float(m))
+        for m in range(0, 50, 5)
+    ]
+    src = str(tmp_path / "events_src")
+    spark.createDataFrame(rows, "ts timestamp, event_type string, value double").write.parquet(src)
+
+    stream = spark.readStream.schema("ts timestamp, event_type string, value double").parquet(src)
+    q = (
+        windowed_event_counts(stream, window="10 minutes")
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window"]["start"].minute, r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.table("win_counts").collect()
+    }
+    batch = windowed_event_counts(
+        spark.read.parquet(src)
+    ).collect()
+    expect = {
+        (r["window"]["start"].minute, r["event_type"]): (r["n"], r["total_value"])
+        for r in batch
+    }
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_running_user_counts_stateful(spark, tmp_path):
+    import datetime as dt
+
+    from linkgraph.streaming.ingest import running_user_counts
+
+    rows = [
+        (i % 3, dt.datetime(2025, 1, 1, 0, 0, i), float(i)) for i in range(30)
+    ]
+    src = str(tmp_path / "user_events")
+    spark.createDataFrame(rows, "user_id long, ts timestamp, value double").write.parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp, value double").parquet(src)
+    q = (
+        running_user_counts(stream)
+        .writeStream.format("memory")
+        .queryName("user_counts")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["user_id"]: r["n_events"] for r in spark.table("user_counts").collect()}
+    assert got == {0: 10, 1: 10, 2: 10}
