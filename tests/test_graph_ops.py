@@ -165,3 +165,23 @@ def test_bucketed_table_roundtrip_avoids_shuffle(spark, tmp_path):
         assert "Exchange" not in plan
     finally:
         spark.sql("DROP TABLE IF EXISTS bucketed_edges_test")
+
+
+def test_iterative_operators_on_empty_graph(spark):
+    """Empty-graph degenerate case: every iterative operator returns
+    an empty (or start-only) result instead of looping or raising."""
+    from linkgraph.operators.components import (
+        strongly_connected_components,
+        weakly_connected_components,
+    )
+    from linkgraph.operators.kcore import core_numbers
+    from linkgraph.operators.mst import minimum_spanning_forest
+    from linkgraph.operators.pagerank import pagerank
+
+    g = LinkGraph.empty(spark, directed=True)
+    gu = LinkGraph.empty(spark, directed=False)
+    assert pagerank(g).state.count() == 0
+    assert weakly_connected_components(g).state.count() == 0
+    assert strongly_connected_components(g).count() == 0
+    assert core_numbers(gu).count() == 0
+    assert minimum_spanning_forest(gu).count() == 0
