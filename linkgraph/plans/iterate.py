@@ -139,12 +139,24 @@ def commit_checkpoint(state: DataFrame, ckpt_dir: str, iteration: int, delta: fl
     table commit with the meta as snapshot properties."""
     path = _data_path(ckpt_dir, iteration)
     state.write.mode("overwrite").parquet(path)
-    npart = state.rdd.getNumPartitions()
+    committed = state.sparkSession.read.parquet(path)
+    # per-partition lineage (north rule): row count per partition of
+    # the committed files, so a resume can audit exactly what state
+    # each partition carries and a skew drift is visible per commit
+    from pyspark.sql import functions as F
+
+    part_rows = {
+        int(r["p"]): r["n"]
+        for r in committed.groupBy(
+            F.spark_partition_id().alias("p")
+        ).agg(F.count("*").alias("n")).collect()
+    }
     meta = {
         "iteration": iteration,
         "delta": delta,
-        "rows": state.count(),
-        "partitions": npart,
+        "rows": sum(part_rows.values()),
+        "partitions": len(part_rows),
+        "partition_rows": part_rows,
         "path": path,
     }
     tmp = _meta_path(ckpt_dir, iteration) + ".tmp"

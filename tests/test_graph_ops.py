@@ -185,3 +185,29 @@ def test_iterative_operators_on_empty_graph(spark):
     assert strongly_connected_components(g).count() == 0
     assert core_numbers(gu).count() == 0
     assert minimum_spanning_forest(gu).count() == 0
+
+
+def test_random_edges_deterministic_and_partition_invariant(spark):
+    from linkgraph.sources.random_graph import random_edges
+
+    a = random_edges(spark, 100, 500, seed=7, partitions=2).collect()
+    b = random_edges(spark, 100, 500, seed=7, partitions=16).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 500
+    assert all(0 <= r["src"] < 100 and 0 <= r["dst"] < 100 and r["src"] != r["dst"] for r in a)
+    c = random_edges(spark, 100, 500, seed=8).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_random_edges_zipf_skew(spark):
+    from pyspark.sql import functions as F
+
+    from linkgraph.sources.random_graph import random_edges
+
+    e = random_edges(spark, 1000, 20_000, seed=3, zipf_s=1.2)
+    top = (
+        e.groupBy("src").count().orderBy(F.desc("count")).limit(10)
+        .agg(F.sum("count")).collect()[0][0]
+    )
+    # hub-heavy: top-10 sources should hold well over 10x the uniform share
+    assert top > 10 * (20_000 / 1000)
