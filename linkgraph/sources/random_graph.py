@@ -49,15 +49,20 @@ def random_edges(
         F.col("id"), F.xxhash64(F.col("id"), F.lit(seed)).alias("h")
     )
     if zipf_s > 0:
-        # inverse-CDF approximation of a Zipf rank: u^(1/(1-s)) keeps
-        # the head heavy; exact normalization is irrelevant for a
-        # benchmark input, determinism and skew shape are what matter
+        # inverse-CDF heavy-tail rank draw (exact normalization is
+        # irrelevant for a benchmark input; determinism + skew shape
+        # are what matter): s > 1 → Pareto(s-1) rank
+        # r = floor((1-u)^(-1/(s-1))) - 1 (mass concentrated at rank
+        # 0, power-law tail); s <= 1 → log-uniform rank
+        # r = floor(n^u) - 1 (density ∝ 1/(r+1), the s≈1 shape)
         u = _u01(F.col("h"))
-        src = (
-            F.least(
-                F.lit(n_vertices - 1).cast("long"),
-                F.floor(F.pow(u, F.lit(1.0 / (1.0 - zipf_s) if zipf_s != 1.0 else -3.3)) * n_vertices).cast("long"),
-            )
+        if zipf_s > 1.0:
+            x = F.pow(F.lit(1.0) - u, F.lit(-1.0 / (zipf_s - 1.0)))
+        else:
+            x = F.pow(F.lit(float(n_vertices)), u)
+        src = F.least(
+            F.lit(n_vertices - 1).cast("long"),
+            F.greatest(F.lit(0).cast("long"), (F.floor(x) - 1).cast("long")),
         )
     else:
         src = F.pmod(F.col("h"), F.lit(n_vertices)).cast("long")

@@ -205,9 +205,12 @@ def test_random_edges_zipf_skew(spark):
     from linkgraph.sources.random_graph import random_edges
 
     e = random_edges(spark, 1000, 20_000, seed=3, zipf_s=1.2)
-    top = (
-        e.groupBy("src").count().orderBy(F.desc("count")).limit(10)
-        .agg(F.sum("count")).collect()[0][0]
-    )
-    # hub-heavy: top-10 sources should hold well over 10x the uniform share
+    deg = e.groupBy("src").count().persist()
+    top = deg.orderBy(F.desc("count")).limit(10).agg(F.sum("count")).collect()[0][0]
+    distinct_srcs = deg.count()
+    # hub-heavy: top-10 sources hold well over 10x the uniform share...
     assert top > 10 * (20_000 / 1000)
+    # ...but NOT degenerate (the round-2 bug: a broken inverse-CDF
+    # clamped every source to vertex n-1, a triangle-free star)
+    assert distinct_srcs > 100
+    assert top < 20_000
