@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from linkgraph.graph import LinkGraph
 from linkgraph.plans.iterate import LineageChain, truncate_lineage
+from linkgraph.plans.partitioning import stationary
 
 
 def multi_source_bfs(
@@ -42,7 +43,7 @@ def multi_source_bfs(
     edges = graph.sym_edges.select("src", "dst")
     if reverse:
         edges = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    edges = edges.persist()
+    edges = stationary(edges, "src")
     visited = sources.select(
         F.col(sources.columns[0]).cast("long").alias("source")
     ).select("source", F.col("source").alias("id"), F.lit(0).alias("level"))
@@ -159,7 +160,7 @@ def betweenness_centrality(
     n = graph.vertices.count()
     src = sources if sources is not None else graph.vertices.select("id")
     n_sources = src.count()
-    edges = graph.sym_edges.select("src", "dst").distinct().persist()
+    edges = stationary(graph.sym_edges.select("src", "dst").distinct(), "src")
     dist, max_level = _brandes_forward(edges, src, max_depth)
     dist = dist.persist()
 

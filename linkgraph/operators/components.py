@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import LinkGraph
+from linkgraph.plans.partitioning import stationary
 from linkgraph.plans.iterate import (
     ConvergenceError,
     IterationResult,
@@ -43,8 +44,17 @@ def _min_label_step(edges: DataFrame, jump: bool = False):
     component) is identical either way."""
 
     def step(state: DataFrame, i: int) -> tuple[DataFrame, float]:
+        # Frontier pruning (plain mode): labels are monotone, so a
+        # vertex can only improve through a neighbor whose label
+        # CHANGED last round — round i>0 joins only the changed
+        # frontier against the edges, not all V rows. ``chg`` rides
+        # the state (so checkpoints/resume carry it); round 0 treats
+        # every vertex as changed. Jump mode reads full state (a
+        # label-of-label shortcut can improve without a local change).
+        has_chg = "chg" in state.columns
+        active = state.filter(F.col("chg")) if (has_chg and not jump) else state
         nbr = (
-            state.join(edges, state.id == edges.src)
+            active.join(edges, active.id == edges.src)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nbr_min"))
         )
@@ -64,10 +74,10 @@ def _min_label_step(edges: DataFrame, jump: bool = False):
                 F.coalesce("ll", F.col("label")),
             ).alias("label"),
             F.col("label").alias("_old"),
-        ).persist()
-        changed = new.filter(F.col("label") != F.col("_old")).count()
+        ).withColumn("chg", F.col("label") != F.col("_old")).persist()
+        changed = new.filter("chg").count()
         state.unpersist()
-        return new.select("id", "label"), float(changed)
+        return new.select("id", "label", "chg"), float(changed)
 
     return step
 
@@ -89,7 +99,12 @@ def weakly_connected_components(
     step cheaper per round."""
     und = graph.to_directed() if not graph.directed else graph
     e = und.edges.select("src", "dst")
-    sym = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).persist()
+    # stationary operand: each label round joins on src without
+    # re-shuffling the symmetrized edge table
+    sym = stationary(
+        e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
+        "src",
+    )
     init = graph.vertices.select("id", F.col("id").alias("label"))
     res = iterate(
         init,
@@ -132,14 +147,19 @@ def strongly_connected_components(graph: LinkGraph, max_peels: int = 1000) -> Da
         if remaining_v.limit(1).count() == 0:
             done_all = True
             break
-        # 1. color(v) = min vertex id that reaches v (forward fixpoint)
-        colors = _propagate_min(remaining_v, remaining_e).withColumnRenamed("label", "color")
+        # 1. color(v) = min vertex id that reaches v (forward fixpoint).
+        # Both join orientations get stationary (src-partitioned,
+        # cached) operands for the duration of the peel.
+        fwd_e = stationary(remaining_e, "src")
+        colors = _propagate_min(remaining_v, fwd_e).withColumnRenamed("label", "color")
         colors = colors.persist()
         # 2. root r of each color is r itself (color(r)==r); SCC(r) =
         #    vertices of color r backward-reachable from r. Backward
         #    reachability from all roots at once: propagate the color
         #    as a mark along REVERSED edges, constrained to same color.
-        rev = remaining_e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        rev = stationary(
+            remaining_e.select(F.col("dst").alias("src"), F.col("src").alias("dst")), "src"
+        )
         # mark(v) = 1 if v backward-reaches its color root within color
         marks = colors.select("id", "color", (F.col("id") == F.col("color")).alias("mark"))
 
@@ -189,6 +209,8 @@ def strongly_connected_components(graph: LinkGraph, max_peels: int = 1000) -> Da
         )
         colors.unpersist()
         marked.unpersist()
+        fwd_e.unpersist()
+        rev.unpersist()
     else:
         done_all = remaining_v.limit(1).count() == 0
 

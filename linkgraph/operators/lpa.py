@@ -23,6 +23,7 @@ from pyspark.sql.window import Window
 
 from linkgraph.graph import LinkGraph
 from linkgraph.plans.iterate import IterationResult, iterate
+from linkgraph.plans.partitioning import stationary
 
 
 def label_propagation(
@@ -42,7 +43,8 @@ def label_propagation(
             )
         )
     )
-    edges = edges.persist()
+    # stationary operand: the vote join never re-shuffles the edges
+    edges = stationary(edges, "src")
     w = F.col("weight").cast("double") if weighted else F.lit(1.0)
     init = graph.vertices.select("id", F.col("id").alias("label"))
 

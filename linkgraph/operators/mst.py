@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from linkgraph.graph import LinkGraph
 from linkgraph.plans.iterate import ConvergenceError, LineageChain, iterate
+from linkgraph.plans.partitioning import stationary
 from linkgraph.operators.components import _min_label_step
 
 
@@ -70,8 +71,8 @@ def minimum_spanning_forest(graph: LinkGraph, max_rounds: int = 64) -> DataFrame
         .filter(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.min("weight").alias("weight"))
-        .persist()
     )
+    edges = stationary(edges, "src")
     # current component label per vertex
     comp = graph.vertices.select("id", F.col("id").alias("comp")).persist()
     chosen = spark.createDataFrame([], "src long, dst long, weight double")

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from linkgraph.graph import LinkGraph
 from linkgraph.plans.iterate import LineageChain, truncate_lineage
+from linkgraph.plans.partitioning import stationary
 
 
 def bfs_levels(graph: LinkGraph, start: int, max_depth: int = 10_000) -> DataFrame:
@@ -25,7 +26,7 @@ def bfs_levels(graph: LinkGraph, start: int, max_depth: int = 10_000) -> DataFra
     reached vertices. Level ordering is the reference's only BFS
     guarantee (depth k before k+1)."""
     spark = graph.edges.sparkSession
-    edges = graph.sym_edges.select("src", "dst").persist()
+    edges = stationary(graph.sym_edges.select("src", "dst"), "src")
     visited = spark.createDataFrame([(int(start), 0)], "id long, level int")
     frontier = visited
     fchain, vchain = LineageChain(), LineageChain()
@@ -83,7 +84,9 @@ def shortest_paths(
         wcol = F.col(weight_expr)
     else:
         wcol = weight_expr
-    edges = graph.sym_edges.select("src", "dst", wcol.cast("double").alias("w")).persist()
+    edges = stationary(
+        graph.sym_edges.select("src", "dst", wcol.cast("double").alias("w")), "src"
+    )
     state = spark.createDataFrame(
         [(int(source), 0.0, None)], "id long, dist double, via long"
     )
