@@ -105,3 +105,20 @@ def test_pagerank_personalized_partial(spark, diamond_weighted):
     want = pagerank_oracle(edges, verts, tol=1e-10, personalization={1: 3.0, 4: 1.0})
     for k in got:
         assert abs(got[k] - want[k]) < 1e-8
+
+
+def test_salted_aggregation_matches_plain(spark, two_cliques_bridge):
+    """Exactness of the two-level salted contribution sum: identical
+    ranks to the plain groupBy path."""
+    import numpy as np
+
+    from conftest import collect_map
+
+    a = collect_map(pagerank(two_cliques_bridge, tol=1e-10).state, "id", "rank")
+    b = collect_map(
+        pagerank(two_cliques_bridge, tol=1e-10, salt_contribs=16).state, "id", "rank"
+    )
+    assert a.keys() == b.keys()
+    av = np.array([a[k] for k in sorted(a)])
+    bv = np.array([b[k] for k in sorted(b)])
+    assert np.allclose(av, bv, atol=1e-9)
