@@ -337,13 +337,18 @@ class LinkGraph:
         insertion counter doesn't distribute; the deterministic analog
         is "e{rank within (src,dst)}" ranked by ``order_cols``
         (default: weight — callers supply columns that totally order
-        parallel edges for a stable key). Keys survive subgraph /
-        edge_subgraph / reverse, matching multigraph.rs:878-910."""
+        parallel edges for a stable key). A content hash of the full
+        edge row is always appended as the final tiebreaker, so
+        equal-``order_cols`` parallel edges still rank totally and
+        deterministically (partition order never decides). Keys
+        survive subgraph / edge_subgraph / reverse, matching
+        multigraph.rs:878-910."""
         from pyspark.sql.window import Window
 
         if "edge_id" in self.edges.columns:
             return self
-        order = order_cols or ["weight"]
+        order = list(order_cols or ["weight"])
+        order.append(F.xxhash64(*[F.col(c) for c in self.edges.columns]))
         w = Window.partitionBy("src", "dst").orderBy(*order)
         e = self.edges.withColumn(
             "edge_id", F.concat(F.lit("e"), (F.row_number().over(w) - 1).cast("string"))

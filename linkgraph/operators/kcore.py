@@ -43,14 +43,17 @@ def k_core(graph: LinkGraph, k: int, max_rounds: int = 1000) -> LinkGraph:
     echain, lchain = LineageChain(), LineageChain()
     edges = echain.cut(_simple_sym(graph))
     for r in range(max_rounds + 1):
-        if r == max_rounds:
-            raise ConvergenceError(
-                f"k_core did not reach a fixpoint in {max_rounds} rounds"
-            )
         deg = edges.groupBy("src").agg(F.count("*").alias("d"))
         low = lchain.cut(deg.filter(F.col("d") < k).select(F.col("src").alias("id")))
         if low.limit(1).count() == 0:
             break
+        # fixpoint check BEFORE the exhaustion raise (mirrors
+        # minimum_spanning_forest): a graph converging in exactly
+        # max_rounds peels must not raise spuriously
+        if r == max_rounds:
+            raise ConvergenceError(
+                f"k_core did not reach a fixpoint in {max_rounds} rounds"
+            )
         edges = echain.cut(
             edges.join(low, edges.src == low.id, "left_anti")
             .join(low, F.col("dst") == low.id, "left_anti")
@@ -69,9 +72,14 @@ def core_numbers(graph: LinkGraph, max_rounds: int = 100_000) -> DataFrame:
     core 0. Undirected-degree semantics on the symmetrized edge set,
     matching ``networkx.core_number`` (which rejects self-loop graphs;
     we drop self-loops first, the same preprocessing NetworkX
-    documents). ``max_rounds`` bounds the OUTER loop (= distinct core
-    values); exhausting it raises — a partial core map is wrong, not
-    degraded."""
+    documents). ``max_rounds`` bounds the peel count; exhausting it
+    raises — a partial core map is wrong, not degraded.
+
+    ONE driver action per peel: the min/count agg that decides k and
+    termination. The peel set ``present.filter(d <= k)`` is non-empty
+    by construction whenever vertices remain (min(d) <= k after the
+    jump), so the former inner-loop emptiness probe is redundant —
+    peel cascades at the same k and k-jumps are the same loop arm."""
     spark = graph.edges.sparkSession
     echain, vchain, achain, lchain = (LineageChain() for _ in range(4))
     edges = echain.cut(_simple_sym(graph))
@@ -85,34 +93,32 @@ def core_numbers(graph: LinkGraph, max_rounds: int = 100_000) -> DataFrame:
         )
 
     k = 0
-    rounds = 0
+    peels = 0
     while True:
         present = degrees(edges, remaining)
+        # the single per-peel action: min degree (k jump target) and
+        # remaining-vertex count (termination) in one agg
         row = present.agg(F.min("d").alias("m"), F.count("*").alias("c")).collect()[0]
         if not row["c"]:
             break
-        rounds += 1
-        if rounds > max_rounds:
+        peels += 1
+        if peels > max_rounds:
             raise ConvergenceError(
-                f"core_numbers exceeded {max_rounds} outer rounds without emptying "
+                f"core_numbers exceeded {max_rounds} peel rounds without emptying "
                 "the graph — refusing to return a partial core assignment"
             )
         # jump straight to the smallest degree still present: every
-        # vertex of that degree is guaranteed core = k
+        # vertex of degree <= k is guaranteed core = k
         k = max(k, int(row["m"]))
-        while True:
-            low = lchain.cut(present.filter(F.col("d") <= k).select("id"))
-            if low.limit(1).count() == 0:
-                break
-            assigned = achain.cut(
-                assigned.unionAll(low.select("id", F.lit(k).cast("long").alias("core")))
-            )
-            remaining = vchain.cut(remaining.join(low, "id", "left_anti"))
-            edges = echain.cut(
-                edges.join(low, edges.src == low.id, "left_anti")
-                .join(low, F.col("dst") == low.id, "left_anti")
-            )
-            present = degrees(edges, remaining)
+        low = lchain.cut(present.filter(F.col("d") <= k).select("id"))
+        assigned = achain.cut(
+            assigned.unionAll(low.select("id", F.lit(k).cast("long").alias("core")))
+        )
+        remaining = vchain.cut(remaining.join(low, "id", "left_anti"))
+        edges = echain.cut(
+            edges.join(low, edges.src == low.id, "left_anti")
+            .join(low, F.col("dst") == low.id, "left_anti")
+        )
     echain.release()
     vchain.release()
     lchain.release()

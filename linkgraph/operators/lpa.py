@@ -9,19 +9,24 @@ stop at stability or max_iter. The argmax is a window row_number —
 one shuffle per round keyed by vertex.
 
 Bipartite-ish structures can 2-cycle under synchronous updates; the
-driver loop detects a repeat of the previous delta pattern and stops
-(documented deviation — determinism is the contract, matching the
-reference's benchmark usage where only community *structure* is
+driver loop fingerprints each round's full (id, label) state (a
+bit_xor of per-row hashes, folded into the same action as the delta
+count) and stops with a loud warning when the state two rounds back
+recurs (documented deviation — determinism is the contract, matching
+the reference's benchmark usage where only community *structure* is
 compared).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import sys
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from linkgraph.graph import LinkGraph
+from linkgraph.operators.pagerank import _weight_col
 from linkgraph.plans.iterate import IterationResult, iterate
 from linkgraph.plans.partitioning import stationary
 
@@ -30,29 +35,38 @@ def label_propagation(
     graph: LinkGraph,
     max_iter: int = 20,
     weighted: bool = False,
+    weight_expr: Column | str | None = None,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 0,
 ) -> IterationResult:
-    """Returns IterationResult, state = DataFrame(id, label)."""
-    edges = graph.sym_edges if not graph.directed else (
-        # directed graphs vote over the weak (symmetrized) structure,
-        # the usual community-detection convention
-        graph.edges.select("src", "dst", "weight").unionAll(
-            graph.edges.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
-            )
+    """Returns IterationResult, state = DataFrame(id, label).
+
+    ``weight_expr``: optional Column/str evaluated against the edge
+    row as the vote weight (overrides ``weighted``) — the same
+    weight-closure parameter PageRank/SSSP take, e.g.
+    ``F.get_json_object("attrs", "$.cost")``."""
+    # vote weight evaluated against the RAW edge row (so weight_expr
+    # can reference attr columns), then symmetrized: directed graphs
+    # vote over the weak structure, the usual community convention
+    w = _weight_col(weighted, weight_expr)
+    if graph.directed:
+        base = graph.edges.select("src", "dst", w.alias("_w"))
+        edges = base.unionAll(
+            base.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "_w")
         )
-    )
+    else:
+        edges = graph.sym_edges.select("src", "dst", w.alias("_w"))
     # stationary operand: the vote join never re-shuffles the edges
     edges = stationary(edges, "src")
-    w = F.col("weight").cast("double") if weighted else F.lit(1.0)
     init = graph.vertices.select("id", F.col("id").alias("label"))
+    # last two state fingerprints, for synchronous 2-cycle detection
+    fps: list[int] = []
 
     def step(state: DataFrame, i: int) -> tuple[DataFrame, float]:
         votes = (
             state.join(edges, state.id == edges.src)
             .groupBy(F.col("dst").alias("id"), F.col("label").alias("cand"))
-            .agg(F.sum(w).alias("votes"))
+            .agg(F.sum("_w").alias("votes"))
         )
         win = Window.partitionBy("id").orderBy(F.desc("votes"), F.asc("cand"))
         best = (
@@ -69,8 +83,28 @@ def label_propagation(
             )
             .persist()
         )
-        changed = new.filter(F.col("label") != F.col("_old")).count()
+        # ONE action: delta count + an order-independent state
+        # fingerprint (bit_xor of row hashes — no overflow, collision
+        # odds 2^-64) for oscillation detection
+        row = new.agg(
+            F.count(F.when(F.col("label") != F.col("_old"), 1)).alias("chg"),
+            F.bit_xor(F.xxhash64("id", "label")).alias("fp"),
+        ).collect()[0]
+        changed, fp = int(row["chg"]), int(row["fp"] or 0)
         state.unpersist()
+        if changed and len(fps) >= 2 and fp == fps[-2]:
+            # synchronous 2-cycle (bipartite-ish oscillation): the
+            # state two rounds back recurred, so rounds alternate
+            # forever. Stop deterministically at the current state.
+            print(
+                f"WARNING linkgraph.lpa: oscillation detected at round {i} "
+                "(state recurrence with period 2); stopping at the current "
+                "deterministic state",
+                file=sys.stderr,
+            )
+            changed = 0
+        fps.append(fp)
+        del fps[:-2]
         return new.select("id", "label"), float(changed)
 
     res = iterate(

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from linkgraph.graph import LinkGraph
 from linkgraph.plans.iterate import IterationResult, iterate, truncate_lineage
+from linkgraph.plans.partitioning import shuffle_width
 from linkgraph.plans.skew import salted_sum
 
 
@@ -92,7 +93,7 @@ def pagerank(
     # graphs hit the cap and behave like the shuffle setting.
     m = edges.count()
     n_parts = max(1, min(
-        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        shuffle_width(spark),
         (m + 1_999_999) // 2_000_000,
     ))
 

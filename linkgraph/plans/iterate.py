@@ -45,6 +45,40 @@ class ConvergenceError(RuntimeError):
 _TRUNC_SEQ = [0]
 
 
+def _rm_path(path: str, spark: SparkSession | None = None) -> None:
+    """Delete a checkpoint/trunc directory wherever it lives.
+
+    ``shutil.rmtree`` silently no-ops on non-local URIs — exactly the
+    HDFS/object-store checkpoint dirs session.py tells cluster users
+    to configure — so hot loops would leak trunc dirs unboundedly on
+    a real cluster. Route scheme-qualified paths through the Hadoop
+    FileSystem API instead; plain paths stay on the cheap local
+    branch."""
+    if "://" not in path or path.startswith("file:"):
+        shutil.rmtree(path.removeprefix("file:"), ignore_errors=True)
+        return
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        import sys
+
+        print(
+            f"WARNING linkgraph.iterate: cannot delete {path} — no active "
+            "SparkSession for the Hadoop FileSystem API; trunc dir leaked",
+            file=sys.stderr,
+        )
+        return
+    try:
+        jvm = spark._jvm
+        jsc = spark.sparkContext._jsc
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
+    except Exception as exc:  # best-effort GC, never fail the loop
+        import sys
+
+        print(f"WARNING linkgraph.iterate: failed to delete {path}: {exc}", file=sys.stderr)
+
+
 def truncate_lineage(df: DataFrame) -> DataFrame:
     """Materialize ``df`` and cut its logical plan.
 
@@ -88,12 +122,14 @@ class LineageChain:
 
     def __init__(self) -> None:
         self._prev: str | None = None
+        self._spark: SparkSession | None = None
 
     def cut(self, df: DataFrame) -> DataFrame:
+        self._spark = df.sparkSession
         out = truncate_lineage(df)
         new_path = getattr(out, "_lg_trunc_path", None)
         if self._prev and new_path and self._prev != new_path:
-            shutil.rmtree(self._prev, ignore_errors=True)
+            _rm_path(self._prev, self._spark)
         self._prev = new_path or self._prev
         return out
 
@@ -101,7 +137,7 @@ class LineageChain:
         """Drop the last directory too (call when the chain's final
         frame has been consumed/copied elsewhere)."""
         if self._prev:
-            shutil.rmtree(self._prev, ignore_errors=True)
+            _rm_path(self._prev, self._spark)
             self._prev = None
 
 
@@ -132,30 +168,46 @@ def _data_path(ckpt_dir: str, i: int) -> str:
     return os.path.join(ckpt_dir, f"iter_{i:06d}.parquet")
 
 
-def commit_checkpoint(state: DataFrame, ckpt_dir: str, iteration: int, delta: float) -> None:
+def commit_checkpoint(
+    state: DataFrame,
+    ckpt_dir: str,
+    iteration: int,
+    delta: float,
+    partition_audit: bool = True,
+) -> None:
     """Atomic-enough commit: Parquet write (with _SUCCESS marker),
     THEN the meta JSON. A meta file existing implies its data is
     complete; resume only trusts metas. On Iceberg this is a single
-    table commit with the meta as snapshot properties."""
+    table commit with the meta as snapshot properties.
+
+    ``partitions`` is the committed frame's TRUE partition count
+    (``getNumPartitions``, empty partitions included). The
+    ``partition_rows`` lineage audit (row count per non-empty
+    partition — the north rule's per-partition lineage) costs one
+    extra scan+collect per commit; set ``partition_audit=False`` to
+    skip it for very large states."""
     path = _data_path(ckpt_dir, iteration)
     state.write.mode("overwrite").parquet(path)
     committed = state.sparkSession.read.parquet(path)
-    # per-partition lineage (north rule): row count per partition of
-    # the committed files, so a resume can audit exactly what state
-    # each partition carries and a skew drift is visible per commit
     from pyspark.sql import functions as F
 
-    part_rows = {
-        int(r["p"]): r["n"]
-        for r in committed.groupBy(
-            F.spark_partition_id().alias("p")
-        ).agg(F.count("*").alias("n")).collect()
-    }
+    n_partitions = committed.rdd.getNumPartitions()
+    if partition_audit:
+        part_rows = {
+            int(r["p"]): r["n"]
+            for r in committed.groupBy(
+                F.spark_partition_id().alias("p")
+            ).agg(F.count("*").alias("n")).collect()
+        }
+        rows = sum(part_rows.values())
+    else:
+        part_rows = None
+        rows = committed.count()
     meta = {
         "iteration": iteration,
         "delta": delta,
-        "rows": sum(part_rows.values()),
-        "partitions": len(part_rows),
+        "rows": rows,
+        "partitions": n_partitions,
         "partition_rows": part_rows,
         "path": path,
     }

@@ -18,9 +18,20 @@ floor per iteration.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 ROWS_PER_PARTITION = 2_000_000
+
+
+def shuffle_width(spark: SparkSession) -> int:
+    """The session's shuffle width as an int. Some managed runtimes
+    set ``spark.sql.shuffle.partitions`` to a non-numeric value
+    (e.g. "auto"); fall back to the cluster's default parallelism
+    rather than crashing on a user-supplied session."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (ValueError, TypeError):
+        return int(spark.sparkContext.defaultParallelism)
 
 
 def stationary(df: DataFrame, key: str = "src", rows: int | None = None) -> DataFrame:
@@ -32,7 +43,7 @@ def stationary(df: DataFrame, key: str = "src", rows: int | None = None) -> Data
     n_parts = max(
         1,
         min(
-            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            shuffle_width(spark),
             (m + ROWS_PER_PARTITION - 1) // ROWS_PER_PARTITION,
         ),
     )

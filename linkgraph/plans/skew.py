@@ -36,8 +36,16 @@ def salted_sum(
     n_salts reducers; the second level aggregates n_salts rows per
     key — negligible. Catalyst's map-side partial agg already gives
     much of this; explicit salting guarantees it survives plans where
-    partial agg degrades (high-cardinality distinct inputs)."""
-    salt = F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(n_salts))
+    partial agg degrades (high-cardinality distinct inputs).
+
+    The salt is derived from the ROW CONTENT (hash of every column),
+    not ``monotonically_increasing_id``: content-derived salts make
+    the two-level float summation ORDER stable across runs, so
+    salted results are bit-identical run-to-run (the engine's
+    determinism contract). Identical rows land on the same salt —
+    harmless for a sum, and hub keys' rows still spread because the
+    value column varies."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(key, "_salt")

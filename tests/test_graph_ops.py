@@ -214,3 +214,22 @@ def test_random_edges_zipf_skew(spark):
     # clamped every source to vertex n-1, a triangle-free star)
     assert distinct_srcs > 100
     assert top < 20_000
+
+
+def test_with_edge_ids_equal_weight_tiebreak_deterministic(spark):
+    """Parallel edges with EQUAL weights must still get a stable
+    edge_id assignment: the content-hash tiebreaker (not partition
+    order) decides, so repeated builds agree row-for-row."""
+    from linkgraph import LinkGraph
+    from pyspark.sql import functions as F
+
+    rows = [(1, 2, 1.0, f"tag{i}") for i in range(5)] + [(3, 4, 2.0, "x")]
+    e = spark.createDataFrame(rows, "src long, dst long, weight double, attrs string")
+
+    def build():
+        g = LinkGraph(e.repartition(8), directed=True).with_edge_ids()
+        return {r["attrs"]: r["edge_id"] for r in g.edges.collect()}
+
+    a, b = build(), build()
+    assert a == b
+    assert sorted(a[f"tag{i}"] for i in range(5)) == ["e0", "e1", "e2", "e3", "e4"]

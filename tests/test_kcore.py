@@ -51,3 +51,15 @@ def test_k_core_thresholds(spark, k, expect_empty):
     g = graph_from_edges(spark, TRIANGLE_TAIL, directed=False)
     sub = k_core(g, k)
     assert (sub.vertices.count() == 0) == expect_empty
+
+
+def test_k_core_exact_max_rounds_no_spurious_raise(spark):
+    """A peel converging in exactly max_rounds must not raise: the
+    fixpoint check precedes the exhaustion raise (ADVICE r2). The
+    5-path at k=2 peels in exactly 3 rounds (ends, then middles,
+    then the center)."""
+    from conftest import graph_from_edges
+
+    g = graph_from_edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], directed=False)
+    out = k_core(g, 2, max_rounds=3)
+    assert out.edges.count() == 0

@@ -122,3 +122,35 @@ def test_salted_aggregation_matches_plain(spark, two_cliques_bridge):
     av = np.array([a[k] for k in sorted(a)])
     bv = np.array([b[k] for k in sorted(b)])
     assert np.allclose(av, bv, atol=1e-9)
+
+
+def test_salted_aggregation_deterministic_across_runs(spark, two_cliques_bridge):
+    """The salt is content-derived (not monotonically_increasing_id),
+    so the two-level float summation order — and therefore every
+    last-ulp rank value — is identical run-to-run."""
+    a = collect_map(
+        pagerank(two_cliques_bridge, tol=1e-10, salt_contribs=16).state, "id", "rank"
+    )
+    b = collect_map(
+        pagerank(two_cliques_bridge, tol=1e-10, salt_contribs=16).state, "id", "rank"
+    )
+    assert a == b  # bit-identical, not allclose
+
+
+def test_salted_sum_unit_deterministic(spark):
+    """salted_sum on a hub-skewed frame: equals the plain groupBy sum
+    exactly in value set, and repeated invocations are bit-identical."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.plans.skew import salted_sum
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 7 == 0).cast("long").alias("k"),  # hub key 1: ~1400 rows
+        (F.rand(seed=7) + F.lit(0.1)).alias("v"),
+    )
+    plain = {r["k"]: r["s"] for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    s1 = {r["k"]: r["s"] for r in salted_sum(df, "k", "v", "s", n_salts=16).collect()}
+    s2 = {r["k"]: r["s"] for r in salted_sum(df, "k", "v", "s", n_salts=16).collect()}
+    assert s1 == s2
+    for k in plain:
+        assert abs(s1[k] - plain[k]) < 1e-9 * max(1.0, abs(plain[k]))
