@@ -49,7 +49,11 @@ from linkgraph.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_col,
 )
-from linkgraph.operators.centrality import betweenness_centrality, closeness_centrality
+from linkgraph.operators.centrality import (
+    betweenness_centrality,
+    closeness_centrality,
+    multi_source_shortest_paths,
+)
 from linkgraph.operators.kcore import core_numbers, k_core
 from linkgraph.operators.layout import circular_layout, shell_layout, spiral_layout
 from linkgraph.operators.lpa import label_propagation
@@ -518,6 +522,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sssp_from_customer1"] = lambda s, d: (
         shortest_paths(_sssp_dag(s, d), 1).select("id", F.round("dist", 6).alias("dist"))
     )
+    # weighted multi-source relaxation (the r2 verdict's one partial):
+    # 3 sources ride one frontier loop as a key column
+    q["sssp_multi_weighted"] = lambda s, d: (
+        multi_source_shortest_paths(
+            _sssp_dag(s, d), s.createDataFrame([(1,), (2,), (3,)], "id long")
+        ).select("source", "id", F.round("dist", 6).alias("dist"))
+    )
     q["wcc_hierarchy"] = lambda s, d: (
         weakly_connected_components(
             LinkGraph(_hierarchy_edges(s, d), directed=True)
@@ -630,6 +641,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["closeness_hierarchy"] = lambda s, d: (
         closeness_centrality(LinkGraph(_hierarchy_edges(s, d), directed=True))
+        .select("id", F.round("closeness", 9).alias("closeness"))
+    )
+    # weighted closeness over the weighted DAG (distances exact:
+    # integer-valued co-occurrence weights)
+    q["closeness_weighted_dag"] = lambda s, d: (
+        closeness_centrality(_sssp_dag(s, d), weighted=True)
         .select("id", F.round("closeness", 9).alias("closeness"))
     )
     q["betweenness_hierarchy"] = lambda s, d: (
@@ -976,6 +993,38 @@ paths(id, dist) AS (
   SELECT e.dst, paths.dist + e.weight FROM paths JOIN dag e ON paths.id = e.src
 )
 SELECT id, round(min(dist), 6) AS dist FROM paths GROUP BY id
+""",
+        "sssp_multi_weighted": f"""
+WITH RECURSIVE dag AS ({SSSP_DAG}),
+srcs AS (SELECT CAST(1 AS BIGINT) AS s UNION ALL SELECT 2 UNION ALL SELECT 3),
+paths(source, id, dist) AS (
+  SELECT s, s, CAST(0.0 AS DOUBLE) FROM srcs
+  UNION ALL
+  SELECT paths.source, e.dst, paths.dist + e.weight
+  FROM paths JOIN dag e ON paths.id = e.src
+)
+SELECT source, id, round(min(dist), 6) AS dist FROM paths GROUP BY source, id
+""",
+        "closeness_weighted_dag": f"""
+WITH agg AS (
+  WITH RECURSIVE dag AS ({SSSP_DAG}),
+  v AS (SELECT src AS id FROM dag UNION SELECT dst FROM dag),
+  paths(source, id, dist) AS (
+    SELECT id, id, CAST(0.0 AS DOUBLE) FROM v
+    UNION ALL
+    SELECT paths.source, e.dst, paths.dist + e.weight
+    FROM paths JOIN dag e ON paths.id = e.src
+  ),
+  d AS (SELECT source, id, min(dist) AS dist FROM paths GROUP BY 1, 2)
+  SELECT id, sum(dist) AS dsum, count(*) AS r1 FROM d WHERE source <> id GROUP BY 1
+),
+verts AS (SELECT src AS id FROM ({SSSP_DAG}) UNION SELECT dst FROM ({SSSP_DAG})),
+n AS (SELECT count(*) AS n FROM verts)
+SELECT verts.id,
+       round(CASE WHEN agg.dsum IS NOT NULL
+             THEN (r1 * 1.0 / dsum) * (r1 * 1.0 / ((SELECT n FROM n) - 1))
+             ELSE 0.0 END, 9) AS closeness
+FROM verts LEFT JOIN agg ON verts.id = agg.id
 """,
         "wcc_hierarchy": f"""
 WITH RECURSIVE e AS ({HIER}),

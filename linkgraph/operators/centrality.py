@@ -20,7 +20,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql import Column
+
 from linkgraph.graph import LinkGraph
+from linkgraph.operators.pagerank import _weight_col
 from linkgraph.plans.iterate import LineageChain, truncate_lineage
 from linkgraph.plans.partitioning import stationary
 
@@ -69,26 +72,108 @@ def multi_source_bfs(
     return visited
 
 
+def multi_source_shortest_paths(
+    graph: LinkGraph,
+    sources: DataFrame,
+    max_iter: int = 200,
+    weight_expr: Column | str | None = None,
+    reverse: bool = False,
+) -> DataFrame:
+    """Weighted distances from every source in one frontier loop:
+    DataFrame(source, id, dist), reached pairs only. The weighted
+    analog of ``multi_source_bfs``, generalizing ``shortest_paths``'
+    Bellman-Ford frontier relaxation with the source id riding along
+    as a key column — k sources cost one loop, not k (the batching
+    the reference's weighted closeness/betweenness benchmarks imply,
+    benchmarks/src/benchmark_networkx.py:235-247). Non-negative
+    weights assumed (the reference's Dijkstra contract,
+    graph.rs:1054-1061). ``weight_expr``: optional Column/str over
+    the edge row (defaults to the weight column).
+
+    Orientation matches multi_source_bfs: a forward walk reaches v at
+    d(source, v); grouping by v gives incoming distances."""
+    spark = graph.edges.sparkSession
+    wcol = _weight_col(True, weight_expr)
+    edges = graph.sym_edges.select("src", "dst", wcol.cast("double").alias("w"))
+    if reverse:
+        edges = edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    edges = stationary(edges, "src")
+    state = sources.select(
+        F.col(sources.columns[0]).cast("long").alias("source")
+    ).select("source", F.col("source").alias("id"), F.lit(0.0).alias("dist"))
+    state = state.transform(truncate_lineage)
+    frontier = state
+    mchain = LineageChain()
+    for _ in range(max_iter):
+        cand = (
+            frontier.join(edges, frontier.id == edges.src)
+            .select(
+                "source",
+                F.col("dst").alias("id"),
+                (F.col("dist") + F.col("w")).alias("nd"),
+            )
+            .groupBy("source", "id")
+            .agg(F.min("nd").alias("nd"))
+        )
+        merged = mchain.cut(
+            state.join(cand, ["source", "id"], "full")
+            .select(
+                "source",
+                "id",
+                F.when(
+                    F.col("dist").isNull() | (F.col("nd") < F.col("dist")),
+                    F.struct(F.col("nd").alias("dist"), F.lit(1).alias("chg")),
+                )
+                .otherwise(F.struct("dist", F.lit(0).alias("chg")))
+                .alias("s"),
+            )
+            .select("source", "id", "s.dist", "s.chg")
+        )
+        frontier = merged.filter("chg = 1").select("source", "id", "dist")
+        state = merged.select("source", "id", "dist")
+        if frontier.limit(1).count() == 0:
+            break
+    edges.unpersist()
+    return state
+
+
 def closeness_centrality(
     graph: LinkGraph,
     sources: DataFrame | None = None,
     wf_improved: bool = True,
+    weighted: bool = False,
+    weight_expr: Column | str | None = None,
 ) -> DataFrame:
-    """Hop-distance closeness: DataFrame(id, closeness).
+    """Closeness: DataFrame(id, closeness).
 
     closeness(v) = (r-1) / Σ_u d(u,v) over the r vertices u that
     reach v; with ``wf_improved`` (NetworkX default) scaled by
     (r-1)/(n-1). Exact (= ``networkx.closeness_centrality``) when
     ``sources`` is None (all vertices); estimated from a source
     sample otherwise — at web scale pass a sampled source set.
-    Directed graphs use incoming distance, like NetworkX."""
+    Directed graphs use incoming distance, like NetworkX.
+
+    ``weighted``/``weight_expr`` switch the distance from hop count
+    to weighted shortest-path length (the batched multi-source
+    relaxation) — ``networkx.closeness_centrality(distance='weight')``
+    semantics, the reference's weighted benchmark op
+    (benchmark_networkx.py:235-247)."""
     n = graph.vertices.count()
     src = sources if sources is not None else graph.vertices.select("id")
     # forward walk from each source u reaches v at d(u, v); grouping
     # by the reached vertex v yields v's INCOMING distances — the
     # directed-closeness definition (see multi_source_bfs docstring)
-    dists = multi_source_bfs(graph, src, reverse=False)
-    agg = dists.filter(F.col("level") > 0).groupBy("id").agg(
+    if weighted or weight_expr is not None:
+        dists = multi_source_shortest_paths(
+            graph, src, weight_expr=weight_expr
+        ).select("source", "id", F.col("dist").alias("level"))
+    else:
+        dists = multi_source_bfs(graph, src, reverse=False)
+    # exclude each source's own row; a zero-WEIGHT distance to a
+    # distinct vertex still counts (NetworkX sums over all u != v)
+    agg = dists.filter(F.col("source") != F.col("id")).groupBy("id").agg(
         F.sum("level").alias("dsum"), F.count("*").alias("r1")
     )
     scale = (F.col("r1") / F.col("dsum")) * (

@@ -153,6 +153,7 @@ def kamada_kawai_layout(
     iterations: int = 300,
     scale: float = 1.0,
     center=(0.0, 0.0),
+    weighted: bool = False,
 ) -> DataFrame:
     """Kamada-Kawai stress layout (reference layout.rs:679-853: APSP
     precompute + Newton steps on the stress function) via the survey's
@@ -160,11 +161,18 @@ def kamada_kawai_layout(
     so the layout runs driver-side on a bounded subgraph — at web
     scale you lay out a sampled neighborhood, not the crawl.
 
-    Driver-side implementation: BFS APSP (numpy over the collected
-    edge list), then gradient descent on the KK stress
+    Driver-side implementation: APSP (numpy over the collected edge
+    list), then gradient descent on the KK stress
     E = Σ_{i<j} (|p_i-p_j| - d_ij)² / d_ij², deterministic circular
     init (the reference's own init, layout.rs:714-721). No scipy
-    dependency."""
+    dependency.
+
+    ``weighted=True`` uses WEIGHTED shortest-path distances (heap
+    Dijkstra per source; parallel edges collapse to min weight) —
+    the reference's KK distance semantics through its WeightExtractor
+    (layout.rs:856-881). Default stays hop-distance, matching
+    NetworkX's ``kamada_kawai_layout`` default (weight=None when the
+    graph has no weight data)."""
     import numpy as np
 
     n = graph.vertices.count()
@@ -182,28 +190,55 @@ def kamada_kawai_layout(
         return spark.createDataFrame(
             [(ids[0], float(center[0]), float(center[1]))], "id long, x double, y double"
         )
-    # hop-distance APSP via repeated BFS over an adjacency list
-    adj: list[list[int]] = [[] for _ in range(n)]
-    for r in graph.edges.select("src", "dst").collect():
-        a, b = idx.get(r["src"]), idx.get(r["dst"])
-        if a is None or b is None or a == b:
-            continue
-        adj[a].append(b)
-        adj[b].append(a)
     dist = np.full((n, n), np.inf)
-    for s in range(n):
-        dist[s, s] = 0.0
-        frontier = [s]
-        d = 0
-        while frontier:
-            d += 1
-            nxt = []
-            for u in frontier:
-                for v2 in adj[u]:
-                    if dist[s, v2] == np.inf:
-                        dist[s, v2] = d
-                        nxt.append(v2)
-            frontier = nxt
+    if weighted:
+        # weighted APSP: heap Dijkstra per source over an undirected
+        # adjacency with min-collapsed parallel edges
+        import heapq
+
+        wadj: dict[int, dict[int, float]] = {i: {} for i in range(n)}
+        for r in graph.edges.select("src", "dst", "weight").collect():
+            a, b = idx.get(r["src"]), idx.get(r["dst"])
+            if a is None or b is None or a == b:
+                continue
+            w = float(r["weight"])
+            for u, v2 in ((a, b), (b, a)):
+                if v2 not in wadj[u] or w < wadj[u][v2]:
+                    wadj[u][v2] = w
+        for s in range(n):
+            dist[s, s] = 0.0
+            heap = [(0.0, s)]
+            while heap:
+                d, u = heapq.heappop(heap)
+                if d > dist[s, u]:
+                    continue
+                for v2, w in wadj[u].items():
+                    nd = d + w
+                    if nd < dist[s, v2]:
+                        dist[s, v2] = nd
+                        heapq.heappush(heap, (nd, v2))
+    else:
+        # hop-distance APSP via repeated BFS over an adjacency list
+        adj: list[list[int]] = [[] for _ in range(n)]
+        for r in graph.edges.select("src", "dst").collect():
+            a, b = idx.get(r["src"]), idx.get(r["dst"])
+            if a is None or b is None or a == b:
+                continue
+            adj[a].append(b)
+            adj[b].append(a)
+        for s in range(n):
+            dist[s, s] = 0.0
+            frontier = [s]
+            d = 0
+            while frontier:
+                d += 1
+                nxt = []
+                for u in frontier:
+                    for v2 in adj[u]:
+                        if dist[s, v2] == np.inf:
+                            dist[s, v2] = d
+                            nxt.append(v2)
+                frontier = nxt
     # disconnected pairs: NetworkX uses max finite distance as filler
     finite = dist[np.isfinite(dist)]
     filler = float(finite.max()) if finite.size else 1.0

@@ -97,3 +97,77 @@ def test_betweenness_random_normalized(spark):
     assert set(got) == set(want)
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-9, (k, got[k], v)
+
+
+def test_multi_source_weighted_vs_networkx(spark):
+    """Batched weighted relaxation == per-source NetworkX Dijkstra on
+    a seeded random weighted digraph, 3 sources in one loop."""
+    from linkgraph.operators.centrality import multi_source_shortest_paths
+
+    rng = random.Random(23)
+    edges = list({(rng.randrange(25), rng.randrange(25)) for _ in range(80)})
+    edges = [(a, b, round(rng.uniform(0.5, 5.0), 3)) for a, b in edges if a != b]
+    g = graph_from_edges(spark, edges, directed=True)
+    sources = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    got = {
+        (r["source"], r["id"]): r["dist"]
+        for r in multi_source_shortest_paths(g, sources).collect()
+    }
+    G = nx.DiGraph()
+    G.add_weighted_edges_from(edges)
+    for s in (0, 1, 2):
+        want = nx.single_source_dijkstra_path_length(G, s)
+        for v, d in want.items():
+            assert abs(got[(s, v)] - d) < 1e-9, (s, v)
+        assert {v for (src, v) in got if src == s} == set(want)
+
+
+def test_closeness_weighted_vs_networkx(spark):
+    """closeness(weighted=True) == networkx.closeness_centrality(
+    distance='weight') on seeded graphs, both orientations."""
+    rng = random.Random(47)
+    # unordered-pair dedup: reciprocal rows with different weights are
+    # parallel edges to the engine (min wins in relaxation) but a
+    # single overwritten edge to nx.Graph — not a semantics test
+    pairs = sorted({
+        (min(a, b), max(a, b))
+        for a, b in ((rng.randrange(20), rng.randrange(20)) for _ in range(60))
+        if a != b
+    })
+    edges = [(a, b, round(rng.uniform(0.2, 4.0), 3)) for a, b in pairs]
+    for directed in (False, True):
+        g = graph_from_edges(spark, edges, directed=directed)
+        got = {
+            r["id"]: r["closeness"]
+            for r in closeness_centrality(g, weighted=True).collect()
+        }
+        G = nx.DiGraph() if directed else nx.Graph()
+        G.add_weighted_edges_from(edges)
+        want = nx.closeness_centrality(G, distance="weight")
+        assert set(got) == set(want)
+        for k, v in want.items():
+            assert abs(got[k] - v) < 1e-9, (directed, k, got[k], v)
+
+
+def test_multi_source_weighted_weight_expr(spark):
+    """weight_expr parity: distances through a JSON attrs column."""
+    from pyspark.sql import functions as F
+
+    from linkgraph import LinkGraph
+    from linkgraph.operators.centrality import multi_source_shortest_paths
+
+    rows = [
+        (1, 2, 1.0, '{"cost": 5.0}'),
+        (2, 3, 1.0, '{"cost": 1.0}'),
+        (1, 3, 1.0, '{"cost": 9.0}'),
+    ]
+    e = spark.createDataFrame(rows, "src long, dst long, weight double, attrs string")
+    g = LinkGraph(e, directed=True)
+    src = spark.createDataFrame([(1,)], "id long")
+    got = {
+        r["id"]: r["dist"]
+        for r in multi_source_shortest_paths(
+            g, src, weight_expr=F.get_json_object("attrs", "$.cost")
+        ).collect()
+    }
+    assert got == {1: 0.0, 2: 5.0, 3: 6.0}

@@ -81,3 +81,30 @@ def test_spring_refuses_large(spark):
     g = graph_from_edges(spark, [], vertices=range(100))
     with pytest.raises(ValueError):
         spring_layout_sampled(g, max_nodes=50)
+
+
+def test_kamada_kawai_weighted_distances(spark):
+    """weighted=True uses weighted APSP: on a 3-path with one heavy
+    edge, the heavy pair lands proportionally farther apart than in
+    the hop-distance layout."""
+    import math
+
+    from conftest import graph_from_edges
+    from linkgraph.operators.layout import kamada_kawai_layout
+
+    g = graph_from_edges(
+        spark, [(1, 2, 1.0), (2, 3, 10.0)], directed=False
+    )
+    pos = {
+        r["id"]: (r["x"], r["y"])
+        for r in kamada_kawai_layout(g, weighted=True, iterations=500).collect()
+    }
+
+    def d(a, b):
+        return math.dist(pos[a], pos[b])
+
+    # stress optimum reproduces the 1:10 distance ratio (path graphs
+    # embed isometrically on a line)
+    assert d(1, 2) < 0.3 * d(2, 3)
+    ratio = d(1, 3) / (d(1, 2) + d(2, 3))
+    assert 0.9 < ratio <= 1.01
