@@ -28,6 +28,7 @@ from linkgraph.plans.iterate import (
     ConvergenceError,
     IterationResult,
     LineageChain,
+    PeelCheckpoint,
     iterate,
 )
 
@@ -129,12 +130,23 @@ def _propagate_min(vertices: DataFrame, edges: DataFrame, max_iter: int = 10_000
     ).state
 
 
-def strongly_connected_components(graph: LinkGraph, max_peels: int = 1000) -> DataFrame:
+def strongly_connected_components(
+    graph: LinkGraph,
+    max_peels: int = 1000,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
+    resume: bool = True,
+) -> DataFrame:
     """DataFrame(id, component); component = min vertex id in the SCC.
 
     Coloring/FW-BW peeling. Driver loop count = number of peels (each
     peel removes ≥1 SCC per color); inner loops are frontier joins.
     Suited to web graphs whose giant SCC comes out in peel one.
+
+    ``checkpoint_dir``/``checkpoint_every``: durable per-peel commits
+    of (assigned, remaining_v, remaining_e) via PeelCheckpoint — a
+    killed 10-hour run restarts from the last committed peel instead
+    of from zero (north-rule resumability for multi-frame loops).
     """
     spark = graph.edges.sparkSession
     remaining_v = graph.vertices.select("id").persist()
@@ -142,8 +154,21 @@ def strongly_connected_components(graph: LinkGraph, max_peels: int = 1000) -> Da
     assigned = spark.createDataFrame([], "id long, component long")
     vchain, echain, achain = LineageChain(), LineageChain(), LineageChain()
 
+    ckpt = PeelCheckpoint(checkpoint_dir, spark) if checkpoint_dir else None
+    start_peel = 0
+    if ckpt and resume:
+        meta = ckpt.latest()
+        if meta is not None:
+            frames = ckpt.load(meta)
+            remaining_v.unpersist()
+            remaining_e.unpersist()
+            assigned = frames["assigned"]
+            remaining_v = frames["remaining_v"].persist()
+            remaining_e = frames["remaining_e"].persist()
+            start_peel = meta["round"] + 1
+
     done_all = False
-    for _ in range(max_peels):
+    for peel in range(start_peel, max_peels):
         if remaining_v.limit(1).count() == 0:
             done_all = True
             break
@@ -211,6 +236,15 @@ def strongly_connected_components(graph: LinkGraph, max_peels: int = 1000) -> Da
         marked.unpersist()
         fwd_e.unpersist()
         rev.unpersist()
+        if ckpt and checkpoint_every and (peel + 1) % checkpoint_every == 0:
+            ckpt.commit(
+                peel,
+                {
+                    "assigned": assigned,
+                    "remaining_v": remaining_v,
+                    "remaining_e": remaining_e,
+                },
+            )
     else:
         done_all = remaining_v.limit(1).count() == 0
 

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import LinkGraph
-from linkgraph.plans.iterate import ConvergenceError, LineageChain
+from linkgraph.plans.iterate import ConvergenceError, LineageChain, PeelCheckpoint
 
 
 def _simple_sym(graph: LinkGraph) -> DataFrame:
@@ -65,7 +65,13 @@ def k_core(graph: LinkGraph, k: int, max_rounds: int = 1000) -> LinkGraph:
     return out
 
 
-def core_numbers(graph: LinkGraph, max_rounds: int = 100_000) -> DataFrame:
+def core_numbers(
+    graph: LinkGraph,
+    max_rounds: int = 100_000,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
+    resume: bool = True,
+) -> DataFrame:
     """DataFrame(id, core): largest k such that id is in the k-core.
 
     Isolated vertices (and vertices only touching self-loops) get
@@ -79,12 +85,29 @@ def core_numbers(graph: LinkGraph, max_rounds: int = 100_000) -> DataFrame:
     termination. The peel set ``present.filter(d <= k)`` is non-empty
     by construction whenever vertices remain (min(d) <= k after the
     jump), so the former inner-loop emptiness probe is redundant —
-    peel cascades at the same k and k-jumps are the same loop arm."""
+    peel cascades at the same k and k-jumps are the same loop arm.
+
+    ``checkpoint_dir``/``checkpoint_every``: durable per-peel commits
+    of (assigned, remaining, edges) plus the scalar peel state (k,
+    peel count) via PeelCheckpoint — an interrupted decomposition
+    resumes from the last committed peel."""
     spark = graph.edges.sparkSession
     echain, vchain, achain, lchain = (LineageChain() for _ in range(4))
-    edges = echain.cut(_simple_sym(graph))
-    remaining = vchain.cut(graph.vertices.select("id"))
-    assigned = spark.createDataFrame([], "id long, core long")
+    ckpt = PeelCheckpoint(checkpoint_dir, spark) if checkpoint_dir else None
+    meta = ckpt.latest() if (ckpt and resume) else None
+    resumed_k, resumed_peels = 0, 0
+    if meta is not None:
+        # skip the (eager) initial symmetrization entirely on resume
+        frames = ckpt.load(meta)
+        assigned = frames["assigned"]
+        remaining = frames["remaining"]
+        edges = frames["edges"]
+        resumed_k = int(meta["extra"]["k"])
+        resumed_peels = int(meta["extra"]["peels"])
+    else:
+        edges = echain.cut(_simple_sym(graph))
+        remaining = vchain.cut(graph.vertices.select("id"))
+        assigned = spark.createDataFrame([], "id long, core long")
 
     def degrees(edges: DataFrame, remaining: DataFrame) -> DataFrame:
         deg = edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
@@ -92,8 +115,8 @@ def core_numbers(graph: LinkGraph, max_rounds: int = 100_000) -> DataFrame:
             "id", F.coalesce("d", F.lit(0)).alias("d")
         )
 
-    k = 0
-    peels = 0
+    k = resumed_k
+    peels = resumed_peels
     while True:
         present = degrees(edges, remaining)
         # the single per-peel action: min degree (k jump target) and
@@ -119,6 +142,12 @@ def core_numbers(graph: LinkGraph, max_rounds: int = 100_000) -> DataFrame:
             edges.join(low, edges.src == low.id, "left_anti")
             .join(low, F.col("dst") == low.id, "left_anti")
         )
+        if ckpt and checkpoint_every and peels % checkpoint_every == 0:
+            ckpt.commit(
+                peels,
+                {"assigned": assigned, "remaining": remaining, "edges": edges},
+                extra={"k": k, "peels": peels},
+            )
     echain.release()
     vchain.release()
     lchain.release()

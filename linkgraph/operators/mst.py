@@ -21,7 +21,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import LinkGraph
-from linkgraph.plans.iterate import ConvergenceError, LineageChain, iterate
+from linkgraph.plans.iterate import (
+    ConvergenceError,
+    LineageChain,
+    PeelCheckpoint,
+    iterate,
+)
 from linkgraph.plans.partitioning import stationary
 from linkgraph.operators.components import _min_label_step
 
@@ -55,12 +60,22 @@ def _merge_components(comp: DataFrame, picks: DataFrame) -> DataFrame:
     return merged
 
 
-def minimum_spanning_forest(graph: LinkGraph, max_rounds: int = 64) -> DataFrame:
+def minimum_spanning_forest(
+    graph: LinkGraph,
+    max_rounds: int = 64,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
+    resume: bool = True,
+) -> DataFrame:
     """Returns the forest's edge set DataFrame(src, dst, weight) with
     canonical src<dst rows (one per chosen undirected edge). Raises
     ConvergenceError if the Borůvka loop fails to converge within
     ``max_rounds`` (log2(n) rounds suffice; 64 covers any graph whose
-    vertex ids fit in a long)."""
+    vertex ids fit in a long).
+
+    ``checkpoint_dir``/``checkpoint_every``: durable per-round commits
+    of (comp, chosen) via PeelCheckpoint so an interrupted Borůvka
+    resumes from the last committed round (north-rule resumability)."""
     spark = graph.edges.sparkSession
     edges = (
         graph.edges.select(
@@ -78,7 +93,18 @@ def minimum_spanning_forest(graph: LinkGraph, max_rounds: int = 64) -> DataFrame
     chosen = spark.createDataFrame([], "src long, dst long, weight double")
     cchain, mchain, pchain = LineageChain(), LineageChain(), LineageChain()
 
-    for r in range(max_rounds + 1):
+    ckpt = PeelCheckpoint(checkpoint_dir, spark) if checkpoint_dir else None
+    start_r = 0
+    if ckpt and resume:
+        meta = ckpt.latest()
+        if meta is not None:
+            frames = ckpt.load(meta)
+            comp.unpersist()
+            comp = frames["comp"].persist()
+            chosen = frames["chosen"]
+            start_r = meta["round"] + 1
+
+    for r in range(start_r, max_rounds + 1):
         ca = comp.select(F.col("id").alias("src"), F.col("comp").alias("comp_src"))
         cb = comp.select(F.col("id").alias("dst"), F.col("comp").alias("comp_dst"))
         cross = (
@@ -114,6 +140,8 @@ def minimum_spanning_forest(graph: LinkGraph, max_rounds: int = 64) -> DataFrame
         new_comp = mchain.cut(_merge_components(comp, picks.select("src", "dst")))
         comp.unpersist()
         comp = new_comp
+        if ckpt and checkpoint_every and (r + 1) % checkpoint_every == 0:
+            ckpt.commit(r, {"comp": comp, "chosen": chosen})
 
     edges.unpersist()
     mchain.release()

@@ -217,6 +217,63 @@ def commit_checkpoint(
     os.replace(tmp, _meta_path(ckpt_dir, iteration))
 
 
+class PeelCheckpoint:
+    """Durable commits for MULTI-FRAME driver loops (SCC/MST/core
+    peeling), the resumability contract of the north rule extended to
+    operators whose loop state is several DataFrames plus scalars.
+
+    Per committed round: each frame goes to
+    ``<dir>/peel_<round>/<name>.parquet`` (parquet _SUCCESS marker
+    per frame), THEN the round's meta JSON is renamed into place — a
+    meta existing implies every frame under it is complete; resume
+    only trusts metas (same protocol as commit_checkpoint). The
+    previous round's data is deleted once the new meta is durable, so
+    a 10-hour peel holds at most two rounds of state on disk. Scalars
+    (current k, etc.) ride the meta's ``extra`` dict."""
+
+    def __init__(self, ckpt_dir: str, spark: SparkSession) -> None:
+        self._dir = ckpt_dir
+        self._spark = spark
+        os.makedirs(ckpt_dir, exist_ok=True)
+
+    def _meta(self, r: int) -> str:
+        return os.path.join(self._dir, f"peel_{r:06d}.meta.json")
+
+    def commit(self, round_i: int, frames: dict[str, DataFrame], extra: dict | None = None) -> None:
+        base = os.path.join(self._dir, f"peel_{round_i:06d}")
+        paths, rows = {}, {}
+        for name, df in frames.items():
+            p = os.path.join(base, f"{name}.parquet")
+            df.write.mode("overwrite").parquet(p)
+            paths[name] = p
+            rows[name] = self._spark.read.parquet(p).count()
+        meta = {"round": round_i, "frames": paths, "rows": rows, "extra": extra or {}}
+        tmp = self._meta(round_i) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta(round_i))
+        # GC every older committed round now that this one is durable
+        for m in os.listdir(self._dir):
+            if m.endswith(".meta.json") and m < os.path.basename(self._meta(round_i)):
+                with open(os.path.join(self._dir, m)) as f:
+                    old = json.load(f)
+                for p in old["frames"].values():
+                    _rm_path(p, self._spark)
+                os.remove(os.path.join(self._dir, m))
+
+    def latest(self) -> dict | None:
+        if not os.path.isdir(self._dir):
+            return None
+        metas = sorted(f for f in os.listdir(self._dir) if f.endswith(".meta.json"))
+        if not metas:
+            return None
+        with open(os.path.join(self._dir, metas[-1])) as f:
+            return json.load(f)
+
+    def load(self, meta: dict) -> dict[str, DataFrame]:
+        return {name: self._spark.read.parquet(p) for name, p in meta["frames"].items()}
+
+
 def latest_checkpoint(ckpt_dir: str) -> dict | None:
     if not os.path.isdir(ckpt_dir):
         return None

@@ -1,0 +1,100 @@
+"""Checkpoint-resume for the multi-frame peeling operators (SCC /
+MST / core_numbers): kill after peel k (budget exhaustion raises
+ConvergenceError mid-run with per-peel commits on disk), restart, and
+assert the resumed result is identical to an uninterrupted run —
+the north rule's resumability contract for driver-loop operators."""
+
+import json
+import os
+
+import pytest
+
+from conftest import graph_from_edges
+from linkgraph.operators.components import strongly_connected_components
+from linkgraph.operators.kcore import core_numbers
+from linkgraph.operators.mst import minimum_spanning_forest
+from linkgraph.plans.iterate import ConvergenceError
+
+
+def _latest_meta(d):
+    metas = sorted(f for f in os.listdir(d) if f.endswith(".meta.json"))
+    assert metas, "no peel checkpoint was committed before the kill"
+    with open(os.path.join(d, metas[-1])) as f:
+        return json.load(f)
+
+
+def test_scc_resume_after_kill(spark, tmp_path):
+    # two SCCs in a chain: {1,2,3} then {4,5} — exactly 2 peels
+    g = graph_from_edges(
+        spark, [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4)]
+    )
+    want = {
+        (r["id"], r["component"])
+        for r in strongly_connected_components(g).collect()
+    }
+    d = str(tmp_path / "scc")
+    with pytest.raises(ConvergenceError):
+        strongly_connected_components(
+            g, max_peels=1, checkpoint_dir=d, checkpoint_every=1
+        )
+    assert _latest_meta(d)["round"] == 0  # peel 0 durably committed
+    got = {
+        (r["id"], r["component"])
+        for r in strongly_connected_components(
+            g, checkpoint_dir=d, checkpoint_every=1
+        ).collect()
+    }
+    assert got == want
+    # the resumed run continued from peel 1, not from scratch
+    assert _latest_meta(d)["round"] >= 1
+
+
+def test_mst_resume_after_kill(spark, tmp_path):
+    # alternating light/heavy path: Borůvka needs 2 rounds (light
+    # edges pair up components, heavy edges then bridge the pairs)
+    edges = [
+        (1, 2, 1.0), (2, 3, 10.0), (3, 4, 1.5),
+        (4, 5, 11.0), (5, 6, 2.0), (6, 7, 12.0), (7, 8, 2.5),
+    ]
+    g = graph_from_edges(spark, edges, directed=False)
+    want = {
+        (r["src"], r["dst"], r["weight"])
+        for r in minimum_spanning_forest(g).collect()
+    }
+    d = str(tmp_path / "mst")
+    with pytest.raises(ConvergenceError):
+        minimum_spanning_forest(g, max_rounds=1, checkpoint_dir=d, checkpoint_every=1)
+    assert _latest_meta(d)["round"] == 0
+    got = {
+        (r["src"], r["dst"], r["weight"])
+        for r in minimum_spanning_forest(g, checkpoint_dir=d).collect()
+    }
+    assert got == want
+
+
+def test_core_numbers_resume_after_kill(spark, tmp_path):
+    # triangle + tail: peel 1 assigns the tail at k=1, peel 2 the
+    # triangle at k=2
+    g = graph_from_edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4)], directed=False)
+    want = {(r["id"], r["core"]) for r in core_numbers(g).collect()}
+    assert want == {(1, 2), (2, 2), (3, 2), (4, 1)}
+    d = str(tmp_path / "cores")
+    with pytest.raises(ConvergenceError):
+        core_numbers(g, max_rounds=1, checkpoint_dir=d, checkpoint_every=1)
+    meta = _latest_meta(d)
+    assert meta["round"] == 1 and meta["extra"]["k"] == 1
+    got = {
+        (r["id"], r["core"])
+        for r in core_numbers(g, checkpoint_dir=d).collect()
+    }
+    assert got == want
+
+
+def test_peel_checkpoint_gc_keeps_latest_only(spark, tmp_path):
+    """Older committed peels are deleted once a newer meta is durable
+    — bounded disk for long decompositions."""
+    g = graph_from_edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4)], directed=False)
+    d = str(tmp_path / "gc")
+    core_numbers(g, checkpoint_dir=d, checkpoint_every=1, resume=False)
+    metas = [f for f in os.listdir(d) if f.endswith(".meta.json")]
+    assert len(metas) == 1  # only the newest round's commit survives
