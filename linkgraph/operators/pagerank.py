@@ -64,6 +64,8 @@ def pagerank(
     truncate_every: int = 3,
     salt_contribs: int | str = 0,
     on_exhaustion: str = "raise",
+    rank_broadcast: bool = False,
+    rank_broadcast_max: int = 50_000_000,
 ) -> IterationResult:
     """Returns IterationResult whose state is DataFrame(id, rank).
 
@@ -79,7 +81,18 @@ def pagerank(
     ``salt_contribs``: 0 = plain groupBy (map-side combine handles
     hubs); int n = explicit n-salt two-level aggregation; "auto" =
     decide from the in-degree distribution.
-    """
+
+    ``rank_broadcast``: the V≪E broadcast-SpMV plan (the north
+    star's "broadcast-aware shuffle join"). The transition table is
+    cached hash-partitioned by DST and the V-row rank frame is
+    BROADCAST into the join each iteration: the ranks⋈edges join,
+    the contribution sum (already dst-partitioned) and the rank
+    update all run exchange-free — per-iteration shuffle bytes drop
+    from O(E) to ZERO, at the cost of shipping V rows to every
+    executor per iteration. Right when V·16B ≪ E·16B/executors
+    (e.g. 10^7 vertices vs 10^8.5 edges); WRONG at 10^10+ vertices,
+    so it is an explicit opt-in guarded by ``rank_broadcast_max``
+    (raises rather than silently OOMing the driver)."""
     spark = graph.edges.sparkSession
     edges = graph.sym_edges
     vertices = graph.vertices.select("id")
@@ -110,12 +123,22 @@ def pagerank(
     # repartition(src) gives the cache HashPartitioning(src, P): the
     # per-iteration ranks⋈trans join then co-partitions and the edge
     # table NEVER re-shuffles — only the (small) rank frame moves.
+    if rank_broadcast and n > rank_broadcast_max:
+        raise ValueError(
+            f"rank_broadcast requires collecting the {n}-row vertex frame to "
+            f"the driver each iteration (> rank_broadcast_max={rank_broadcast_max}); "
+            "use the default shuffle plan at this vertex count"
+        )
+    # Broadcast plan partitions the stationary operand by DST so the
+    # contribution sum needs no exchange; shuffle plan partitions by
+    # SRC so the per-iteration ranks⋈trans join co-partitions.
+    trans_key = "dst" if rank_broadcast else "src"
     trans = (
         truncate_lineage(
             edges.join(out_sums, "src")
             .select("src", "dst", (w / F.col("out_w")).alias("p"))
         )
-        .repartition(n_parts, "src")
+        .repartition(n_parts, trans_key)
         .persist()
     )
 
@@ -165,7 +188,12 @@ def pagerank(
         dangling = state.filter("dangling").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
-        pre = state.join(trans, state.id == trans.src).select(
+        ranks = state.select("id", "rank")
+        if rank_broadcast:
+            # broadcast-hash join against the dst-partitioned operand:
+            # no exchange for the join, none for the dst sum below
+            ranks = F.broadcast(ranks)
+        pre = ranks.join(trans, ranks.id == trans.src).select(
             F.col("dst").alias("id"), (F.col("rank") * F.col("p")).alias("c")
         )
         if salt_contribs:

@@ -19,18 +19,22 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
-    ``cores`` defaults to $SPARK_GRAFT_CPUS or '*'. On a real cluster
-    the master/executor topology comes from spark-submit; everything
-    set here is topology-independent.
+    ``cores`` defaults to $SPARK_GRAFT_CPUS or '*'. ``master``
+    overrides the local[K] default entirely — used by the scaling
+    bench for process-isolated ``local-cluster[N,C,M]`` runs. On a
+    real cluster the master/executor topology comes from
+    spark-submit; everything set here is topology-independent.
     """
-    if cores is None:
-        env = os.environ.get("SPARK_GRAFT_CPUS")
-        master = f"local[{env}]" if env else "local[*]"
-    else:
-        master = f"local[{cores}]"
+    if master is None:
+        if cores is None:
+            env = os.environ.get("SPARK_GRAFT_CPUS")
+            master = f"local[{env}]" if env else "local[*]"
+        else:
+            master = f"local[{cores}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("LINKGRAPH_SHUFFLE_PARTITIONS", "32"))
 
@@ -53,6 +57,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("LINKGRAPH_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
     )
+    if master.startswith("local-cluster"):
+        # Process-isolated executors spawn their own Python workers,
+        # which must import this package — the sandbox analogue of
+        # spark-submit --py-files. Derive the repo root from the
+        # package location rather than assuming cwd.
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        existing = os.environ.get("PYTHONPATH", "")
+        pypath = f"{repo_root}:{existing}" if existing else repo_root
+        builder = builder.config("spark.executorEnv.PYTHONPATH", pypath)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -154,3 +154,28 @@ def test_salted_sum_unit_deterministic(spark):
     assert s1 == s2
     for k in plain:
         assert abs(s1[k] - plain[k]) < 1e-9 * max(1.0, abs(plain[k]))
+
+
+def test_rank_broadcast_matches_shuffle_plan(spark, two_cliques_bridge, star_hub):
+    """The V≪E broadcast-SpMV plan (zero per-iteration shuffle) is
+    value-identical to the default shuffle plan, dangling mass and
+    all."""
+    import numpy as np
+
+    from conftest import collect_map
+
+    for g in (two_cliques_bridge, star_hub):
+        a = collect_map(pagerank(g, tol=1e-10).state, "id", "rank")
+        b = collect_map(pagerank(g, tol=1e-10, rank_broadcast=True).state, "id", "rank")
+        assert a.keys() == b.keys()
+        ks = sorted(a)
+        assert np.allclose([a[k] for k in ks], [b[k] for k in ks], atol=1e-12)
+
+
+def test_rank_broadcast_guard(two_cliques_bridge):
+    """Broadcasting a vertex frame beyond the guard raises loudly
+    instead of collecting 10^10 rows to the driver."""
+    import pytest
+
+    with pytest.raises(ValueError, match="rank_broadcast"):
+        pagerank(two_cliques_bridge, rank_broadcast=True, rank_broadcast_max=3)
