@@ -24,7 +24,7 @@ from pyspark.sql import Column
 
 from linkgraph.graph import LinkGraph
 from linkgraph.operators.pagerank import _weight_col
-from linkgraph.plans.iterate import LineageChain, truncate_lineage
+from linkgraph.plans.iterate import ConvergenceError, LineageChain, truncate_lineage
 from linkgraph.plans.partitioning import stationary
 
 
@@ -226,11 +226,177 @@ def _brandes_forward(
     return visited, depth
 
 
+def _brandes_forward_weighted(
+    edges: DataFrame, sources: DataFrame, max_iter: int
+) -> tuple[DataFrame, int, DataFrame, DataFrame]:
+    """Weighted shortest-path counting for Brandes: Bellman-Ford
+    frontier relaxation for distances, then sigma propagated over the
+    shortest-path DAG in longest-path-level order (a DAG edge u→v
+    has level(u) < level(v), so processing levels ascending finalizes
+    every predecessor before its successors — the weighted analog of
+    BFS levels, which weighted DAGs lack because edges can skip
+    distance ranks).
+
+    Returns (nodes(source, id, level, sigma), max_level,
+    dag_by_src(source, src, dst, lev_dst) and dag_by_dst(source, src,
+    dst, lev_src)) — the two DAG copies are cached hash-partitioned
+    on the key their loop joins by ((source, src) for the sigma-up
+    pass, (source, dst) for the delta-down pass) so the per-level
+    loops only shuffle the state side. Caller unpersists both.
+
+    DAG membership uses dist(u) + w == dist(v) within 1e-9 relative
+    tolerance: the relaxation stores dist(v) as exactly one such sum,
+    but ties along other equally-short paths can differ in the last
+    ulp (integer-valued weights are exact). Requires positive
+    weights — zero-weight cycles would make the "DAG" cyclic and the
+    leveling loop raises ConvergenceError."""
+    spark = edges.sparkSession
+    state = sources.select(
+        F.col(sources.columns[0]).cast("long").alias("source")
+    ).select("source", F.col("source").alias("id"), F.lit(0.0).alias("dist"))
+    state = state.transform(truncate_lineage)
+    frontier = state
+    mchain = LineageChain()
+    for _ in range(max_iter):
+        cand = (
+            frontier.join(edges, frontier.id == edges.src)
+            .select(
+                "source",
+                F.col("dst").alias("id"),
+                (F.col("dist") + F.col("w")).alias("nd"),
+            )
+            .groupBy("source", "id")
+            .agg(F.min("nd").alias("nd"))
+        )
+        merged = mchain.cut(
+            state.join(cand, ["source", "id"], "full")
+            .select(
+                "source", "id",
+                F.when(
+                    F.col("dist").isNull() | (F.col("nd") < F.col("dist")),
+                    F.struct(F.col("nd").alias("dist"), F.lit(1).alias("chg")),
+                )
+                .otherwise(F.struct("dist", F.lit(0).alias("chg")))
+                .alias("s"),
+            )
+            .select("source", "id", "s.dist", "s.chg")
+        )
+        frontier = merged.filter("chg = 1").select("source", "id", "dist")
+        state = merged.select("source", "id", "dist")
+        if frontier.limit(1).count() == 0:
+            break
+    else:
+        raise ConvergenceError(
+            f"weighted Brandes relaxation did not converge in {max_iter} rounds"
+        )
+    dist = state.persist()
+
+    # shortest-path DAG: (source, u→v) where dist(u) + w(u,v) = dist(v)
+    du = dist.select("source", F.col("id").alias("src"), F.col("dist").alias("du"))
+    dv = dist.select("source", F.col("id").alias("dst"), F.col("dist").alias("dv"))
+    dag = (
+        du.join(edges, "src")
+        .join(dv, ["source", "dst"])
+        .filter(
+            F.abs(F.col("du") + F.col("w") - F.col("dv"))
+            <= 1e-9 * F.greatest(F.lit(1.0), F.abs(F.col("dv")))
+        )
+        .select("source", "src", "dst")
+    )
+    dag_by_src0 = stationary(dag, ["source", "src"])
+
+    # longest-path DAG levels via max-propagation (diameter-bounded)
+    lev = sources.select(
+        F.col(sources.columns[0]).cast("long").alias("source")
+    ).select("source", F.col("source").alias("id"), F.lit(0).alias("level"))
+    lev = lev.transform(truncate_lineage)
+    lfront, lchain = lev, LineageChain()
+    for _ in range(max_iter):
+        cand = (
+            lfront.join(
+                dag_by_src0,
+                (lfront.source == dag_by_src0.source) & (lfront.id == dag_by_src0.src),
+            )
+            .select(lfront.source, F.col("dst").alias("id"),
+                    (F.col("level") + 1).alias("nl"))
+            .groupBy("source", "id")
+            .agg(F.max("nl").alias("nl"))
+        )
+        merged = lchain.cut(
+            lev.join(cand, ["source", "id"], "full")
+            .select(
+                "source", "id",
+                F.when(
+                    F.col("level").isNull() | (F.col("nl") > F.col("level")),
+                    F.struct(F.col("nl").alias("level"), F.lit(1).alias("chg")),
+                )
+                .otherwise(F.struct("level", F.lit(0).alias("chg")))
+                .alias("s"),
+            )
+            .select("source", "id", "s.level", "s.chg")
+        )
+        lfront = merged.filter("chg = 1").select("source", "id", "level")
+        lev = merged.select("source", "id", "level")
+        if lfront.limit(1).count() == 0:
+            break
+    else:
+        raise ConvergenceError(
+            f"DAG leveling did not converge in {max_iter} rounds — "
+            "zero-weight cycle on a shortest path?"
+        )
+    lev = lev.persist()
+    max_level = lev.agg(F.max("level")).collect()[0][0] or 0
+
+    # annotate DAG edges with src/dst levels; two copies, each cached
+    # partitioned on the key its loop joins by
+    lsrc = lev.select("source", F.col("id").alias("src"), F.col("level").alias("lev_src"))
+    ldst = lev.select("source", F.col("id").alias("dst"), F.col("level").alias("lev_dst"))
+    dag_lv = dag.join(lsrc, ["source", "src"]).join(ldst, ["source", "dst"])
+    dag_by_src = stationary(
+        dag_lv.select("source", "src", "dst", "lev_dst"), ["source", "src"]
+    )
+    dag_by_dst = stationary(
+        dag_lv.select("source", "src", "dst", "lev_src"), ["source", "dst"]
+    )
+    dag_by_src0.unpersist()
+
+    # sigma ascending levels: every DAG predecessor of a level-L node
+    # sits at a strictly lower level, hence is already final
+    nodes = (
+        lev.filter(F.col("source") == F.col("id"))
+        .select("source", "id", "level", F.lit(1.0).alias("sigma"))
+        .transform(truncate_lineage)
+    )
+    schain = LineageChain()
+    for L in range(1, max_level + 1):
+        nxt = (
+            dag_by_src.filter(F.col("lev_dst") == L)
+            .alias("e")
+            .join(
+                nodes.alias("n"),
+                (F.col("e.source") == F.col("n.source"))
+                & (F.col("e.src") == F.col("n.id")),
+            )
+            .groupBy(F.col("e.source").alias("source"), F.col("e.dst").alias("id"))
+            .agg(F.sum("n.sigma").alias("sigma"))
+            .withColumn("level", F.lit(L))
+            .select("source", "id", "level", "sigma")
+        )
+        nodes = schain.cut(nodes.unionAll(nxt))
+    nodes = nodes.persist()
+    nodes.count()
+    dist.unpersist()
+    lev.unpersist()
+    return nodes, max_level, dag_by_src, dag_by_dst
+
+
 def betweenness_centrality(
     graph: LinkGraph,
     sources: DataFrame | None = None,
     normalized: bool = False,
     max_depth: int = 10_000,
+    weighted: bool = False,
+    weight_expr: Column | str | None = None,
 ) -> DataFrame:
     """Brandes betweenness centrality over hop-shortest paths:
     DataFrame(id, betweenness).
@@ -241,10 +407,26 @@ def betweenness_centrality(
     dependency accumulation runs level-by-level as joins keyed by
     (source, id): delta(s,v) = Σ_{w: succ} sigma_v/sigma_w·(1+delta_w),
     accumulated from the deepest BFS level upward — the driver loop is
-    bounded by the diameter, every step is partition-parallel."""
+    bounded by the diameter, every step is partition-parallel.
+
+    ``weighted``/``weight_expr`` switch the paths from hop-shortest to
+    weight-shortest (= ``networkx.betweenness_centrality(weight=...)``,
+    the reference's weighted benchmark op, benchmark_networkx.py:
+    235-247): the forward pass becomes Bellman-Ford relaxation + sigma
+    over the shortest-path DAG in longest-path-level order, and the
+    backward pass joins each level's out-edges against the finished
+    successor set (weighted DAG edges can skip levels, so successors
+    live at ANY higher level, not just the next — see
+    _brandes_forward_weighted). ~4 diameter-bounded driver loops
+    instead of 2; at web scale pass a sampled source set. Positive
+    weights required; parallel edges collapse to min weight."""
     n = graph.vertices.count()
     src = sources if sources is not None else graph.vertices.select("id")
     n_sources = src.count()
+    if weighted or weight_expr is not None:
+        return _betweenness_weighted(
+            graph, src, n, n_sources, normalized, max_depth, weight_expr
+        )
     edges = stationary(graph.sym_edges.select("src", "dst").distinct(), "src")
     dist, max_level = _brandes_forward(edges, src, max_depth)
     dist = dist.persist()
@@ -309,5 +491,89 @@ def betweenness_centrality(
     )
     cur.unpersist()
     dist.unpersist()
+    edges.unpersist()
+    return out
+
+
+def _betweenness_weighted(
+    graph: LinkGraph,
+    src: DataFrame,
+    n: int,
+    n_sources: int,
+    normalized: bool,
+    max_iter: int,
+    weight_expr: Column | str | None,
+) -> DataFrame:
+    """Weighted Brandes (see betweenness_centrality docstring)."""
+    wcol = _weight_col(True, weight_expr)
+    edges = stationary(
+        graph.sym_edges.select("src", "dst", wcol.cast("double").alias("w"))
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w")),
+        "src",
+    )
+    nodes, max_level, dag_by_src, dag_by_dst = _brandes_forward_weighted(
+        edges, src, max_iter
+    )
+
+    # backward pass, levels descending: a level-L node's DAG successors
+    # all sit at levels > L, hence are already in `finished`
+    fchain = LineageChain()
+    finished = (
+        nodes.filter(F.col("level") == max_level)
+        .select("source", "id", "sigma", F.lit(0.0).alias("delta"))
+        .transform(truncate_lineage)
+    )
+    for L in range(max_level - 1, 0, -1):
+        contrib = (
+            dag_by_dst.filter(F.col("lev_src") == L)
+            .alias("e")
+            .join(
+                finished.alias("f"),
+                (F.col("e.source") == F.col("f.source"))
+                & (F.col("e.dst") == F.col("f.id")),
+            )
+            .groupBy(F.col("e.source").alias("source"), F.col("e.src").alias("id"))
+            .agg(
+                F.sum((F.lit(1.0) + F.col("f.delta")) / F.col("f.sigma")).alias(
+                    "share_sum"
+                )
+            )
+        )
+        new = (
+            nodes.filter(F.col("level") == L)
+            .join(contrib, ["source", "id"], "left")
+            .select(
+                "source", "id", "sigma",
+                (F.coalesce("share_sum", F.lit(0.0)) * F.col("sigma")).alias("delta"),
+            )
+        )
+        finished = fchain.cut(finished.unionAll(new))
+
+    raw = (
+        finished.filter(F.col("source") != F.col("id"))
+        .groupBy("id")
+        .agg(F.sum("delta").alias("b"))
+    )
+    scale = 1.0
+    if not graph.directed:
+        scale *= 0.5
+    if n_sources < n:
+        scale *= n / float(n_sources)
+    if normalized:
+        denom = (n - 1) * (n - 2) if graph.directed else (n - 1) * (n - 2) / 2.0
+        scale *= 1.0 / denom if denom > 0 else 1.0
+    out = (
+        graph.vertices.select("id")
+        .join(raw, "id", "left")
+        .select(
+            "id", (F.coalesce("b", F.lit(0.0)) * F.lit(scale)).alias("betweenness")
+        )
+    )
+    out = out.persist()
+    out.count()
+    nodes.unpersist()
+    dag_by_src.unpersist()
+    dag_by_dst.unpersist()
     edges.unpersist()
     return out

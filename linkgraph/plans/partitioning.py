@@ -34,11 +34,15 @@ def shuffle_width(spark: SparkSession) -> int:
         return int(spark.sparkContext.defaultParallelism)
 
 
-def stationary(df: DataFrame, key: str = "src", rows: int | None = None) -> DataFrame:
-    """Hash-partition ``df`` by ``key`` (data-sized partition count)
-    and persist, so every later join keyed on ``key`` reads it
-    without an Exchange. Caller unpersists."""
+def stationary(
+    df: DataFrame, key: str | list[str] = "src", rows: int | None = None
+) -> DataFrame:
+    """Hash-partition ``df`` by ``key`` (a column name or list of
+    names; data-sized partition count) and persist, so every later
+    join keyed on ``key`` reads it without an Exchange. Caller
+    unpersists."""
     spark = df.sparkSession
+    keys = [key] if isinstance(key, str) else list(key)
     m = rows if rows is not None else df.count()
     n_parts = max(
         1,
@@ -47,4 +51,4 @@ def stationary(df: DataFrame, key: str = "src", rows: int | None = None) -> Data
             (m + ROWS_PER_PARTITION - 1) // ROWS_PER_PARTITION,
         ),
     )
-    return df.repartition(n_parts, key).persist()
+    return df.repartition(n_parts, *keys).persist()

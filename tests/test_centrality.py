@@ -171,3 +171,70 @@ def test_multi_source_weighted_weight_expr(spark):
         ).collect()
     }
     assert got == {1: 0.0, 2: 5.0, 3: 6.0}
+
+
+def test_betweenness_weighted_vs_networkx(spark):
+    """betweenness(weighted=True) == networkx.betweenness_centrality(
+    weight='weight') on seeded graphs, both orientations. Integer
+    weights 1..6 so path-sum float equality (DAG membership) is
+    exact; ties between distinct shortest paths are common at this
+    density, exercising sigma > 1 through the weighted DAG."""
+    from linkgraph.operators.centrality import betweenness_centrality
+
+    rng = random.Random(31)
+    pairs = sorted({
+        (min(a, b), max(a, b))
+        for a, b in ((rng.randrange(18), rng.randrange(18)) for _ in range(55))
+        if a != b
+    })
+    edges = [(a, b, float(rng.randrange(1, 7))) for a, b in pairs]
+    for directed in (False, True):
+        g = graph_from_edges(spark, edges, directed=directed)
+        for normalized in (False, True):
+            got = {
+                r["id"]: r["betweenness"]
+                for r in betweenness_centrality(
+                    g, weighted=True, normalized=normalized
+                ).collect()
+            }
+            G = nx.DiGraph() if directed else nx.Graph()
+            G.add_weighted_edges_from(edges)
+            want = nx.betweenness_centrality(
+                G, weight="weight", normalized=normalized
+            )
+            assert set(got) == set(want)
+            for k, v in want.items():
+                assert abs(got[k] - v) < 1e-8, (directed, normalized, k, got[k], v)
+
+
+def test_betweenness_weighted_level_skip(spark):
+    """A DAG edge that skips longest-path levels: 1→4 direct (weight
+    3) ties 1→2→3→4 (1+1+1) — the direct edge jumps from level 0 to
+    level 3, so the backward pass must read successors beyond the
+    adjacent level (the case hop-level Brandes never sees)."""
+    from linkgraph.operators.centrality import betweenness_centrality
+
+    edges = [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0), (1, 4, 3.0), (4, 5, 1.0)]
+    g = graph_from_edges(spark, edges, directed=True)
+    got = {r["id"]: r["betweenness"] for r in betweenness_centrality(
+        g, weighted=True).collect()}
+    G = nx.DiGraph()
+    G.add_weighted_edges_from(edges)
+    want = nx.betweenness_centrality(G, weight="weight", normalized=False)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9, (k, got[k], v)
+
+
+def test_betweenness_weighted_sampled_sources(spark):
+    """Sources = all vertices passed explicitly == sources=None (the
+    subset estimator is exact when the subset is everything)."""
+    from linkgraph.operators.centrality import betweenness_centrality
+
+    edges = [(1, 2, 2.0), (2, 3, 1.0), (1, 3, 5.0), (3, 4, 1.0)]
+    g = graph_from_edges(spark, edges, directed=False)
+    srcs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "id long")
+    a = {r["id"]: r["betweenness"]
+         for r in betweenness_centrality(g, weighted=True).collect()}
+    b = {r["id"]: r["betweenness"]
+         for r in betweenness_centrality(g, sources=srcs, weighted=True).collect()}
+    assert a == b
