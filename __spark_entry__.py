@@ -653,6 +653,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         betweenness_centrality(LinkGraph(_hierarchy_edges(s, d), directed=True))
         .select("id", F.round("betweenness", 6).alias("betweenness"))
     )
+    # weighted Brandes through the driver gate: heterogeneous edge
+    # weights on the hierarchy forest — paths stay unique (it's a
+    # forest), so the closed-form pair-through oracle still holds
+    # while the Spark side runs the full weighted machinery
+    # (relaxation, DAG membership, longest-path leveling, sigma,
+    # level-skipping backward pass). Path-SELECTION under weights is
+    # NetworkX-verified in tests/test_centrality.py.
+    q["betweenness_weighted_hierarchy"] = lambda s, d: (
+        betweenness_centrality(
+            LinkGraph(
+                _hierarchy_edges(s, d).withColumn(
+                    "weight",
+                    F.lit(1.0) + F.pmod(F.col("src"), F.lit(5)) * F.lit(0.25),
+                ),
+                directed=True,
+            ),
+            weighted=True,
+        ).select("id", F.round("betweenness", 6).alias("betweenness"))
+    )
 
     # --- formerly rows-only entries, now oracle-checked end-to-end
     # Converged (tol-stopped) PageRank vs a convergence-SELECTING SQL
@@ -1146,6 +1165,22 @@ FROM verts LEFT JOIN agg ON verts.id = agg.id
         # member count, 0 elsewhere. (The general algorithm is
         # NetworkX-verified on random graphs in tests/test_centrality.)
         "betweenness_hierarchy": f"""
+WITH e AS ({HIER}),
+verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+nat_members AS (
+  SELECT CAST(c_nationkey + 3000000 AS BIGINT) AS id, count(*) AS m
+  FROM customer GROUP BY 1
+  UNION ALL
+  SELECT CAST(s_nationkey + 3000000 AS BIGINT), count(*) FROM supplier GROUP BY 1
+),
+b AS (SELECT id, sum(m) AS m FROM nat_members GROUP BY 1)
+SELECT verts.id, round(coalesce(b.m, 0) * 1.0, 6) AS betweenness
+FROM verts LEFT JOIN b ON verts.id = b.id
+""",
+        # identical closed form: the hierarchy is a forest, so paths
+        # (and hence pair-through counts) are weight-invariant — the
+        # weighted run must reproduce them exactly
+        "betweenness_weighted_hierarchy": f"""
 WITH e AS ({HIER}),
 verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
 nat_members AS (
