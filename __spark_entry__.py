@@ -63,6 +63,7 @@ from linkgraph.operators.similarity import (
     ann_cosine_topk,
     cosine_topk,
     embedding_near_duplicates,
+    ivf_cosine_topk,
 )
 from linkgraph.operators.traversal import bfs_levels, reachable_from, shortest_paths
 from linkgraph.operators.triangles import clustering_coefficients, triangle_counts
@@ -390,6 +391,56 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _ivf_topk_sql(
+    k: int = 5, n_cells: int = 8, dim: int = 64, seed: int = 7, nprobe: int = 2
+) -> str:
+    """IVF-cell cosine top-k oracle: the seeded unit centroids are
+    the SAME constants the engine bakes into its column expressions
+    (operators/similarity.seeded_centroids), so cell assignment and
+    probe selection — and therefore the candidate set — are computed
+    independently on both sides. Probed cells are disjoint: no
+    dedup."""
+    from linkgraph.operators.similarity import seeded_centroids
+
+    cents = seeded_centroids(dim, n_cells, seed)
+    vals = ",\n".join(
+        f"({c}, {i + 1}, {float(cents[c][i])!r})"
+        for c in range(n_cells)
+        for i in range(dim)
+    )
+    return f"""
+WITH ex AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                 CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1),
+cents(c, i, v) AS (VALUES
+{vals}),
+cdots AS (SELECT e.vec_id, ct.c, sum(e.x * ct.v) AS d
+          FROM ex e JOIN cents ct ON e.i = ct.i GROUP BY 1, 2),
+ranked_cells AS MATERIALIZED (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, c ASC) AS rn
+    FROM cdots),
+corpus_cell AS (SELECT vec_id, c FROM ranked_cells WHERE rn = 1),
+probe AS (SELECT vec_id, c FROM ranked_cells WHERE rn <= {nprobe} AND vec_id < 5),
+cand AS (SELECT q.vec_id AS query_id, cc.vec_id AS neighbor_id
+         FROM probe q JOIN corpus_cell cc ON q.c = cc.c
+         WHERE cc.vec_id <> q.vec_id),
+dots AS (SELECT cand.query_id, cand.neighbor_id, sum(a.x * b.x) AS dot
+         FROM cand JOIN ex a ON a.vec_id = cand.query_id
+                   JOIN ex b ON b.vec_id = cand.neighbor_id AND a.i = b.i
+         GROUP BY 1, 2),
+sims AS (SELECT query_id, neighbor_id, dot / (qn.nrm * cn.nrm) AS sim
+         FROM dots JOIN norms qn ON dots.query_id = qn.vec_id
+                   JOIN norms cn ON dots.neighbor_id = cn.vec_id),
+ranked AS (SELECT query_id, neighbor_id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id ASC) AS rank
+           FROM sims)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 6) AS sim
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _lpa_sql(k: int = 3) -> str:
     """Unrolled k-round deterministic synchronous LPA over the
     symmetrized hierarchy graph (unweighted votes, ties to min)."""
@@ -685,6 +736,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _read(s, d, "embeddings"),
         _read(s, d, "embeddings").filter("vec_id < 5"),
         k=5,
+    )
+    # IVF ANN (coarse-quantizer cells, nprobe=2) with the seeded
+    # quantizer, so the centroid constants are reproducible in SQL;
+    # the TRAINED quantizer (distributed Lloyd's) is verified against
+    # a numpy replica in tests/test_similarity.py.
+    q["ivf_cosine_topk"] = lambda s, d: ivf_cosine_topk(
+        _read(s, d, "embeddings"),
+        _read(s, d, "embeddings").filter("vec_id < 5"),
+        k=5,
+        n_cells=8,
+        nprobe=2,
     )
     # A forest's MSF is itself: run full Borůvka on the hierarchy
     # forest where the answer has a closed SQL form. (General-graph
@@ -1359,6 +1421,7 @@ SELECT a.id, b.id, 1.0 FROM
 """,
         "pagerank_converged": _pagerank_converged_sql(50),
         "ann_cosine_topk": _ann_topk_sql(5),
+        "ivf_cosine_topk": _ivf_topk_sql(5),
         "webgraph_pagerank": _webgraph_pagerank_sql(),
         "multigraph_edge_ids": """
 SELECT CAST(o_custkey AS BIGINT) AS src,

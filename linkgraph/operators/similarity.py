@@ -9,9 +9,17 @@ The scale path is LSH bucketing (random-hyperplane signs): each
 vector hashes to a bucket key; queries only score their bucket
 (optionally multi-probe neighbors). At 10^12 rows the bucket join is
 a plain co-partitioned equi-join; recall is tunable by planes/probes.
-An IVF variant (k-means coarse quantizer) would slot in the same
-bucket-join shape; hyperplane LSH is chosen because it needs no
-training pass.
+
+The IVF variant (coarse quantizer → inverted cells) slots into the
+same cell-equi-join shape: each corpus vector lives in exactly one
+cell (its nearest centroid), queries probe their ``nprobe`` nearest
+cells. The quantizer is either seeded-random unit centroids (no
+training pass — the contract-oracle path, constants reproducible on
+both sides) or k-means trained DISTRIBUTED by ``kmeans_centroids``
+(Lloyd's: one scan + one (cell, dim)-keyed aggregation per
+iteration; the model collected per round is k×dim floats, never
+data). Unlike multi-probe LSH, IVF probes are disjoint cells, so
+candidates need no dedup.
 """
 
 from __future__ import annotations
@@ -174,6 +182,160 @@ def ann_cosine_topk(
     if multiprobe > 0:
         # a candidate found via several probes appears once
         scored = scored.dropDuplicates(["query_id", "neighbor_id"])
+    win = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+def seeded_centroids(dim: int, n_cells: int = 8, seed: int = 7) -> np.ndarray:
+    """Data-independent coarse quantizer: seeded random unit
+    centroids. Reproducible as SQL constants, so IVF search is
+    oracle-checkable end-to-end (the trained path below is
+    pytest-verified instead)."""
+    rng = np.random.RandomState(seed)
+    c = rng.normal(size=(n_cells, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def _cell_sims_col(vec_col: str, centroids: np.ndarray):
+    """Array of cosine-ranking scores against unit centroids: the
+    row norm is constant per vector, so argmax of plain dot products
+    IS the cosine argmax — one JVM-side dot per cell, no Python."""
+    cols = []
+    for c in centroids:
+        cent = F.array(*[F.lit(float(x)) for x in c])
+        cols.append(
+            F.aggregate(
+                F.zip_with(_as_double(vec_col), cent, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+    return F.array(*cols)
+
+
+def ivf_cell_col(vec_col: str, centroids: np.ndarray):
+    """Nearest-centroid cell id (0-based), ties to the lowest cell —
+    deterministic. Pure column math."""
+    sims = _cell_sims_col(vec_col, centroids)
+    best = F.array_max(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda i: F.struct(
+                F.element_at(sims, i + 1).alias("s"), (-i).alias("negc")
+            ),
+        )
+    )
+    return (-best["negc"]).cast("int")
+
+
+def _probe_cells_col(vec_col: str, centroids: np.ndarray, nprobe: int):
+    """The ``nprobe`` nearest cells, nearest first (ties to lowest
+    cell id)."""
+    sims = _cell_sims_col(vec_col, centroids)
+    ranked = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda i: F.struct(
+                (-F.element_at(sims, i + 1)).alias("negs"), i.alias("c")
+            ),
+        )
+    )
+    return F.transform(
+        F.slice(ranked, 1, nprobe), lambda s: s["c"].cast("int")
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    n_cells: int = 8,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train the IVF coarse quantizer with distributed Lloyd's
+    iterations: assign = nearest-centroid column expression, update =
+    posexplode → (cell, dim)-keyed sum/count aggregation. Only the
+    k×dim model crosses to the driver each round; the data never
+    does. Init: the ``n_cells`` lowest-``id_col`` vectors
+    (deterministic). Empty cells keep their previous centroid.
+    Returns unit-normalized centroids (cosine quantizer).
+
+    Determinism caveat: per-dimension float sums depend on partition
+    order; assignments of near-tie vectors can differ across runs by
+    the last ulp (same caveat as any distributed mean). The seeded
+    quantizer above is the bit-reproducible path."""
+    sample = df.orderBy(id_col).limit(n_cells).select(_as_double(vec_col)).collect()
+    cents = np.array([r[0] for r in sample], dtype=float)
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    vecs = df.select(_as_double(vec_col).alias("v")).persist()
+    for _ in range(n_iter):
+        assigned = vecs.withColumn("cell", ivf_cell_col("v", cents))
+        stats = (
+            assigned.select("cell", F.posexplode("v").alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = cents.copy()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents))
+        for r in stats:
+            sums[r["cell"], r["i"]] = r["s"]
+            counts[r["cell"]] = r["n"]
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz, None]
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cents = new / norms
+    vecs.unpersist()
+    return cents
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    centroids: np.ndarray | None = None,
+    n_cells: int = 8,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF approximate top-k: (query_id, neighbor_id, rank, sim).
+    Corpus vectors live in their nearest-centroid cell; each query
+    scores only its ``nprobe`` nearest cells — a plain cell-keyed
+    equi-join, so corpus skew maps to cell sizes (bounded by the
+    quantizer), never to a hot query. Pass trained ``centroids`` from
+    kmeans_centroids, or omit for the seeded quantizer. Probed cells
+    are disjoint, so no candidate dedup is needed (contrast
+    multi-probe LSH). Recall < 1 by construction; cosine_topk is the
+    exact oracle it is measured against."""
+    dim = len(corpus.select(vec_col).first()[0])
+    if centroids is None:
+        centroids = seeded_centroids(dim, n_cells, seed)
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("cv"),
+        F.col("_norm").alias("cn"),
+        ivf_cell_col(vec_col, centroids).alias("cell"),
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+        F.col("_norm").alias("qn"),
+        F.explode(_probe_cells_col(vec_col, centroids, nprobe)).alias("cell"),
+    )
+    dot = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    scored = (
+        c.join(q, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", (dot / (F.col("qn") * F.col("cn"))).alias("sim"))
+    )
     win = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(win))

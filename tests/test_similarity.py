@@ -91,3 +91,77 @@ def test_ann_multiprobe_improves_recall(spark):
     r0, r4 = recall(0), recall(4)
     assert r4 >= r0
     assert r4 >= 0.5  # 4 extra probes over 8 planes recovers most of top-5
+
+
+def test_ivf_probe_all_equals_exact(spark):
+    """nprobe = n_cells covers every (disjoint) cell exactly once —
+    the IVF join must reproduce brute-force top-k verbatim."""
+    from linkgraph.operators.similarity import ivf_cosine_topk
+
+    df, _ = _emb_df(spark)
+    queries = df.filter("vec_id < 4")
+    exact = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+        for r in cosine_topk(df, queries, k=7).collect()
+    )
+    ivf = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+        for r in ivf_cosine_topk(df, queries, k=7, n_cells=4, nprobe=4).collect()
+    )
+    assert ivf == exact
+
+
+def test_ivf_subset_and_colinear_hit(spark):
+    """nprobe=1 prunes to one cell: results are a subset of exact,
+    and the colinear pair (3, 7) shares a cell by construction."""
+    from linkgraph.operators.similarity import ivf_cosine_topk
+
+    df, _ = _emb_df(spark)
+    queries = df.filter("vec_id < 5")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(df, queries, k=40).collect()}
+    approx = ivf_cosine_topk(df, queries, k=40, n_cells=4, nprobe=1).collect()
+    assert {(r["query_id"], r["neighbor_id"]) for r in approx} <= exact
+    top3 = [r for r in approx if r["query_id"] == 3]
+    assert min(top3, key=lambda r: r["rank"])["neighbor_id"] == 7
+
+
+def test_kmeans_centroids_vs_numpy_lloyds(spark):
+    """Distributed Lloyd's == a numpy replica (same init rule: the
+    n_cells lowest-id vectors; same unit renormalization) on
+    well-separated clusters, and the learned cells recover them."""
+    from linkgraph.operators.similarity import ivf_cell_col, kmeans_centroids
+
+    rng = np.random.RandomState(11)
+    centers = np.eye(3, 12) * 8.0
+    vecs = np.vstack([
+        centers[i % 3] + rng.normal(scale=0.3, size=12) for i in range(45)
+    ])
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(45)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # float32 storage: replicate what Spark reads
+    v64 = vecs.astype(np.float32).astype(np.float64)
+
+    got = kmeans_centroids(df, n_cells=3, n_iter=5)
+
+    cents = v64[:3] / np.linalg.norm(v64[:3], axis=1, keepdims=True)
+    for _ in range(5):
+        sims = v64 @ cents.T
+        assign = np.argmax(sims, axis=1)
+        new = cents.copy()
+        for c in range(3):
+            m = assign == c
+            if m.any():
+                new[c] = v64[m].sum(axis=0) / m.sum()
+        cents = new / np.linalg.norm(new, axis=1, keepdims=True)
+    assert np.allclose(got, cents, atol=1e-9)
+
+    from pyspark.sql import functions as F
+    cells = {r["vec_id"]: r["cell"] for r in df.select(
+        "vec_id", ivf_cell_col("embedding", got).alias("cell")).collect()}
+    for i in range(45):
+        for j in range(45):
+            if i % 3 == j % 3:
+                assert cells[i] == cells[j]
+            else:
+                assert cells[i] != cells[j]
