@@ -64,8 +64,9 @@ def pagerank(
     truncate_every: int = 3,
     salt_contribs: int | str = 0,
     on_exhaustion: str = "raise",
-    rank_broadcast: bool = False,
+    rank_broadcast: bool | str = "auto",
     rank_broadcast_max: int = 50_000_000,
+    rank_broadcast_auto_max: int = 100_000,
 ) -> IterationResult:
     """Returns IterationResult whose state is DataFrame(id, rank).
 
@@ -91,8 +92,15 @@ def pagerank(
     from O(E) to ZERO, at the cost of shipping V rows to every
     executor per iteration. Right when V·16B ≪ E·16B/executors
     (e.g. 10^7 vertices vs 10^8.5 edges); WRONG at 10^10+ vertices,
-    so it is an explicit opt-in guarded by ``rank_broadcast_max``
-    (raises rather than silently OOMing the driver)."""
+    so forcing it on is guarded by ``rank_broadcast_max`` (raises
+    rather than silently OOMing the driver). The default ``"auto"``
+    takes the broadcast plan only when V ≤ ``rank_broadcast_auto_max``
+    (100k rows ≈ a few MB — cheaper than a per-iteration shuffle
+    stage on ANY executor count, the same judgment Spark's own
+    autoBroadcastJoinThreshold makes) and the shuffle plan otherwise,
+    where the crossover is topology-dependent (BENCH/BASELINE.md
+    Job 4: broadcast of a 4M-row rank frame wins 3.7× on one
+    shared-memory box and loses on process-isolated executors)."""
     spark = graph.edges.sparkSession
     edges = graph.sym_edges
     vertices = graph.vertices.select("id")
@@ -123,6 +131,8 @@ def pagerank(
     # repartition(src) gives the cache HashPartitioning(src, P): the
     # per-iteration ranks⋈trans join then co-partitions and the edge
     # table NEVER re-shuffles — only the (small) rank frame moves.
+    if rank_broadcast == "auto":
+        rank_broadcast = n <= rank_broadcast_auto_max
     if rank_broadcast and n > rank_broadcast_max:
         raise ValueError(
             f"rank_broadcast requires collecting the {n}-row vertex frame to "
