@@ -72,34 +72,13 @@ def multi_source_bfs(
     return visited
 
 
-def multi_source_shortest_paths(
-    graph: LinkGraph,
-    sources: DataFrame,
-    max_iter: int = 200,
-    weight_expr: Column | str | None = None,
-    reverse: bool = False,
-) -> DataFrame:
-    """Weighted distances from every source in one frontier loop:
-    DataFrame(source, id, dist), reached pairs only. The weighted
-    analog of ``multi_source_bfs``, generalizing ``shortest_paths``'
-    Bellman-Ford frontier relaxation with the source id riding along
-    as a key column — k sources cost one loop, not k (the batching
-    the reference's weighted closeness/betweenness benchmarks imply,
-    benchmarks/src/benchmark_networkx.py:235-247). Non-negative
-    weights assumed (the reference's Dijkstra contract,
-    graph.rs:1054-1061). ``weight_expr``: optional Column/str over
-    the edge row (defaults to the weight column).
-
-    Orientation matches multi_source_bfs: a forward walk reaches v at
-    d(source, v); grouping by v gives incoming distances."""
-    spark = graph.edges.sparkSession
-    wcol = _weight_col(True, weight_expr)
-    edges = graph.sym_edges.select("src", "dst", wcol.cast("double").alias("w"))
-    if reverse:
-        edges = edges.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
-        )
-    edges = stationary(edges, "src")
+def _relax(edges: DataFrame, sources: DataFrame, max_iter: int) -> DataFrame:
+    """Shared Bellman-Ford frontier relaxation keyed by (source, id)
+    over an ``edges(src, dst, w)`` frame (stationary by src):
+    DataFrame(source, id, dist), reached pairs only. Raises
+    ConvergenceError if the frontier is still non-empty after
+    ``max_iter`` rounds — a silent exit here would return WRONG
+    (unconverged) distances."""
     state = sources.select(
         F.col(sources.columns[0]).cast("long").alias("source")
     ).select("source", F.col("source").alias("id"), F.lit(0.0).alias("dist"))
@@ -120,8 +99,7 @@ def multi_source_shortest_paths(
         merged = mchain.cut(
             state.join(cand, ["source", "id"], "full")
             .select(
-                "source",
-                "id",
+                "source", "id",
                 F.when(
                     F.col("dist").isNull() | (F.col("nd") < F.col("dist")),
                     F.struct(F.col("nd").alias("dist"), F.lit(1).alias("chg")),
@@ -134,9 +112,43 @@ def multi_source_shortest_paths(
         frontier = merged.filter("chg = 1").select("source", "id", "dist")
         state = merged.select("source", "id", "dist")
         if frontier.limit(1).count() == 0:
-            break
-    edges.unpersist()
-    return state
+            return state
+    raise ConvergenceError(
+        f"multi-source relaxation did not converge in {max_iter} rounds"
+    )
+
+
+def multi_source_shortest_paths(
+    graph: LinkGraph,
+    sources: DataFrame,
+    max_iter: int = 200,
+    weight_expr: Column | str | None = None,
+    reverse: bool = False,
+) -> DataFrame:
+    """Weighted distances from every source in one frontier loop:
+    DataFrame(source, id, dist), reached pairs only. The weighted
+    analog of ``multi_source_bfs``, generalizing ``shortest_paths``'
+    Bellman-Ford frontier relaxation with the source id riding along
+    as a key column — k sources cost one loop, not k (the batching
+    the reference's weighted closeness/betweenness benchmarks imply,
+    benchmarks/src/benchmark_networkx.py:235-247). Non-negative
+    weights assumed (the reference's Dijkstra contract,
+    graph.rs:1054-1061). ``weight_expr``: optional Column/str over
+    the edge row (defaults to the weight column).
+
+    Orientation matches multi_source_bfs: a forward walk reaches v at
+    d(source, v); grouping by v gives incoming distances."""
+    wcol = _weight_col(True, weight_expr)
+    edges = graph.sym_edges.select("src", "dst", wcol.cast("double").alias("w"))
+    if reverse:
+        edges = edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    edges = stationary(edges, "src")
+    try:
+        return _relax(edges, sources, max_iter)
+    finally:
+        edges.unpersist()
 
 
 def closeness_centrality(
@@ -250,46 +262,7 @@ def _brandes_forward_weighted(
     ulp (integer-valued weights are exact). Requires positive
     weights — zero-weight cycles would make the "DAG" cyclic and the
     leveling loop raises ConvergenceError."""
-    spark = edges.sparkSession
-    state = sources.select(
-        F.col(sources.columns[0]).cast("long").alias("source")
-    ).select("source", F.col("source").alias("id"), F.lit(0.0).alias("dist"))
-    state = state.transform(truncate_lineage)
-    frontier = state
-    mchain = LineageChain()
-    for _ in range(max_iter):
-        cand = (
-            frontier.join(edges, frontier.id == edges.src)
-            .select(
-                "source",
-                F.col("dst").alias("id"),
-                (F.col("dist") + F.col("w")).alias("nd"),
-            )
-            .groupBy("source", "id")
-            .agg(F.min("nd").alias("nd"))
-        )
-        merged = mchain.cut(
-            state.join(cand, ["source", "id"], "full")
-            .select(
-                "source", "id",
-                F.when(
-                    F.col("dist").isNull() | (F.col("nd") < F.col("dist")),
-                    F.struct(F.col("nd").alias("dist"), F.lit(1).alias("chg")),
-                )
-                .otherwise(F.struct("dist", F.lit(0).alias("chg")))
-                .alias("s"),
-            )
-            .select("source", "id", "s.dist", "s.chg")
-        )
-        frontier = merged.filter("chg = 1").select("source", "id", "dist")
-        state = merged.select("source", "id", "dist")
-        if frontier.limit(1).count() == 0:
-            break
-    else:
-        raise ConvergenceError(
-            f"weighted Brandes relaxation did not converge in {max_iter} rounds"
-        )
-    dist = state.persist()
+    dist = _relax(edges, sources, max_iter).persist()
 
     # shortest-path DAG: (source, u→v) where dist(u) + w(u,v) = dist(v)
     du = dist.select("source", F.col("id").alias("src"), F.col("dist").alias("du"))
