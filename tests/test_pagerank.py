@@ -165,11 +165,16 @@ def test_rank_broadcast_matches_shuffle_plan(spark, two_cliques_bridge, star_hub
     from conftest import collect_map
 
     for g in (two_cliques_bridge, star_hub):
-        a = collect_map(pagerank(g, tol=1e-10).state, "id", "rank")
+        a = collect_map(
+            pagerank(g, tol=1e-10, rank_broadcast=False).state, "id", "rank"
+        )
         b = collect_map(pagerank(g, tol=1e-10, rank_broadcast=True).state, "id", "rank")
-        assert a.keys() == b.keys()
+        # default "auto" picks broadcast at this V; must equal both
+        c = collect_map(pagerank(g, tol=1e-10).state, "id", "rank")
+        assert a.keys() == b.keys() == c.keys()
         ks = sorted(a)
         assert np.allclose([a[k] for k in ks], [b[k] for k in ks], atol=1e-12)
+        assert np.allclose([a[k] for k in ks], [c[k] for k in ks], atol=1e-12)
 
 
 def test_rank_broadcast_guard(two_cliques_bridge):
