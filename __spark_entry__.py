@@ -42,6 +42,7 @@ from linkgraph.operators.components import (
 )
 from linkgraph.operators.dedup import (
     MERSENNE31,
+    dedup_clusters,
     exact_duplicates,
     lsh_candidate_pairs,
     minhash_params,
@@ -496,6 +497,49 @@ WHERE x.id < y.id
 """
 
 
+def _dedup_clusters_sql(n_hashes: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+    """Near-dup clusters oracle: the SAME LSH candidates and exact
+    n-gram Jaccard verify as the engine (seeded minhash constants
+    shared), then connected components by recursive min-reach over
+    the verified pairs and a left join back to every doc. MATERIALIZED
+    on the aggregated CTEs keeps them out of the recursive scope
+    (DuckDB re-inlines plain CTEs per consumer)."""
+    toks = TOKENS.format(t="text")
+    lsh = _lsh_pairs_sql(n_hashes, bands)
+    return f"""
+WITH RECURSIVE
+cand AS MATERIALIZED (SELECT * FROM ({lsh})),
+docs AS MATERIALIZED ({DOCS}),
+toked AS (SELECT doc_id, {toks} AS t FROM docs),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM toked WHERE len(t) >= 3),
+sh AS MATERIALIZED (SELECT DISTINCT doc_id,
+            t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (SELECT c.a, c.b, count(*) AS cnt
+           FROM cand c JOIN sh x ON x.doc_id = c.a
+                       JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+           GROUP BY 1, 2),
+pairs AS MATERIALIZED (
+  SELECT a, b FROM common
+  JOIN sizes na ON common.a = na.doc_id
+  JOIN sizes nb ON common.b = nb.doc_id
+  WHERE round(cnt * 1.0 / (na.n + nb.n - cnt), 6) >= {threshold}),
+sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
+                     UNION SELECT b, a FROM pairs),
+members AS (SELECT DISTINCT src AS id FROM sym),
+reach(id, r) AS (
+  SELECT id, id FROM members
+  UNION
+  SELECT reach.id, s.dst FROM reach JOIN sym s ON reach.r = s.src
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT d.doc_id, coalesce(c.component, d.doc_id) AS canonical_id,
+       coalesce(c.component, d.doc_id) <> d.doc_id AS is_duplicate
+FROM docs d LEFT JOIN comp c ON d.doc_id = c.id
+"""
+
+
 def _simhash_sql(bits: int = 16) -> str:
     toks = TOKENS.format(t="text")
     h = _md5int("tok")
@@ -622,6 +666,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lang_id_col(F.col("text")).alias("lang_pred"),
         doc_fingerprint_col(F.col("text")).alias("fingerprint"),
     )
+
+    # near-dup CLUSTERS: LSH candidates → exact-Jaccard verify →
+    # the engine's distributed WCC over the pair graph → min-id
+    # canonical survivor per cluster (the drop decision a training
+    # pipeline actually executes)
+    q["dedup_clusters"] = lambda s, d: dedup_clusters(_docs(s, d), threshold=0.5)
 
     # --- similarity search
     q["cosine_topk"] = lambda s, d: cosine_topk(
@@ -1323,6 +1373,7 @@ FROM common JOIN sizes na ON common.a = na.doc_id JOIN sizes nb ON common.b = nb
 WHERE round(common * 1.0 / (na.n + nb.n - common), 6) >= 0.5
 """,
         "simhash": _simhash_sql(16),
+        "dedup_clusters": _dedup_clusters_sql(32, 8, 0.5),
         "text_stats": f"""
 WITH docs AS ({DOCS}),
 base AS (SELECT doc_id, text, {toks} AS t FROM docs),

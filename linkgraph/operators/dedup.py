@@ -148,20 +148,33 @@ def ngram_jaccard_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.5,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (a, b, jaccard ≥
-    threshold) via shingle co-occurrence join — the verification
-    stage of near-dup, or standalone for modest corpora."""
+    threshold). With ``candidates`` (a DataFrame(a, b), e.g. LSH
+    output) only those pairs are scored — the scale path: the work is
+    |candidates| × shingles-per-doc, never corpus². Without it, an
+    all-pairs shingle co-occurrence join — the labeled oracle mode
+    for modest corpora."""
     sh = shingles(df, id_col, text_col, k).persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("id").alias("a"), "shingle")
     b = sh.select(F.col("id").alias("b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("common"))
-    )
+    if candidates is not None:
+        common = (
+            candidates.select("a", "b")
+            .join(a, "a")
+            .join(b, ["b", "shingle"])
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("common"))
+        )
+    else:
+        common = (
+            a.join(b, "shingle")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("common"))
+        )
     na = sizes.select(F.col("id").alias("a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("id").alias("b"), F.col("n").alias("nb"))
     return (
@@ -175,6 +188,52 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup CLUSTERS with one canonical survivor each — the step
+    that decides which documents a training pipeline drops:
+    (doc_id, canonical_id, is_duplicate), one row per input doc.
+
+    Pipeline: MinHash signatures → banded LSH candidates → exact
+    n-gram Jaccard verify (candidates only) → connected components
+    over the verified-pair graph, run by the engine's own distributed
+    WCC; the min-label component id IS the canonical (minimum) member
+    id, so survivor selection is free. Transitive closure is
+    deliberate: near-dup clusters chain (A≈B≈C with A̸≈C), and
+    keeping one doc per chained cluster is the standard dedup
+    semantics. Every stage is a bucketed join or label propagation —
+    nothing is corpus²."""
+    from linkgraph.graph import LinkGraph
+    from linkgraph.operators.components import weakly_connected_components
+
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k, seed)
+    cands = lsh_candidate_pairs(sigs, bands)
+    verified = ngram_jaccard_pairs(
+        df, id_col, text_col, k=shingle_k, threshold=threshold, candidates=cands
+    )
+    edges = verified.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1.0).alias("weight")
+    )
+    wcc = weakly_connected_components(LinkGraph(edges, directed=False)).state
+    docs = df.select(F.col(id_col).cast("long").alias("doc_id"))
+    return (
+        docs.join(wcc, docs.doc_id == wcc.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("canonical_id"),
+        )
+        .withColumn("is_duplicate", F.col("doc_id") != F.col("canonical_id"))
     )
 
 

@@ -86,3 +86,57 @@ def test_simhash_duplicates(spark):
     out = simhash_duplicates(_corpus(spark), "doc_id", "text").collect()
     groups = {r["keep_id"]: r["n_docs"] for r in out}
     assert groups.get(1, 0) >= 2  # docs 1 & 2 share the bucket
+
+
+def test_ngram_jaccard_candidates_restriction(spark):
+    """candidates= scores exactly the given pairs: equal to the
+    all-pairs result restricted to that pair set."""
+    df = _corpus(spark)
+    full = {(r["a"], r["b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.0).collect()}
+    cand = spark.createDataFrame([(1, 2), (1, 3), (4, 5)], "a long, b long")
+    got = {(r["a"], r["b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(
+               df, "doc_id", "text", threshold=0.0, candidates=cand).collect()}
+    # (4,5) shares no shingle: no common row, absent from both
+    assert set(got) == {(1, 2), (1, 3)}
+    for p, j in got.items():
+        assert j == full[p]
+
+
+def test_dedup_clusters_chained(spark):
+    """A≈B≈C chains into one cluster with min-id survivor even if
+    A and C alone wouldn't pass the threshold; unique docs keep
+    themselves."""
+    from linkgraph.operators.dedup import dedup_clusters
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [
+        (10, base),
+        (11, base.replace("delta", "DELTA1").replace("kappa", "KAPPA1")),
+        (12, base.replace("delta", "DELTA1").replace("kappa", "KAPPA1")
+                 .replace("sigma", "SIGMA2").replace("pi", "PI2")),
+        (13, "totally unrelated text about distributed shuffles and joins "
+             "with many extra words to make enough shingles for hashing"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["canonical_id"], r["is_duplicate"])
+           for r in dedup_clusters(df, threshold=0.3).collect()}
+    assert out[10] == (10, False)
+    assert out[11] == (10, True)
+    assert out[12] == (10, True)
+    assert out[13] == (13, False)
+    assert len(out) == 4
+
+
+def test_dedup_clusters_no_dups(spark):
+    """No verified pairs: every doc is its own canonical."""
+    from linkgraph.operators.dedup import dedup_clusters
+
+    rows = [(i, f"document {i} " + " ".join(f"tok{i}x{j}" for j in range(20)))
+            for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_clusters(df, threshold=0.9).collect()
+    assert all(r["canonical_id"] == r["doc_id"] and not r["is_duplicate"] for r in out)
+    assert len(out) == 5
