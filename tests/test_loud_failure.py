@@ -78,3 +78,15 @@ def test_add_edges_intra_batch_duplicates_deterministic(spark):
     for _ in range(3):
         rows = g.add_edges(batch).edges.collect()
         assert [(r["src"], r["dst"], r["weight"]) for r in rows] == [(1, 2, 3.0)]
+
+
+def test_multi_source_relaxation_raises_on_exhaustion(spark):
+    """An unconverged Bellman-Ford frontier raises instead of
+    silently returning incomplete distances."""
+    from linkgraph.operators.centrality import multi_source_shortest_paths
+
+    edges = [(i, i + 1, 1.0) for i in range(8)]
+    g = graph_from_edges(spark, edges, directed=True)
+    src = spark.createDataFrame([(0,)], "id long")
+    with pytest.raises(ConvergenceError):
+        multi_source_shortest_paths(g, src, max_iter=3)
