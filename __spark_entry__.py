@@ -814,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- multimodal plumbing (binary cols + mapInPandas features)
     q["multimodal_frame_samples"] = lambda s, d: _frame_samples(s, d)
     q["multimodal_feature_bytes"] = lambda s, d: _feature_bytes(s, d)
+    q["multimodal_resize"] = lambda s, d: _resize(s, d)
 
     return q
 
@@ -862,6 +863,26 @@ def _feature_bytes(s, d):
     )
     return extract_features(media).select(
         "media_id", F.col("n_bytes").cast("long").alias("n_bytes")
+    )
+
+
+def _resize(s, d):
+    """Documents as fake images with doc_id-derived dims through the
+    REAL Arrow-batched resize plumbing; stride/target-dim/byte-count
+    arithmetic is closed-form checkable in SQL."""
+    from linkgraph.operators.multimodal import resize_images
+
+    media = _read(s, d, "documents").select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        (F.lit(16) + F.pmod(F.col("doc_id"), F.lit(32))).cast("int").alias("width"),
+        (F.lit(16) + F.pmod(F.col("doc_id"), F.lit(16))).cast("int").alias("height"),
+        F.lit(0).alias("duration_ms"),
+    )
+    return resize_images(media, max_side=16).select(
+        "media_id", "width", "height", "target_w", "target_h",
+        F.length("payload").cast("long").alias("out_bytes"),
     )
 
 
@@ -1493,5 +1514,21 @@ FROM events WHERE event_id % 3 = 0
 WITH docs AS ({DOCS})
 SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
 FROM docs
+""",
+        # stride k = ceil(max(w,h)/16); strided payload length is
+        # ceil(nbytes/k) — same closed form the engine's Arrow batch
+        # computes
+        "multimodal_resize": """
+WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+                  CAST(16 + doc_id % 32 AS INT) AS width,
+                  CAST(16 + doc_id % 16 AS INT) AS height,
+                  octet_length(encode(text)) AS nb
+           FROM documents),
+k AS (SELECT *, CAST(ceil(greatest(width, height) / 16.0) AS BIGINT) AS k FROM m)
+SELECT media_id, width, height,
+       CAST(ceil(width * 1.0 / k) AS INT) AS target_w,
+       CAST(ceil(height * 1.0 / k) AS INT) AS target_h,
+       CAST(ceil(nb * 1.0 / k) AS BIGINT) AS out_bytes
+FROM k
 """,
     }

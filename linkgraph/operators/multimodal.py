@@ -87,6 +87,42 @@ def extract_features(media: DataFrame, dim: int = 8, use_real_decoder: bool = Fa
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, width int, height int, target_w int, target_h int, payload binary"
+)
+
+
+def resize_images(media: DataFrame, max_side: int = 16) -> DataFrame:
+    """Image resize plumbing, Arrow-batched mapInPandas: integer
+    stride k = ceil(max(w, h) / max_side), target dims ceil(w/k) ×
+    ceil(h/k). A real implementation decodes and area-resamples in
+    the same batch loop (the stubbed codec slot, see module
+    docstring); the deterministic stand-in strides the payload bytes
+    (out = payload[::k], so len(out) = ceil(len/k)) — schema,
+    partitioning and batch shape are the real ones, and the output
+    arithmetic is closed-form checkable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            w = b["width"].to_numpy()
+            h = b["height"].to_numpy()
+            k = np.maximum(1, np.ceil(np.maximum(w, h) / max_side)).astype(int)
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "width": w,
+                    "height": h,
+                    "target_w": np.ceil(w / k).astype(int),
+                    "target_h": np.ceil(h / k).astype(int),
+                    "payload": [
+                        bytes(bytes(p)[:: int(ki)]) for p, ki in zip(b["payload"], k)
+                    ],
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(run, RESIZED_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:
     """Video frame-sampling plumbing: explode timestamps to sample at
     (real frame extraction would decode at each ts). Pure Catalyst."""

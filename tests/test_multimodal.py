@@ -43,3 +43,23 @@ def test_frame_sampling(spark):
     assert all(r["sample_ts_ms"] % 500 == 0 for r in samples)
     vids = {r["media_id"] for r in media.filter("kind = 'video'").collect()}
     assert {r["media_id"] for r in samples} == vids
+
+
+def test_resize_images_stride_semantics(spark):
+    """Target dims and strided payload match the closed form:
+    k = ceil(max(w,h)/max_side), out = payload[::k]."""
+    import math
+
+    from linkgraph.operators.multimodal import resize_images, synth_media
+
+    media = synth_media(spark, 32).persist()
+    src = {r["media_id"]: r for r in media.filter("kind = 'image'").collect()}
+    out = resize_images(media, max_side=16).collect()
+    assert {r["media_id"] for r in out} == set(src)
+    for r in out:
+        s = src[r["media_id"]]
+        k = max(1, math.ceil(max(s["width"], s["height"]) / 16))
+        assert r["target_w"] == math.ceil(s["width"] / k)
+        assert r["target_h"] == math.ceil(s["height"] / k)
+        assert bytes(r["payload"]) == bytes(s["payload"])[::k]
+    media.unpersist()
