@@ -60,6 +60,10 @@ from linkgraph.operators.layout import circular_layout, shell_layout, spiral_lay
 from linkgraph.operators.lpa import label_propagation
 from linkgraph.operators.mst import minimum_spanning_forest
 from linkgraph.operators.pagerank import pagerank, pagerank_fixed_iterations
+from linkgraph.operators.spectral import (
+    eigenvector_centrality_fixed_iterations,
+    hits_fixed_iterations,
+)
 from linkgraph.operators.similarity import (
     ann_cosine_topk,
     cosine_topk,
@@ -261,6 +265,59 @@ r{i} AS (SELECT v.id,
          FROM verts v LEFT JOIN c{i} c ON v.id = c.id)"""
         )
     return pre + "".join(its) + f"\nSELECT id, round(rank, 8) AS rank FROM r{k}"
+
+
+def _hits_sql(k: int = 5) -> str:
+    """Unrolled k-iteration HITS over the directed cust_supp graph:
+    the exact engine semantics (L1-normalized Kleinberg iteration,
+    operators/spectral.py) as nested CTEs."""
+    pre = f"""
+WITH edges AS MATERIALIZED ({CUST_SUPP}),
+verts AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM verts),
+h0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS hub FROM verts)"""
+    its = []
+    for i in range(1, k + 1):
+        its.append(f""",
+ar{i} AS MATERIALIZED (SELECT e.dst AS id, sum(h.hub * e.weight) AS s
+          FROM h{i-1} h JOIN edges e ON h.id = e.src GROUP BY 1),
+a{i} AS MATERIALIZED (SELECT v.id,
+          coalesce(r.s, 0.0) / (SELECT sum(s) FROM ar{i}) AS auth
+          FROM verts v LEFT JOIN ar{i} r ON v.id = r.id),
+hr{i} AS MATERIALIZED (SELECT e.src AS id, sum(a.auth * e.weight) AS s
+          FROM a{i} a JOIN edges e ON a.id = e.dst GROUP BY 1),
+h{i} AS MATERIALIZED (SELECT v.id,
+          coalesce(r.s, 0.0) / (SELECT sum(s) FROM hr{i}) AS hub
+          FROM verts v LEFT JOIN hr{i} r ON v.id = r.id)"""
+        )
+    return pre + "".join(its) + f"""
+SELECT h.id, round(h.hub, 8) AS hub, round(a.auth, 8) AS authority
+FROM h{k} h JOIN a{k} a ON h.id = a.id"""
+
+
+def _eigen_sql(k: int = 5) -> str:
+    """Unrolled k-iteration eigenvector centrality (the NetworkX A+I
+    power iteration with per-step L2 normalization) over symmetrized
+    supp_co."""
+    pre = f"""
+WITH edges AS ({SUPP_CO}),
+sym AS MATERIALIZED (SELECT src, dst, weight FROM edges
+        UNION ALL SELECT dst, src, weight FROM edges),
+verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym),
+nn AS (SELECT count(*) AS n FROM verts),
+x0 AS (SELECT id, 1.0 / sqrt((SELECT n FROM nn)) AS x FROM verts)"""
+    its = []
+    for i in range(1, k + 1):
+        its.append(f""",
+c{i} AS (SELECT e.dst AS id, sum(x.x * e.weight) AS s
+         FROM x{i-1} x JOIN sym e ON x.id = e.src GROUP BY 1),
+u{i} AS MATERIALIZED (SELECT v.id, x.x + coalesce(c.s, 0.0) AS u
+         FROM verts v JOIN x{i-1} x ON v.id = x.id
+         LEFT JOIN c{i} c ON v.id = c.id),
+x{i} AS MATERIALIZED (SELECT id, u / (SELECT sqrt(sum(u * u)) FROM u{i}) AS x
+         FROM u{i})"""
+        )
+    return pre + "".join(its) + f"\nSELECT id, round(x, 8) AS centrality FROM x{k}"
 
 
 NAT_REG = """
@@ -808,6 +865,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["k_core4_cliques"] = lambda s, d: k_core(_clique_graph(s, d), 4).edges
     q["webgraph_pagerank"] = _webgraph_pagerank
 
+    # --- spectral link analysis (power-iteration family, like
+    # pagerank5_*: fixed-k unrolled plans are SQL-oracle-comparable;
+    # converged variants are replica/NetworkX-verified in
+    # tests/test_spectral.py)
+    q["hits5_cust_supp"] = lambda s, d: (
+        hits_fixed_iterations(_cust_supp(s, d), k=5).select(
+            "id",
+            F.round("hub", 8).alias("hub"),
+            F.round("authority", 8).alias("authority"),
+        )
+    )
+    q["eigenvector5_suppco"] = lambda s, d: (
+        eigenvector_centrality_fixed_iterations(_supp_co(s, d), k=5).select(
+            "id", F.round("centrality", 8).alias("centrality")
+        )
+    )
+
     # --- multigraph edge identity (§2.1/§2.2: multigraph.rs:78-90)
     q["multigraph_edge_ids"] = lambda s, d: _multi_graph(s, d).edges
 
@@ -1204,6 +1278,8 @@ FROM v LEFT JOIN mutual m ON v.id = m.v GROUP BY v.id
 """,
         "pagerank5_suppliers": _pagerank_sql(5),
         "pagerank5_personalized": _ppr_sql(5),
+        "hits5_cust_supp": _hits_sql(5),
+        "eigenvector5_suppco": _eigen_sql(5),
         "lpa3_hierarchy": _lpa_sql(3),
         "circular_layout": f"""
 {LAYOUT_IDX}
