@@ -55,7 +55,9 @@ from linkgraph.operators.centrality import (
     closeness_centrality,
     multi_source_shortest_paths,
 )
+from linkgraph.operators.centrality import harmonic_centrality
 from linkgraph.operators.kcore import core_numbers, k_core
+from linkgraph.operators.linkpred import graph_summary, link_prediction_scores
 from linkgraph.operators.layout import circular_layout, shell_layout, spiral_layout
 from linkgraph.operators.lpa import label_propagation
 from linkgraph.operators.mst import minimum_spanning_forest
@@ -865,6 +867,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["k_core4_cliques"] = lambda s, d: k_core(_clique_graph(s, d), 4).edges
     q["webgraph_pagerank"] = _webgraph_pagerank
 
+    # --- harmonic centrality (disconnect-robust closeness; same
+    # batched multi-source machinery, NetworkX-verified in
+    # tests/test_linkpred.py)
+    q["harmonic_hierarchy"] = lambda s, d: (
+        harmonic_centrality(LinkGraph(_hierarchy_edges(s, d), directed=True))
+        .select("id", F.round("harmonic", 9).alias("harmonic"))
+    )
+
+    # --- link prediction over the distance-2 candidate set (the
+    # non-quadratic contract; formulas match NetworkX per pair).
+    # The full co-occurrence graph is COMPLETE at small scale factors
+    # (zero non-edges), so both this and graph_metrics run on the
+    # deterministic weight%3 subgraph — sparse enough for a real
+    # candidate set, scale-independent like the set-op queries' split.
+    q["link_prediction_suppco"] = lambda s, d: (
+        link_prediction_scores(_co_mod3(s, d)).select(
+            "u", "v", "common_neighbors",
+            F.round("jaccard", 9).alias("jaccard"),
+            F.round("adamic_adar", 9).alias("adamic_adar"),
+            "preferential_attachment",
+        )
+    )
+
+    # --- global graph metrics scalar row
+    q["graph_metrics_suppco"] = lambda s, d: (
+        graph_summary(_co_mod3(s, d)).select(
+            "n_nodes", "n_edges",
+            F.round("density", 9).alias("density"),
+            F.round("transitivity", 9).alias("transitivity"),
+            F.round("assortativity", 9).alias("assortativity"),
+        )
+    )
+
     # --- spectral link analysis (power-iteration family, like
     # pagerank5_*: fixed-k unrolled plans are SQL-oracle-comparable;
     # converged variants are replica/NetworkX-verified in
@@ -981,6 +1016,17 @@ def _nat_reg_edges(s, d):
         (F.col("n_nationkey").cast("long") + NAT).alias("src"),
         (F.col("n_regionkey").cast("long") + REG).alias("dst"),
         F.lit(1.0).alias("weight"),
+    )
+
+
+def _co_mod3(s, d) -> LinkGraph:
+    """weight%3 subgraph of supplier co-occurrence: the full graph is
+    complete at small sf (no non-edges to predict, degree-regular),
+    this deterministic sparsifier leaves a nontrivial candidate set
+    and degree spread at every scale factor."""
+    co = tpch_supplier_graph(s, d)
+    return LinkGraph(
+        co.filter(F.col("weight").cast("long") % 3 == 0), directed=False
     )
 
 
@@ -1280,6 +1326,66 @@ FROM v LEFT JOIN mutual m ON v.id = m.v GROUP BY v.id
         "pagerank5_personalized": _ppr_sql(5),
         "hits5_cust_supp": _hits_sql(5),
         "eigenvector5_suppco": _eigen_sql(5),
+        # harmonic: the closeness_hierarchy recursive-CTE walk with
+        # sum(1/d) instead of (r-1)/Σd
+        "harmonic_hierarchy": f"""
+WITH agg AS (
+  WITH RECURSIVE e AS ({HIER}),
+  v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+  walk(source, id, level) AS (
+    SELECT id, id, 0 FROM v
+    UNION
+    SELECT walk.source, s.dst, walk.level + 1
+    FROM walk JOIN e s ON walk.id = s.src WHERE walk.level < 4
+  ),
+  d AS (SELECT source, id, min(level) AS lvl FROM walk GROUP BY 1, 2)
+  SELECT id, sum(1.0 / lvl) AS h FROM d WHERE lvl > 0 GROUP BY 1
+),
+verts AS (SELECT src AS id FROM ({HIER}) UNION SELECT dst FROM ({HIER}))
+SELECT verts.id, round(coalesce(agg.h, 0.0), 9) AS harmonic
+FROM verts LEFT JOIN agg ON verts.id = agg.id
+""",
+        "link_prediction_suppco": f"""
+WITH e0 AS (SELECT * FROM ({SUPP_CO}) WHERE CAST(weight AS BIGINT) % 3 = 0),
+canon AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM e0 WHERE src <> dst GROUP BY 1, 2),
+deg AS (SELECT id, count(*) AS deg FROM
+        (SELECT a AS id FROM canon UNION ALL SELECT b FROM canon) GROUP BY 1),
+sym AS (SELECT a AS z, b AS x FROM canon UNION ALL SELECT b, a FROM canon),
+w AS (SELECT e1.x AS u, e2.x AS v, count(*) AS cn,
+             sum(1.0 / ln(dz.deg)) AS aa
+      FROM sym e1 JOIN sym e2 ON e1.z = e2.z AND e1.x < e2.x
+      JOIN deg dz ON dz.id = e1.z
+      GROUP BY 1, 2),
+nonadj AS (SELECT w.* FROM w LEFT JOIN canon c ON w.u = c.a AND w.v = c.b
+           WHERE c.a IS NULL)
+SELECT n.u, n.v, n.cn AS common_neighbors,
+       round(n.cn * 1.0 / (du.deg + dv.deg - n.cn), 9) AS jaccard,
+       round(n.aa, 9) AS adamic_adar,
+       du.deg * dv.deg AS preferential_attachment
+FROM nonadj n JOIN deg du ON du.id = n.u JOIN deg dv ON dv.id = n.v
+""",
+        "graph_metrics_suppco": f"""
+WITH e0 AS (SELECT * FROM ({SUPP_CO}) WHERE CAST(weight AS BIGINT) % 3 = 0),
+canon AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM e0 WHERE src <> dst GROUP BY 1, 2),
+verts AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+deg AS (SELECT id, count(*) AS deg FROM
+        (SELECT a AS id FROM canon UNION ALL SELECT b FROM canon) GROUP BY 1),
+nm AS (SELECT (SELECT count(*) FROM verts) AS n, (SELECT count(*) FROM canon) AS m),
+tri AS (SELECT count(*) AS t
+        FROM canon e1 JOIN canon e2 ON e1.b = e2.a
+        JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b),
+wdg AS (SELECT sum(deg * (deg - 1) / 2.0) AS w FROM deg),
+sym AS (SELECT a AS x, b AS y FROM canon UNION ALL SELECT b, a FROM canon),
+ass AS (SELECT corr(CAST(dx.deg AS DOUBLE), CAST(dy.deg AS DOUBLE)) AS r
+        FROM sym JOIN deg dx ON dx.id = sym.x JOIN deg dy ON dy.id = sym.y)
+SELECT nm.n AS n_nodes, nm.m AS n_edges,
+       round(2.0 * nm.m / (nm.n * (nm.n - 1)), 9) AS density,
+       round(3.0 * tri.t / wdg.w, 9) AS transitivity,
+       round(ass.r, 9) AS assortativity
+FROM nm, tri, wdg, ass
+""",
         "lpa3_hierarchy": _lpa_sql(3),
         "circular_layout": f"""
 {LAYOUT_IDX}

@@ -201,6 +201,45 @@ def closeness_centrality(
     )
 
 
+def harmonic_centrality(
+    graph: LinkGraph,
+    sources: DataFrame | None = None,
+    weighted: bool = False,
+    weight_expr: Column | str | None = None,
+) -> DataFrame:
+    """Harmonic centrality: DataFrame(id, harmonic).
+
+    harmonic(v) = Σ_{u != v} 1/d(u, v) over the sources u that reach
+    v — the disconnect-robust closeness variant (unreachable pairs
+    contribute 0 instead of poisoning the sum). Exact
+    (= ``networkx.harmonic_centrality``) when ``sources`` is None;
+    an unbiased estimator scaled by n_sources when sampled. Directed
+    graphs use incoming distance, like NetworkX. Distances of exactly
+    0 to a distinct vertex (zero-weight edges) are skipped, matching
+    NetworkX's ``if d > 0`` guard.
+
+    ``weighted``/``weight_expr``: hop count → weighted shortest-path
+    length via the same batched multi-source relaxation closeness
+    uses (``networkx.harmonic_centrality(distance='weight')``)."""
+    src = sources if sources is not None else graph.vertices.select("id")
+    if weighted or weight_expr is not None:
+        dists = multi_source_shortest_paths(
+            graph, src, weight_expr=weight_expr
+        ).select("source", "id", F.col("dist").alias("level"))
+    else:
+        dists = multi_source_bfs(graph, src, reverse=False)
+    agg = (
+        dists.filter((F.col("source") != F.col("id")) & (F.col("level") > 0))
+        .groupBy("id")
+        .agg(F.sum(F.lit(1.0) / F.col("level")).alias("h"))
+    )
+    return (
+        graph.vertices.select("id")
+        .join(agg, "id", "left")
+        .select("id", F.coalesce("h", F.lit(0.0)).alias("harmonic"))
+    )
+
+
 def _brandes_forward(
     edges: DataFrame, sources: DataFrame, max_depth: int
 ) -> tuple[DataFrame, int]:

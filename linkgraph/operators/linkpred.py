@@ -1,0 +1,174 @@
+"""Link prediction and global graph metrics.
+
+NetworkX's link-prediction surface (``jaccard_coefficient``,
+``adamic_adar_index``, ``common_neighbors``,
+``preferential_attachment``) defaults to scoring ALL non-edges —
+O(V²), fatal at web scale. The scalable contract here scores the
+distance-2 candidate set (non-adjacent pairs with >= 1 common
+neighbor) — exactly the pairs where common-neighbor scores are
+non-zero — produced by one wedge self-join on the degree-bounded
+simple projection, the same shape as triangle counting. An explicit
+``candidates`` frame restores the NetworkX any-pair semantics when
+needed; per-pair values match NetworkX exactly either way
+(tests/test_linkpred.py).
+
+``graph_summary`` is the global-metric scalar row (density,
+transitivity, degree assortativity) — one pass of aggregations over
+the simple projection plus the engine's oriented triangle count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+from linkgraph.operators.triangles import total_triangles
+
+
+def _simple_projection(graph: LinkGraph) -> tuple[DataFrame, DataFrame]:
+    """(canonical a<b simple edges, per-vertex simple degrees) of the
+    undirected simple projection (self-loops and parallel edges
+    dropped — the NetworkX link-prediction domain, which rejects
+    multigraphs outright)."""
+    canon = (
+        graph.edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("id"))
+        .unionAll(canon.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    return canon, deg
+
+
+def link_prediction_scores(
+    graph: LinkGraph, candidates: DataFrame | None = None
+) -> DataFrame:
+    """DataFrame(u, v, common_neighbors, jaccard, adamic_adar,
+    preferential_attachment), u < v.
+
+    ``candidates`` None scores every non-adjacent distance-2 pair
+    (the pairs with common_neighbors >= 1); a DataFrame(u, v) scores
+    exactly those pairs (zero-common pairs included, scores 0/0/0/
+    deg·deg — the NetworkX ebunch semantics). Formulas match
+    NetworkX: jaccard = |Γu∩Γv| / |Γu∪Γv|, adamic_adar =
+    Σ_{z∈Γu∩Γv} 1/ln(deg z) (common neighbors always have deg >= 2,
+    so the log never vanishes), preferential_attachment =
+    deg(u)·deg(v)."""
+    canon, deg = _simple_projection(graph)
+    canon = canon.persist()
+    # both orientations once: wedges z—u, z—v enumerate each unordered
+    # pair exactly once via u < v
+    sym = canon.select(F.col("a").alias("z"), F.col("b").alias("x")).unionAll(
+        canon.select(F.col("b").alias("z"), F.col("a").alias("x"))
+    )
+    dz = deg.select(F.col("id").alias("z"), F.col("deg").alias("deg_z"))
+    e1 = sym.join(dz, "z").select("z", F.col("x").alias("u"), "deg_z")
+    e2 = sym.select("z", F.col("x").alias("v"))
+    wedges = e1.join(e2, "z").filter(F.col("u") < F.col("v"))
+    cn = wedges.groupBy("u", "v").agg(
+        F.count("*").alias("common_neighbors"),
+        F.sum(F.lit(1.0) / F.log(F.col("deg_z").cast("double"))).alias("adamic_adar"),
+    )
+    if candidates is not None:
+        # NetworkX ebunch semantics: score exactly the given pairs —
+        # including adjacent ones and pairs touching isolated vertices
+        pairs = candidates.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        ).distinct()
+        cn = pairs.join(cn, ["u", "v"], "left").select(
+            "u", "v",
+            F.coalesce("common_neighbors", F.lit(0)).alias("common_neighbors"),
+            F.coalesce("adamic_adar", F.lit(0.0)).alias("adamic_adar"),
+        )
+    else:
+        # default candidate set: non-adjacent distance-2 pairs
+        cn = cn.join(
+            canon.select(F.col("a").alias("u"), F.col("b").alias("v")),
+            ["u", "v"],
+            "left_anti",
+        )
+    du = deg.select(F.col("id").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("deg_v"))
+    union_size = F.col("deg_u") + F.col("deg_v") - F.col("common_neighbors")
+    out = (
+        cn.join(du, "u", "left")
+        .join(dv, "v", "left")
+        .withColumn("deg_u", F.coalesce("deg_u", F.lit(0)))
+        .withColumn("deg_v", F.coalesce("deg_v", F.lit(0)))
+        .select(
+            "u", "v", "common_neighbors",
+            F.when(union_size > 0, F.col("common_neighbors") / union_size)
+            .otherwise(F.lit(0.0))
+            .alias("jaccard"),
+            "adamic_adar",
+            (F.col("deg_u") * F.col("deg_v")).alias("preferential_attachment"),
+        )
+    )
+    canon.unpersist()
+    return out
+
+
+def graph_summary(graph: LinkGraph) -> DataFrame:
+    """One-row DataFrame(n_nodes, n_edges, density, transitivity,
+    assortativity) over the undirected simple projection.
+
+    density = 2m/(n(n-1)) (``networkx.density``); transitivity =
+    3·triangles / wedges with wedges = Σ d(d-1)/2
+    (``networkx.transitivity``); assortativity = Pearson correlation
+    of endpoint degrees over both edge orientations
+    (``networkx.degree_assortativity_coefficient``), null on
+    degree-regular graphs where the variance vanishes."""
+    spark = graph.edges.sparkSession
+    canon, deg = _simple_projection(graph)
+    canon = canon.persist()
+    n = graph.vertices.count()
+    m = canon.count()
+    tri = total_triangles(LinkGraph(canon.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1.0).alias("weight")
+    ), directed=False))
+    wedges = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).alias("w")
+    ).collect()[0]["w"] or 0.0
+    sym = canon.select(F.col("a").alias("x"), F.col("b").alias("y")).unionAll(
+        canon.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    dx = deg.select(F.col("id").alias("x"), F.col("deg").alias("deg_x"))
+    dy = deg.select(F.col("id").alias("y"), F.col("deg").alias("deg_y"))
+    # explicit guarded Pearson: F.corr's internal division throws
+    # under ANSI mode on degree-regular graphs (zero variance) —
+    # NetworkX returns nan there; we return NULL
+    stats = (
+        sym.join(dx, "x").join(dy, "y")
+        .select(
+            F.col("deg_x").cast("double").alias("ax"),
+            F.col("deg_y").cast("double").alias("ay"),
+        )
+        .agg(
+            F.covar_pop("ax", "ay").alias("cxy"),
+            F.var_pop("ax").alias("vx"),
+            F.var_pop("ay").alias("vy"),
+        )
+        .select(
+            F.when(
+                (F.col("vx") > 0) & (F.col("vy") > 0),
+                F.col("cxy") / F.sqrt(F.col("vx") * F.col("vy")),
+            ).alias("r")
+        )
+        .collect()[0]
+    )
+    assort = stats["r"]
+    canon.unpersist()
+    density = 2.0 * m / (n * (n - 1)) if n > 1 else 0.0
+    transitivity = 3.0 * tri / wedges if wedges > 0 else 0.0
+    return spark.createDataFrame(
+        [(n, m, density, transitivity, assort)],
+        "n_nodes long, n_edges long, density double, transitivity double, "
+        "assortativity double",
+    )

@@ -1,0 +1,116 @@
+"""Link prediction, harmonic centrality, and graph summary vs NetworkX."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import networkx as nx
+
+from conftest import graph_from_edges
+from linkgraph.operators.centrality import harmonic_centrality
+from linkgraph.operators.linkpred import graph_summary, link_prediction_scores
+
+
+def _rand_undirected(seed, n=25, m=70):
+    rng = random.Random(seed)
+    pairs = {(rng.randrange(n), rng.randrange(n)) for _ in range(m)}
+    return sorted((min(a, b), max(a, b)) for a, b in pairs if a != b)
+
+
+def test_link_prediction_vs_networkx_default_candidates(spark):
+    edges = _rand_undirected(17)
+    g = graph_from_edges(spark, edges, directed=False)
+    got = {(r["u"], r["v"]): r for r in link_prediction_scores(g).collect()}
+    G = nx.Graph(edges)
+    # the default candidate set is exactly the non-adjacent pairs with
+    # at least one common neighbor
+    want_pairs = {
+        (min(u, v), max(u, v))
+        for u, v in nx.non_edges(G)
+        if len(list(nx.common_neighbors(G, u, v))) > 0
+    }
+    assert set(got) == want_pairs
+    for (u, v), s in list(got.items()):
+        assert s["common_neighbors"] == len(list(nx.common_neighbors(G, u, v)))
+        (_, _, jac) = next(iter(nx.jaccard_coefficient(G, [(u, v)])))
+        assert abs(s["jaccard"] - jac) < 1e-12
+        (_, _, aa) = next(iter(nx.adamic_adar_index(G, [(u, v)])))
+        assert abs(s["adamic_adar"] - aa) < 1e-12
+        (_, _, pa) = next(iter(nx.preferential_attachment(G, [(u, v)])))
+        assert s["preferential_attachment"] == pa
+
+
+def test_link_prediction_explicit_candidates(spark):
+    # path 1-2-3 plus isolated-ish 4: adjacent pair, zero-common pair
+    edges = [(1, 2), (2, 3), (3, 4)]
+    g = graph_from_edges(spark, edges, directed=False)
+    cand = spark.createDataFrame([(1, 2), (1, 4)], "u long, v long")
+    got = {(r["u"], r["v"]): r for r in
+           link_prediction_scores(g, candidates=cand).collect()}
+    G = nx.Graph(edges)
+    assert set(got) == {(1, 2), (1, 4)}
+    for (u, v), s in got.items():
+        assert s["common_neighbors"] == len(list(nx.common_neighbors(G, u, v)))
+        (_, _, jac) = next(iter(nx.jaccard_coefficient(G, [(u, v)])))
+        assert abs(s["jaccard"] - jac) < 1e-12
+        (_, _, pa) = next(iter(nx.preferential_attachment(G, [(u, v)])))
+        assert s["preferential_attachment"] == pa
+
+
+def test_harmonic_vs_networkx_undirected(spark):
+    edges = _rand_undirected(29)
+    g = graph_from_edges(spark, edges, directed=False)
+    got = {r["id"]: r["harmonic"] for r in harmonic_centrality(g).collect()}
+    want = nx.harmonic_centrality(nx.Graph(edges))
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9, (k, got[k], v)
+
+
+def test_harmonic_vs_networkx_directed(spark):
+    rng = random.Random(41)
+    edges = sorted({(rng.randrange(20), rng.randrange(20)) for _ in range(50)})
+    edges = [(a, b) for a, b in edges if a != b]
+    g = graph_from_edges(spark, edges, directed=True)
+    got = {r["id"]: r["harmonic"] for r in harmonic_centrality(g).collect()}
+    want = nx.harmonic_centrality(nx.DiGraph(edges))
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9, (k, got[k], v)
+
+
+def test_harmonic_weighted_vs_networkx(spark):
+    rng = random.Random(53)
+    raw = sorted({(rng.randrange(15), rng.randrange(15)) for _ in range(40)})
+    edges = [(a, b, float(rng.randrange(1, 5))) for a, b in raw if a != b]
+    g = graph_from_edges(spark, edges, directed=True)
+    got = {r["id"]: r["harmonic"]
+           for r in harmonic_centrality(g, weighted=True).collect()}
+    G = nx.DiGraph()
+    G.add_weighted_edges_from(edges)
+    want = nx.harmonic_centrality(G, distance="weight")
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9, (k, got[k], v)
+
+
+def test_graph_summary_vs_networkx(spark):
+    edges = _rand_undirected(61)
+    g = graph_from_edges(spark, edges, directed=False)
+    row = graph_summary(g).collect()[0]
+    G = nx.Graph(edges)
+    assert row["n_nodes"] == G.number_of_nodes()
+    assert row["n_edges"] == G.number_of_edges()
+    assert abs(row["density"] - nx.density(G)) < 1e-12
+    assert abs(row["transitivity"] - nx.transitivity(G)) < 1e-12
+    assert abs(
+        row["assortativity"] - nx.degree_assortativity_coefficient(G)
+    ) < 1e-9
+
+
+def test_graph_summary_triangle_free(spark):
+    # star: wedges but no triangles; assortativity defined (hub vs leaves)
+    edges = [(0, i) for i in range(1, 6)]
+    g = graph_from_edges(spark, edges, directed=False)
+    row = graph_summary(g).collect()[0]
+    assert row["transitivity"] == 0.0
+    assert not math.isnan(row["density"])
