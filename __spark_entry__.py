@@ -73,6 +73,7 @@ from linkgraph.operators.similarity import (
     ivf_cosine_topk,
 )
 from linkgraph.operators.traversal import bfs_levels, reachable_from, shortest_paths
+from linkgraph.operators.truss import k_truss, truss_numbers
 from linkgraph.operators.triangles import clustering_coefficients, triangle_counts
 from linkgraph.sources.edges import tpch_edges, tpch_supplier_graph
 
@@ -865,6 +866,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["core_numbers_cliques"] = lambda s, d: core_numbers(_clique_graph(s, d))
     q["k_core4_cliques"] = lambda s, d: k_core(_clique_graph(s, d), 4).edges
+    # truss peeling on the same closed-form bed: the nation K25's
+    # edges have support 23 (truss 25), the region K5's support 3
+    # (truss 5), customer leaf edges support 0 (truss 2) — the full
+    # distributed per-round triangle re-enumeration runs while every
+    # answer is a one-line SQL fact. General graphs are
+    # NetworkX-verified in tests/test_truss.py.
+    q["k_truss5_cliques"] = lambda s, d: k_truss(_clique_graph(s, d), 5).edges
+    q["truss_numbers_cliques"] = lambda s, d: truss_numbers(_clique_graph(s, d))
     q["webgraph_pagerank"] = _webgraph_pagerank
 
     # --- harmonic centrality (disconnect-robust closeness; same
@@ -1672,6 +1681,35 @@ SELECT a.id, b.id, 1.0 FROM
   (SELECT CAST(r_regionkey + 4000000 AS BIGINT) AS id FROM region) a
   JOIN (SELECT CAST(r_regionkey + 4000000 AS BIGINT) AS id FROM region) b
   ON a.id < b.id
+""",
+        # the 5-truss of the clique bed = both cliques, no leaves
+        # (K25 support 23 >= 3, K5 support 3 >= 3, leaves support 0)
+        "k_truss5_cliques": """
+SELECT a.id AS src, b.id AS dst, 1.0 AS weight FROM
+  (SELECT CAST(n_nationkey + 3000000 AS BIGINT) AS id FROM nation) a
+  JOIN (SELECT CAST(n_nationkey + 3000000 AS BIGINT) AS id FROM nation) b
+  ON a.id < b.id
+UNION ALL
+SELECT a.id, b.id, 1.0 FROM
+  (SELECT CAST(r_regionkey + 4000000 AS BIGINT) AS id FROM region) a
+  JOIN (SELECT CAST(r_regionkey + 4000000 AS BIGINT) AS id FROM region) b
+  ON a.id < b.id
+""",
+        # truss numbers on the clique bed: K_n edges have truss n,
+        # triangle-free leaf edges truss 2
+        "truss_numbers_cliques": """
+SELECT a.id AS a, b.id AS b, CAST(25 AS BIGINT) AS truss FROM
+  (SELECT CAST(n_nationkey + 3000000 AS BIGINT) AS id FROM nation) a
+  JOIN (SELECT CAST(n_nationkey + 3000000 AS BIGINT) AS id FROM nation) b
+  ON a.id < b.id
+UNION ALL
+SELECT a.id, b.id, 5 FROM
+  (SELECT CAST(r_regionkey + 4000000 AS BIGINT) AS id FROM region) a
+  JOIN (SELECT CAST(r_regionkey + 4000000 AS BIGINT) AS id FROM region) b
+  ON a.id < b.id
+UNION ALL
+SELECT CAST(c_custkey AS BIGINT), CAST(c_nationkey + 3000000 AS BIGINT), 2
+FROM customer
 """,
         "pagerank_converged": _pagerank_converged_sql(50),
         "ann_cosine_topk": _ann_topk_sql(5),

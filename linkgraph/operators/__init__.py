@@ -1,8 +1,13 @@
 from linkgraph.operators.centrality import (
     betweenness_centrality,
     closeness_centrality,
+    harmonic_centrality,
     multi_source_bfs,
+    multi_source_shortest_paths,
 )
+from linkgraph.operators.linkpred import graph_summary, link_prediction_scores
+from linkgraph.operators.spectral import eigenvector_centrality, hits
+from linkgraph.operators.truss import k_truss, truss_numbers
 from linkgraph.operators.components import strongly_connected_components, weakly_connected_components
 from linkgraph.operators.kcore import core_numbers, k_core
 from linkgraph.operators.layout import (
@@ -53,4 +58,12 @@ __all__ = [
     "kamada_kawai_layout",
     "closeness_centrality",
     "betweenness_centrality",
+    "harmonic_centrality",
+    "multi_source_shortest_paths",
+    "hits",
+    "eigenvector_centrality",
+    "link_prediction_scores",
+    "graph_summary",
+    "k_truss",
+    "truss_numbers",
 ]
