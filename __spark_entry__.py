@@ -876,6 +876,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["truss_numbers_cliques"] = lambda s, d: truss_numbers(_clique_graph(s, d))
     q["webgraph_pagerank"] = _webgraph_pagerank
 
+    # --- host graph (the Common-Crawl two-level pipeline: page graph
+    # collapsed to hosts before ranking — 10^8 hosts vs 10^12 pages).
+    # Oracle: the pinned-extractor page edges host-collapsed in SQL.
+    q["webgraph_host_edges"] = lambda s, d: _host_edges(s).select(
+        "src_host", "dst_host", F.col("weight").cast("long").alias("weight")
+    )
+    q["webgraph_host_pagerank"] = _webgraph_host_pagerank
+
     # --- harmonic centrality (disconnect-robust closeness; same
     # batched multi-source machinery, NetworkX-verified in
     # tests/test_linkpred.py)
@@ -1128,6 +1136,34 @@ def _webgraph_pagerank(s, d):
     )
 
 
+def _host_edges(s) -> DataFrame:
+    from linkgraph.sources.edges import build_host_edges
+    from linkgraph.sources.pages import pages_dataframe
+
+    pages = pages_dataframe(s, WEB_N_PAGES, n_domains=WEB_N_DOMAINS)
+    return build_host_edges(pages)
+
+
+def _webgraph_host_pagerank(s, d):
+    """Host-level PageRank: page graph → host graph → rank, keyed
+    back to host names (ids are xxhash64 of the host string)."""
+    he = _host_edges(s)
+    edges = he.select(
+        F.xxhash64("src_host").alias("src"),
+        F.xxhash64("dst_host").alias("dst"),
+        "weight",
+    )
+    hosts = (
+        he.select(F.col("src_host").alias("host"))
+        .unionAll(he.select("dst_host"))
+        .distinct()
+    )
+    ranks = pagerank_fixed_iterations(LinkGraph(edges, directed=True), k=WEB_PR_ITERS)
+    return ranks.join(
+        hosts.select("host", F.xxhash64("host").alias("id")), "id"
+    ).select("host", F.round("rank", 8).alias("rank"))
+
+
 def _webgraph_oracle_edges() -> list[tuple[str, str, int]]:
     """(src_url, dst_url, multiplicity) via the pinned pure-Python
     extractors — no Spark involved."""
@@ -1155,21 +1191,20 @@ def _webgraph_oracle_edges() -> list[tuple[str, str, int]]:
     return sorted((a, b, w) for (a, b), w in weights.items())
 
 
-def _webgraph_pagerank_sql(alpha: float = 0.85) -> str:
-    """Unrolled WEB_PR_ITERS-iteration weighted PageRank over the
-    pinned-extractor edge list as VALUES, keyed by url."""
-    vals = ",\n".join(
-        f"('{a}', '{b}', {w}.0)" for a, b, w in _webgraph_oracle_edges()
-    )
+def _unrolled_pr_from_edges_sql(
+    edges_sql: str, key_alias: str, iters: int, alpha: float = 0.85
+) -> str:
+    """Unrolled weighted PageRank (dangling-mass handling, the exact
+    engine update rule) over an arbitrary string-keyed edges(src,
+    dst, weight) SQL fragment."""
     pre = f"""
-WITH edges AS MATERIALIZED (SELECT * FROM (VALUES
-{vals}) AS t(src, dst, weight)),
+WITH edges AS MATERIALIZED ({edges_sql}),
 verts AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
 nn AS (SELECT count(*) AS n FROM verts),
 outw AS MATERIALIZED (SELECT src AS id, sum(weight) AS w FROM edges GROUP BY 1),
 r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM verts)"""
     its = []
-    for i in range(1, WEB_PR_ITERS + 1):
+    for i in range(1, iters + 1):
         # MATERIALIZED: each level feeds several consumers; without it
         # DuckDB re-inlines the whole chain per consumer (2^k blowup)
         its.append(f""",
@@ -1185,7 +1220,40 @@ r{i} AS MATERIALIZED (SELECT v.id,
         )
     return (
         pre + "".join(its)
-        + f"\nSELECT id AS url, round(rank, 8) AS rank FROM r{WEB_PR_ITERS}"
+        + f"\nSELECT id AS {key_alias}, round(rank, 8) AS rank FROM r{iters}"
+    )
+
+
+def _webgraph_values_sql() -> str:
+    vals = ",\n".join(
+        f"('{a}', '{b}', {w}.0)" for a, b, w in _webgraph_oracle_edges()
+    )
+    return f"SELECT * FROM (VALUES\n{vals}) AS t(src, dst, weight)"
+
+
+def _webgraph_pagerank_sql(alpha: float = 0.85) -> str:
+    """Unrolled WEB_PR_ITERS-iteration weighted PageRank over the
+    pinned-extractor edge list as VALUES, keyed by url."""
+    return _unrolled_pr_from_edges_sql(
+        _webgraph_values_sql(), "url", WEB_PR_ITERS, alpha
+    )
+
+
+def _host_edges_sql() -> str:
+    """The pinned-extractor page edges collapsed to hosts — mirrors
+    sources/edges.build_host_edges (weight = summed page-level link
+    multiplicity)."""
+    return f"""
+SELECT regexp_extract(src, 'https?://([^/]+)', 1) AS src,
+       regexp_extract(dst, 'https?://([^/]+)', 1) AS dst,
+       CAST(sum(weight) AS DOUBLE) AS weight
+FROM ({_webgraph_values_sql()})
+GROUP BY 1, 2"""
+
+
+def _host_pagerank_sql(alpha: float = 0.85) -> str:
+    return _unrolled_pr_from_edges_sql(
+        _host_edges_sql(), "host", WEB_PR_ITERS, alpha
     )
 
 
@@ -1715,6 +1783,11 @@ FROM customer
         "ann_cosine_topk": _ann_topk_sql(5),
         "ivf_cosine_topk": _ivf_topk_sql(5),
         "webgraph_pagerank": _webgraph_pagerank_sql(),
+        "webgraph_host_edges": f"""
+SELECT src AS src_host, dst AS dst_host, CAST(weight AS BIGINT) AS weight
+FROM ({_host_edges_sql()})
+""",
+        "webgraph_host_pagerank": _host_pagerank_sql(),
         "multigraph_edge_ids": """
 SELECT CAST(o_custkey AS BIGINT) AS src,
        CAST(l_suppkey + 1000000 AS BIGINT) AS dst,

@@ -77,6 +77,14 @@ def normalize_url_col(url: Column) -> Column:
     return F.when(scheme_host == "", u).otherwise(F.concat(scheme_host, rest))
 
 
+def host_col(url: Column) -> Column:
+    """The host of a (normalized) url, JVM-side: lowercased authority
+    between the scheme and the first path slash. Empty string for
+    scheme-less/relative urls — kept as a single catch-all vertex
+    rather than dropped, so host-graph mass is conserved."""
+    return F.lower(F.regexp_extract(url, r"^(?i)https?://([^/]+)", 1))
+
+
 def url_id_col(url: Column) -> Column:
     """Stable distributed 64-bit vertex id: xxhash64 of the normalized
     url. Collision probability at 10^12 urls ~ 2.7e-2 per birthday

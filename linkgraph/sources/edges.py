@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from linkgraph.functions.extract import extract_links_udf, normalize_url_col, url_id_col
+from linkgraph.functions.extract import (
+    extract_links_udf,
+    host_col,
+    normalize_url_col,
+    url_id_col,
+)
 
 EDGE_SCHEMA = "src long, dst long, weight double"
 
@@ -52,6 +57,33 @@ def build_edges(
     if partitions:
         edges = edges.repartition(partitions, "src").sortWithinPartitions("src", "dst")
     return edges
+
+
+def build_host_edges(pages: DataFrame, drop_internal: bool = False) -> DataFrame:
+    """pages → host graph (src_host string, dst_host string, weight
+    double): the page-level link graph collapsed to hosts, weight =
+    number of page-level link instances between the two hosts — the
+    standard Common-Crawl two-level pipeline (host-rank jobs run on
+    this table, 10^8 hosts instead of 10^12 pages).
+
+    Same single-UDF shape as build_edges: one explode before any
+    shuffle, then a map-side-combined groupBy on the (src_host,
+    dst_host) pair — collapsing BEFORE the aggregation shuffle means
+    the shuffle carries host-pair rows, not page-pair rows.
+    ``drop_internal=True`` drops same-host (intra-site) links, the
+    usual host-rank preprocessing."""
+    links = pages.select(
+        host_col(normalize_url_col(F.col("url"))).alias("src_host"),
+        F.explode(extract_links_udf(F.col("html"))).alias("href"),
+    )
+    e = links.select(
+        "src_host", host_col(normalize_url_col(F.col("href"))).alias("dst_host")
+    )
+    if drop_internal:
+        e = e.filter(F.col("src_host") != F.col("dst_host"))
+    return e.groupBy("src_host", "dst_host").agg(
+        F.count("*").cast("double").alias("weight")
+    )
 
 
 def vertices_from_pages(pages: DataFrame) -> DataFrame:

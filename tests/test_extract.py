@@ -58,3 +58,44 @@ def test_generation_deterministic(spark):
     ka = sorted((r["url"], bytes(r["html"])) for r in a)
     kb = sorted((r["url"], bytes(r["html"])) for r in b)
     assert ka == kb  # partition-count independent
+
+
+def test_host_graph_matches_pinned_collapse(spark):
+    """build_host_edges == the pinned extractor's page edges collapsed
+    to hosts in pure Python (the host-rank pipeline's first stage)."""
+    import collections
+    import re
+
+    from linkgraph.sources.edges import build_host_edges
+
+    def norm(u):
+        u = re.sub(r"#.*$", "", u)
+        u = re.sub(r"/$", "", u)
+        m = re.match(r"(?i)^(https?://[^/]+)", u)
+        if m:
+            u = m.group(1).lower() + u[m.end():]
+        return u
+
+    def host(u):
+        m = re.match(r"(?i)^https?://([^/]+)", u)
+        return m.group(1).lower() if m else ""
+
+    pdf = generate_pages_local(120, 12)
+    want = collections.Counter()
+    for _, row in pdf.iterrows():
+        h = host(norm(row["url"]))
+        for href in pinned_extract_links(row["html"]):
+            want[(h, host(norm(href)))] += 1
+
+    pages = pages_dataframe(spark, 120, n_domains=12)
+    got = {
+        (r["src_host"], r["dst_host"]): int(r["weight"])
+        for r in build_host_edges(pages).collect()
+    }
+    assert got == dict(want)
+    # drop_internal removes exactly the same-host rows
+    got_x = {
+        (r["src_host"], r["dst_host"]): int(r["weight"])
+        for r in build_host_edges(pages, drop_internal=True).collect()
+    }
+    assert got_x == {k: v for k, v in want.items() if k[0] != k[1]}
