@@ -74,6 +74,7 @@ from linkgraph.operators.similarity import (
 )
 from linkgraph.operators.traversal import bfs_levels, reachable_from, shortest_paths
 from linkgraph.operators.truss import k_truss, truss_numbers
+from linkgraph.operators.walks import random_walks
 from linkgraph.operators.triangles import clustering_coefficients, triangle_counts
 from linkgraph.sources.edges import tpch_edges, tpch_supplier_graph
 
@@ -321,6 +322,38 @@ x{i} AS MATERIALIZED (SELECT id, u / (SELECT sqrt(sum(u * u)) FROM u{i}) AS x
          FROM u{i})"""
         )
     return pre + "".join(its) + f"\nSELECT id, round(x, 8) AS centrality FROM x{k}"
+
+
+def _walks_sql(length: int = 4, walks_per_node: int = 2, seed: int = 7) -> str:
+    """Unrolled deterministic random walks over supp_dir: ranked
+    adjacency + the same md5 counter hash the engine uses
+    (operators/walks.py)."""
+    wn_vals = ", ".join(f"({i})" for i in range(walks_per_node))
+    pre = f"""
+WITH e AS MATERIALIZED ({SUPP_DIR}),
+adjr AS MATERIALIZED (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rn,
+         count(*) OVER (PARTITION BY src) AS deg
+  FROM (SELECT DISTINCT src, dst FROM e)),
+verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+s0 AS MATERIALIZED (SELECT id AS start_id, wn AS walk_no, id
+      FROM verts CROSS JOIN (VALUES {wn_vals}) t(wn))"""
+    its = []
+    for t in range(1, length + 1):
+        h = (
+            f"CAST(('0x' || substr(md5('{seed}:' || CAST(w.start_id AS VARCHAR)"
+            f" || ':' || CAST(w.walk_no AS VARCHAR) || ':{t}'), 1, 15)) AS BIGINT)"
+        )
+        its.append(f""",
+s{t} AS MATERIALIZED (SELECT w.start_id, w.walk_no, a.dst AS id
+      FROM s{t-1} w JOIN adjr a ON a.src = w.id AND a.rn = {h} % a.deg)"""
+        )
+    steps = "\nUNION ALL ".join(
+        f"SELECT start_id, walk_no, {t} AS step, id FROM s{t}"
+        for t in range(0, length + 1)
+    )
+    return pre + "".join(its) + "\n" + steps
 
 
 NAT_REG = """
@@ -875,6 +908,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["k_truss5_cliques"] = lambda s, d: k_truss(_clique_graph(s, d), 5).edges
     q["truss_numbers_cliques"] = lambda s, d: truss_numbers(_clique_graph(s, d))
     q["webgraph_pagerank"] = _webgraph_pagerank
+
+    # --- deterministic random walks (embedding-corpus feeder): the
+    # counter-based md5 hash makes every trajectory reproducible in
+    # ANSI SQL — the oracle replays the walk with window-ranked
+    # adjacency and the identical hash strings
+    q["random_walks_suppdir"] = lambda s, d: (
+        random_walks(_supp_dir(s, d), length=4, walks_per_node=2, seed=7)
+        .select("start_id", "walk_no", F.col("step").cast("int").alias("step"), "id")
+    )
 
     # --- host graph (the Common-Crawl two-level pipeline: page graph
     # collapsed to hosts before ranking — 10^8 hosts vs 10^12 pages).
@@ -1782,6 +1824,7 @@ FROM customer
         "pagerank_converged": _pagerank_converged_sql(50),
         "ann_cosine_topk": _ann_topk_sql(5),
         "ivf_cosine_topk": _ivf_topk_sql(5),
+        "random_walks_suppdir": _walks_sql(4, 2, 7),
         "webgraph_pagerank": _webgraph_pagerank_sql(),
         "webgraph_host_edges": f"""
 SELECT src AS src_host, dst AS dst_host, CAST(weight AS BIGINT) AS weight
