@@ -84,6 +84,36 @@ def main() -> None:
         "total": tri,
         "edges_per_sec": round(zm / wall, 1),
     }
+    zg_edges.unpersist()
+
+    # HITS: two SpMVs per iteration over the two stationary operand
+    # copies — the spectral plan at 375M edges
+    from linkgraph.operators.spectral import hits_fixed_iterations
+
+    t0 = time.time()
+    h = hits_fixed_iterations(g, k=3)
+    top = h.orderBy(F.desc("authority")).limit(1).collect()[0]
+    wall = time.time() - t0
+    results["hits3"] = {
+        "sec": round(wall, 1),
+        "iterations": 3,
+        "top_authority": round(top["authority"], 6),
+        "edges_per_sec_per_iter": round(m / (wall / 3), 1),
+    }
+
+    # deterministic random walks: adjacency build (one groupBy over E)
+    # + length co-partitioned join steps over 10M walkers
+    from linkgraph.operators.walks import random_walks
+
+    t0 = time.time()
+    wk = random_walks(g, length=2, walks_per_node=1, seed=11)
+    wrows = wk.count()
+    wall = time.time() - t0
+    results["random_walks_len2"] = {
+        "sec": round(wall, 1),
+        "trajectory_rows": wrows,
+        "rows_per_sec": round(wrows / wall, 1),
+    }
 
     # best-over-runs: hypervisor-neighbor jitter swings identical runs
     # up to 4x here; keep each operator's fastest observed wall
