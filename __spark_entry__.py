@@ -55,7 +55,12 @@ from linkgraph.operators.centrality import (
     closeness_centrality,
     multi_source_shortest_paths,
 )
-from linkgraph.operators.centrality import harmonic_centrality
+from linkgraph.operators.centrality import (
+    distance_summary,
+    eccentricity,
+    harmonic_centrality,
+)
+from linkgraph.operators.lpa import modularity
 from linkgraph.operators.kcore import core_numbers, k_core
 from linkgraph.operators.linkpred import graph_summary, link_prediction_scores
 from linkgraph.operators.layout import circular_layout, shell_layout, spiral_layout
@@ -558,6 +563,43 @@ l{i} AS (SELECT v.id, coalesce(b.cand, v.id) AS label
     return pre + "".join(its) + f"\nSELECT id, label FROM l{k}"
 
 
+def _modularity_lpa3_sql() -> str:
+    """Directed modularity of the unrolled-3-round LPA labels:
+    Q = Σ_c [L_c/m − d_c^out·d_c^in/m²] — both the labels AND the
+    score recomputed independently of the engine."""
+    return f"""
+WITH labels AS ({_lpa_sql(3)}),
+e AS ({HIER}),
+e2 AS (SELECT e.weight AS w, ls.label AS lsrc, ld.label AS ldst
+       FROM e JOIN labels ls ON e.src = ls.id
+              JOIN labels ld ON e.dst = ld.id),
+m AS (SELECT sum(w) AS m FROM e2),
+cs AS (SELECT DISTINCT label AS c FROM labels),
+ia AS (SELECT lsrc AS c, sum(w) AS i FROM e2 WHERE lsrc = ldst GROUP BY 1),
+oa AS (SELECT lsrc AS c, sum(w) AS o FROM e2 GROUP BY 1),
+na AS (SELECT ldst AS c, sum(w) AS n FROM e2 GROUP BY 1)
+SELECT round(sum(coalesce(ia.i, 0) / m.m
+             - coalesce(oa.o, 0) * coalesce(na.n, 0) / (m.m * m.m)), 9)
+       AS modularity
+FROM cs LEFT JOIN ia USING (c) LEFT JOIN oa USING (c)
+        LEFT JOIN na USING (c), m
+"""
+
+
+ECC_SQL = f"""
+WITH RECURSIVE e AS ({HIER}),
+v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+walk(source, id, level) AS (
+  SELECT id, id, 0 FROM v
+  UNION
+  SELECT walk.source, s.dst, walk.level + 1
+  FROM walk JOIN e s ON walk.id = s.src WHERE walk.level < 4
+),
+d AS (SELECT source, id, min(level) AS lvl FROM walk GROUP BY 1, 2),
+ecc AS (SELECT source AS id, max(lvl) AS ecc FROM d GROUP BY 1)
+"""
+
+
 def _minhash_sql(n_hashes: int = 32, shingle_k: int = 3) -> str:
     """Per-doc MinHash as (doc_id, pos, mh) rows."""
     params = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(minhash_params(n_hashes)))
@@ -934,6 +976,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select("id", F.round("harmonic", 9).alias("harmonic"))
     )
 
+    # --- eccentricity / global distance metrics (same batched
+    # multi-source frontier; reachable-set semantics on directed
+    # graphs — NetworkX-verified in tests/test_centrality.py)
+    q["eccentricity_hierarchy"] = lambda s, d: (
+        eccentricity(LinkGraph(_hierarchy_edges(s, d), directed=True))
+        .select("id", F.round("eccentricity", 9).alias("eccentricity"))
+    )
+    q["distance_summary_hierarchy"] = lambda s, d: (
+        distance_summary(LinkGraph(_hierarchy_edges(s, d), directed=True))
+        .select(
+            F.round("diameter", 9).alias("diameter"),
+            F.round("radius", 9).alias("radius"),
+            "n_center",
+            "n_periphery",
+        )
+    )
+
+    # --- modularity of the engine's own LPA communities (community
+    # quality scalar; directed NetworkX formula, unrolled-LPA oracle)
+    q["modularity_lpa3_hierarchy"] = _modularity_lpa3
+
+    # --- anchor-text aggregation per link target (the web-ranking
+    # signal feed: what a target's in-links CALL it); oracle replays
+    # the pinned anchor extractor outside Spark
+    q["webgraph_anchor_stats"] = lambda s, d: _anchor_stats(s)
+
     # --- link prediction over the distance-2 candidate set (the
     # non-quadratic contract; formulas match NetworkX per pair).
     # The full co-occurrence graph is COMPLETE at small scale factors
@@ -1206,31 +1274,91 @@ def _webgraph_host_pagerank(s, d):
     ).select("host", F.round("rank", 8).alias("rank"))
 
 
+def _norm_url(u: str) -> str:
+    """Mirror of functions/extract.normalize_url_col, pure Python."""
+    import re as _re
+
+    u = _re.sub(r"#.*$", "", u)
+    u = _re.sub(r"/$", "", u)
+    m = _re.match(r"(?i)^(https?://[^/]+)", u)
+    if m:
+        u = m.group(1).lower() + u[m.end():]
+    return u
+
+
 def _webgraph_oracle_edges() -> list[tuple[str, str, int]]:
     """(src_url, dst_url, multiplicity) via the pinned pure-Python
     extractors — no Spark involved."""
     import collections
-    import re as _re
 
     from linkgraph.functions.extract import pinned_extract_links
     from linkgraph.sources.pages import generate_pages_local
 
-    def norm(u: str) -> str:
-        # mirror functions/extract.normalize_url_col
-        u = _re.sub(r"#.*$", "", u)
-        u = _re.sub(r"/$", "", u)
-        m = _re.match(r"(?i)^(https?://[^/]+)", u)
-        if m:
-            u = m.group(1).lower() + u[m.end():]
-        return u
-
     pdf = generate_pages_local(WEB_N_PAGES, WEB_N_DOMAINS)
     weights: collections.Counter = collections.Counter()
     for _, row in pdf.iterrows():
-        src = norm(row["url"])
+        src = _norm_url(row["url"])
         for href in pinned_extract_links(row["html"]):
-            weights[(src, norm(href))] += 1
+            weights[(src, _norm_url(href))] += 1
     return sorted((a, b, w) for (a, b), w in weights.items())
+
+
+def _modularity_lpa3(s, d):
+    """Modularity of the 3-round LPA labels on the directed hierarchy
+    graph — the engine's own communities scored by the engine's own
+    quality metric; the oracle recomputes BOTH (unrolled LPA + the
+    directed modularity formula) in SQL."""
+    g = LinkGraph(_hierarchy_edges(s, d), directed=True)
+    labels = label_propagation(g, max_iter=3).state
+    return modularity(g, labels).select(
+        F.round("modularity", 9).alias("modularity")
+    )
+
+
+def _anchor_stats(s):
+    from linkgraph.sources.edges import anchor_text_stats
+    from linkgraph.sources.pages import pages_dataframe
+
+    pages = pages_dataframe(s, WEB_N_PAGES, n_domains=WEB_N_DOMAINS)
+    return anchor_text_stats(pages).select(
+        "dst", "n_anchors", "n_unique_anchors", "top_anchor"
+    )
+
+
+def _anchor_oracle_pairs() -> list[tuple[str, str]]:
+    """(normalized dst url, anchor text) pairs via the pinned anchor
+    extractor — no Spark involved."""
+    from linkgraph.functions.extract import pinned_extract_anchors
+    from linkgraph.sources.pages import generate_pages_local
+
+    pdf = generate_pages_local(WEB_N_PAGES, WEB_N_DOMAINS)
+    out: list[tuple[str, str]] = []
+    for _, row in pdf.iterrows():
+        for href, anchor in pinned_extract_anchors(row["html"]):
+            out.append((_norm_url(href), anchor))
+    return sorted(out)
+
+
+def _anchor_stats_sql() -> str:
+    def esc(x: str) -> str:
+        return x.replace("'", "''")
+
+    vals = ",\n".join(
+        f"('{esc(d)}', '{esc(a)}')" for d, a in _anchor_oracle_pairs()
+    )
+    return f"""
+WITH pairs(dst, anchor) AS (VALUES
+{vals}),
+per AS (SELECT dst, anchor, count(*) AS cnt FROM pairs GROUP BY 1, 2),
+sel AS (SELECT dst, anchor, cnt,
+               row_number() OVER (PARTITION BY dst
+                                  ORDER BY cnt DESC, anchor ASC) AS rn
+        FROM per)
+SELECT dst, CAST(sum(cnt) AS BIGINT) AS n_anchors,
+       CAST(count(*) AS BIGINT) AS n_unique_anchors,
+       max(CASE WHEN rn = 1 THEN anchor END) AS top_anchor
+FROM sel GROUP BY 1
+"""
 
 
 def _unrolled_pr_from_edges_sql(
@@ -1464,6 +1592,23 @@ verts AS (SELECT src AS id FROM ({HIER}) UNION SELECT dst FROM ({HIER}))
 SELECT verts.id, round(coalesce(agg.h, 0.0), 9) AS harmonic
 FROM verts LEFT JOIN agg ON verts.id = agg.id
 """,
+        "eccentricity_hierarchy": f"""
+{ECC_SQL}
+SELECT id, round(CAST(ecc AS DOUBLE), 9) AS eccentricity FROM ecc
+""",
+        "distance_summary_hierarchy": f"""
+{ECC_SQL},
+st AS (SELECT max(ecc) AS dia, min(ecc) AS rad FROM ecc)
+SELECT round(CAST(st.dia AS DOUBLE), 9) AS diameter,
+       round(CAST(st.rad AS DOUBLE), 9) AS radius,
+       CAST(sum(CASE WHEN ecc.ecc = st.rad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_center,
+       CAST(sum(CASE WHEN ecc.ecc = st.dia THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_periphery
+FROM ecc, st GROUP BY st.dia, st.rad
+""",
+        "modularity_lpa3_hierarchy": _modularity_lpa3_sql(),
+        "webgraph_anchor_stats": _anchor_stats_sql(),
         "link_prediction_suppco": f"""
 WITH e0 AS (SELECT * FROM ({SUPP_CO}) WHERE CAST(weight AS BIGINT) % 3 = 0),
 canon AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b

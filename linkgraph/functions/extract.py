@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 # --- pinned extractors (the contract) --------------------------------------
 
@@ -51,6 +51,31 @@ def pinned_extract_links(html: bytes | None) -> list[str]:
     return [m.decode("utf-8", errors="replace") for m in _HREF_RE.findall(html)]
 
 
+_ANCHOR_RE = re.compile(
+    rb"""<a\s[^>]*href=["']([^"']+)["'][^>]*>(.*?)</a>""",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def pinned_extract_anchors(html: bytes | None) -> list[tuple[str, str]]:
+    """(href, anchor text) pairs in document order, duplicates
+    preserved. The anchor text is the <a> inner HTML through the SAME
+    tag-strip + whitespace-collapse contract as pinned_extract_text —
+    the per-row invariant the vectorized UDF must match byte-for-byte.
+    Only well-formed ``<a href=...>…</a>`` spans qualify (nested or
+    unclosed tags yield no pair; the href still appears in
+    pinned_extract_links, whose contract is attribute-only)."""
+    if html is None:
+        return []
+    out = []
+    for href, inner in _ANCHOR_RE.findall(html):
+        text = _TAG_RE.sub(b" ", inner).decode("utf-8", errors="replace")
+        out.append(
+            (href.decode("utf-8", errors="replace"), _WS_RE.sub(" ", text).strip())
+        )
+    return out
+
+
 # --- vectorized UDFs (the engine path) --------------------------------------
 
 
@@ -62,6 +87,26 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 @pandas_udf(ArrayType(StringType()))
 def extract_links_udf(html: pd.Series) -> pd.Series:
     return html.map(pinned_extract_links)
+
+
+_ANCHOR_SPARK_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("href", StringType()),
+            StructField("anchor", StringType()),
+        ]
+    )
+)
+
+
+@pandas_udf(_ANCHOR_SPARK_TYPE)
+def extract_anchors_udf(html: pd.Series) -> pd.Series:
+    return html.map(
+        lambda h: [
+            {"href": href, "anchor": anchor}
+            for href, anchor in pinned_extract_anchors(h)
+        ]
+    )
 
 
 # --- pure-Catalyst scalar helpers (no Python) --------------------------------

@@ -240,6 +240,79 @@ def harmonic_centrality(
     )
 
 
+def eccentricity(
+    graph: LinkGraph,
+    sources: DataFrame | None = None,
+    weighted: bool = False,
+    weight_expr: Column | str | None = None,
+) -> DataFrame:
+    """Eccentricity per source: DataFrame(id, eccentricity).
+
+    ecc(u) = max_v d(u, v) over the vertices v REACHABLE from u
+    (forward/outgoing distances) — equal to ``networkx.eccentricity``
+    on (strongly) connected graphs, and the standard reachable-set
+    generalization where NetworkX raises (an exception on
+    disconnection doesn't distribute; callers who need the strict
+    behavior check connectivity first). One batched multi-source
+    frontier loop for all sources — k sources cost one loop, not k.
+    ``sources``: optional id frame for a sampled estimate at web
+    scale; None = all vertices (exact). ``weighted``/``weight_expr``
+    switch hop count → weighted shortest-path length."""
+    src = sources if sources is not None else graph.vertices.select("id")
+    if weighted or weight_expr is not None:
+        dists = multi_source_shortest_paths(
+            graph, src, weight_expr=weight_expr
+        ).select("source", F.col("dist").alias("level"))
+    else:
+        dists = multi_source_bfs(graph, src).select(
+            "source", F.col("level").cast("double").alias("level")
+        )
+    # every source carries its own level-0 row, so the groupBy covers
+    # all sources (isolated vertices get ecc 0, NetworkX's convention
+    # for a single-vertex component)
+    return dists.groupBy("source").agg(
+        F.max("level").alias("eccentricity")
+    ).select(F.col("source").alias("id"), "eccentricity")
+
+
+def distance_summary(
+    graph: LinkGraph,
+    sources: DataFrame | None = None,
+    weighted: bool = False,
+    weight_expr: Column | str | None = None,
+) -> DataFrame:
+    """Global distance metrics as ONE row: DataFrame(diameter,
+    radius, n_center, n_periphery).
+
+    diameter = max eccentricity, radius = min eccentricity, center/
+    periphery = #vertices attaining radius/diameter — NetworkX's
+    ``diameter``/``radius``/``center``/``periphery`` surface folded
+    into a single aggregation over the eccentricity frame (exact on
+    connected graphs; reachable-set semantics otherwise, see
+    ``eccentricity``). One extra groupBy over the multi-source
+    frontier output — no second traversal."""
+    ecc = eccentricity(graph, sources, weighted, weight_expr)
+    stats = ecc.agg(
+        F.max("eccentricity").alias("diameter"),
+        F.min("eccentricity").alias("radius"),
+    )
+    # 1-row broadcast rides into the scan; grouping by the two
+    # constants keeps the whole thing a single map-side-combined agg
+    return (
+        ecc.join(F.broadcast(stats), how="cross")
+        .groupBy("diameter", "radius")
+        .agg(
+            F.sum(
+                F.when(F.col("eccentricity") == F.col("radius"), 1).otherwise(0)
+            ).alias("n_center"),
+            F.sum(
+                F.when(F.col("eccentricity") == F.col("diameter"), 1).otherwise(0)
+            ).alias("n_periphery"),
+        )
+        .select("diameter", "radius", "n_center", "n_periphery")
+    )
+
+
 def _brandes_forward(
     edges: DataFrame, sources: DataFrame, max_depth: int
 ) -> tuple[DataFrame, int]:

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from linkgraph.functions.extract import (
+    extract_anchors_udf,
     extract_links_udf,
     host_col,
     normalize_url_col,
@@ -83,6 +84,36 @@ def build_host_edges(pages: DataFrame, drop_internal: bool = False) -> DataFrame
         e = e.filter(F.col("src_host") != F.col("dst_host"))
     return e.groupBy("src_host", "dst_host").agg(
         F.count("*").cast("double").alias("weight")
+    )
+
+
+def anchor_text_stats(pages: DataFrame) -> DataFrame:
+    """pages → per-target anchor-text aggregation: DataFrame(dst
+    string normalized url, n_anchors long, n_unique_anchors long,
+    top_anchor string) — the classic web-ranking signal feed (what a
+    target's in-links CALL it).
+
+    Same single-UDF shape as build_edges: one vectorized
+    (href, anchor) extraction + explode before any shuffle, then a
+    map-side-combined groupBy on (dst, anchor) and a second reduction
+    to one row per dst. ``top_anchor`` is deterministic: the most
+    frequent anchor, ties to the lexicographically smallest, via a
+    single ``min_by`` over the (−count, anchor) struct — no window
+    sort."""
+    pairs = pages.select(
+        F.explode(extract_anchors_udf(F.col("html"))).alias("a")
+    ).select(
+        normalize_url_col(F.col("a.href")).alias("dst"),
+        F.col("a.anchor").alias("anchor"),
+    )
+    per = pairs.groupBy("dst", "anchor").agg(F.count("*").alias("cnt"))
+    return per.groupBy("dst").agg(
+        F.sum("cnt").alias("n_anchors"),
+        F.count("*").alias("n_unique_anchors"),
+        F.min_by(
+            "anchor",
+            F.struct((-F.col("cnt")).alias("nc"), F.col("anchor").alias("a")),
+        ).alias("top_anchor"),
     )
 
 

@@ -238,3 +238,67 @@ def test_betweenness_weighted_sampled_sources(spark):
     b = {r["id"]: r["betweenness"]
          for r in betweenness_centrality(g, sources=srcs, weighted=True).collect()}
     assert a == b
+
+
+# --- eccentricity / distance summary -----------------------------------------
+
+
+def test_eccentricity_vs_networkx_connected(spark):
+    """Seeded connected undirected graph: ecc/diameter/radius/center/
+    periphery all == NetworkX."""
+    from linkgraph.operators.centrality import distance_summary, eccentricity
+
+    rng = random.Random(7)
+    n = 14
+    edges = [(i, i + 1) for i in range(1, n)]  # path: connected for sure
+    edges += [(rng.randrange(1, n + 1), rng.randrange(1, n + 1)) for _ in range(12)]
+    edges = [(a, b) for a, b in edges if a != b]
+    g = graph_from_edges(spark, edges, directed=False)
+    got = {r["id"]: r["eccentricity"] for r in eccentricity(g).collect()}
+    G = nx.Graph(edges)
+    want = nx.eccentricity(G)
+    for k, v in want.items():
+        assert got[k] == v, (k, got[k], v)
+    row = distance_summary(g).collect()[0]
+    assert row["diameter"] == nx.diameter(G)
+    assert row["radius"] == nx.radius(G)
+    assert row["n_center"] == len(nx.center(G))
+    assert row["n_periphery"] == len(nx.periphery(G))
+
+
+def test_eccentricity_directed_reachable_set(spark):
+    """Directed + disconnected: ecc(u) = max distance over u's
+    reachable set (NetworkX raises here; our documented
+    generalization). Hand-checked on a two-tree forest."""
+    from linkgraph.operators.centrality import eccentricity
+
+    edges = [(1, 2), (2, 3), (10, 11)]
+    g = graph_from_edges(spark, edges, directed=True, vertices=[1, 2, 3, 10, 11, 99])
+    got = {r["id"]: r["eccentricity"] for r in eccentricity(g).collect()}
+    assert got == {1: 2.0, 2: 1.0, 3: 0.0, 10: 1.0, 11: 0.0, 99: 0.0}
+
+
+def test_eccentricity_weighted_vs_networkx(spark):
+    """weighted=True == NetworkX eccentricity with Dijkstra sp on a
+    seeded connected weighted graph."""
+    from linkgraph.operators.centrality import eccentricity
+
+    rng = random.Random(13)
+    n = 10
+    raw = [(i, i + 1, rng.randint(1, 9) * 1.0) for i in range(1, n)]
+    raw += [
+        (rng.randrange(1, n + 1), rng.randrange(1, n + 1), rng.randint(1, 9) * 1.0)
+        for _ in range(8)
+    ]
+    # canonical-dedup duplicates (NetworkX keeps the LAST weight per
+    # pair; the engine would see parallel rows and take the min)
+    uniq = {(min(a, b), max(a, b)): w for a, b, w in raw if a != b}
+    edges = [(a, b, w) for (a, b), w in uniq.items()]
+    g = graph_from_edges(spark, edges, directed=False)
+    got = {r["id"]: r["eccentricity"] for r in eccentricity(g, weighted=True).collect()}
+    G = nx.Graph()
+    G.add_weighted_edges_from(edges)
+    sp = dict(nx.shortest_path_length(G, weight="weight"))
+    want = nx.eccentricity(G, sp=sp)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9, (k, got[k], v)

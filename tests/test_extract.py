@@ -99,3 +99,70 @@ def test_host_graph_matches_pinned_collapse(spark):
         for r in build_host_edges(pages, drop_internal=True).collect()
     }
     assert got_x == {k: v for k, v in want.items() if k[0] != k[1]}
+
+
+def test_anchors_match_pinned(spark):
+    from linkgraph.functions.extract import extract_anchors_udf, pinned_extract_anchors
+
+    pdf = generate_pages_local(60, n_domains=6)
+    pages = spark.createDataFrame(pdf)
+    got = {
+        r["url"]: [(a["href"], a["anchor"]) for a in r["anchors"]]
+        for r in pages.select(
+            "url", extract_anchors_udf("html").alias("anchors")
+        ).collect()
+    }
+    n_pairs = 0
+    for _, row in pdf.iterrows():
+        want = pinned_extract_anchors(row["html"])
+        assert got[row["url"]] == want
+        n_pairs += len(want)
+    assert n_pairs > 60  # ~1-8 anchors/page; the fixture isn't vacuous
+
+
+def test_pinned_anchor_behavior():
+    from linkgraph.functions.extract import pinned_extract_anchors
+
+    html = (
+        b'<body><a href="https://a/b">Hello  <b>world</b></a>'
+        b"<a name=x>no href</a>"
+        b'<a href="https://c/d" class="z"> spaced \n text </a></body>'
+    )
+    assert pinned_extract_anchors(html) == [
+        ("https://a/b", "Hello world"),
+        ("https://c/d", "spaced text"),
+    ]
+    assert pinned_extract_anchors(None) == []
+
+
+def test_anchor_text_stats(spark):
+    """Engine aggregation == a driver-side replay through the pinned
+    extractor: counts, uniques, and the deterministic top anchor
+    (max count, ties to lexicographically smallest)."""
+    import collections
+    import re as _re
+
+    from linkgraph.functions.extract import pinned_extract_anchors
+    from linkgraph.sources.edges import anchor_text_stats
+
+    def norm(u: str) -> str:
+        u = _re.sub(r"#.*$", "", u)
+        u = _re.sub(r"/$", "", u)
+        m = _re.match(r"(?i)^(https?://[^/]+)", u)
+        if m:
+            u = m.group(1).lower() + u[m.end():]
+        return u
+
+    pdf = generate_pages_local(80, n_domains=8)
+    per: dict[str, collections.Counter] = {}
+    for _, row in pdf.iterrows():
+        for href, anchor in pinned_extract_anchors(row["html"]):
+            per.setdefault(norm(href), collections.Counter())[anchor] += 1
+    got = {
+        r["dst"]: (r["n_anchors"], r["n_unique_anchors"], r["top_anchor"])
+        for r in anchor_text_stats(spark.createDataFrame(pdf)).collect()
+    }
+    assert set(got) == set(per)
+    for dst, c in per.items():
+        top = min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert got[dst] == (sum(c.values()), len(c), top), dst

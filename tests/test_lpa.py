@@ -1,3 +1,4 @@
+from conftest import graph_from_edges
 from conftest import collect_map
 from linkgraph.operators.lpa import communities_canonical, label_propagation
 
@@ -77,3 +78,80 @@ def test_lpa_weight_expr_json(spark):
     # smaller label, the JSON weight flips the vote to 2
     assert unweighted[4] == 1
     assert weighted[4] == 2
+
+
+# --- modularity ---------------------------------------------------------------
+
+
+def test_modularity_undirected_vs_networkx(spark):
+    import networkx as nx
+
+    from linkgraph.operators.lpa import modularity
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (4, 6)]
+    g = graph_from_edges(spark, edges, directed=False)
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 2), (5, 2), (6, 2)], "id long, label long"
+    )
+    got = modularity(g, labels).collect()[0]["modularity"]
+    G = nx.Graph(edges)
+    want = nx.community.modularity(G, [{1, 2, 3}, {4, 5, 6}])
+    assert abs(got - want) < 1e-12, (got, want)
+
+
+def test_modularity_weighted_and_resolution(spark):
+    import networkx as nx
+
+    from linkgraph.operators.lpa import modularity
+
+    edges = [(1, 2, 3.0), (2, 3, 1.0), (3, 4, 0.5), (4, 5, 2.0), (1, 3, 1.5)]
+    g = graph_from_edges(spark, edges, directed=False)
+    labels = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 7), (4, 9), (5, 9)], "id long, label long"
+    )
+    got = modularity(g, labels, weighted=True, resolution=1.3).collect()[0][
+        "modularity"
+    ]
+    G = nx.Graph()
+    G.add_weighted_edges_from(edges)
+    want = nx.community.modularity(
+        G, [{1, 2, 3}, {4, 5}], weight="weight", resolution=1.3
+    )
+    assert abs(got - want) < 1e-12, (got, want)
+
+
+def test_modularity_directed_vs_networkx(spark):
+    import networkx as nx
+
+    from linkgraph.operators.lpa import modularity
+
+    edges = [(1, 2), (2, 1), (2, 3), (3, 4), (4, 3), (1, 4)]
+    g = graph_from_edges(spark, edges, directed=True)
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3)], "id long, label long"
+    )
+    got = modularity(g, labels).collect()[0]["modularity"]
+    want = nx.community.modularity(nx.DiGraph(edges), [{1, 2}, {3, 4}])
+    assert abs(got - want) < 1e-12, (got, want)
+
+
+def test_modularity_of_lpa_labels(spark):
+    """End-to-end: modularity of the engine's own LPA communities on
+    a two-clique-plus-bridge graph is the NetworkX value for the same
+    partition (and positive — LPA finds the obvious communities)."""
+    import networkx as nx
+
+    from linkgraph.operators.lpa import label_propagation, modularity
+
+    clique1 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    clique2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = clique1 + clique2 + [(4, 10)]
+    g = graph_from_edges(spark, edges, directed=False)
+    labels = label_propagation(g, max_iter=10).state
+    got = modularity(g, labels).collect()[0]["modularity"]
+    parts: dict[int, set[int]] = {}
+    for r in labels.collect():
+        parts.setdefault(r["label"], set()).add(r["id"])
+    want = nx.community.modularity(nx.Graph(edges), list(parts.values()))
+    assert abs(got - want) < 1e-12, (got, want)
+    assert got > 0.3
