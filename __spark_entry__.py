@@ -79,7 +79,7 @@ from linkgraph.operators.similarity import (
 )
 from linkgraph.operators.traversal import bfs_levels, reachable_from, shortest_paths
 from linkgraph.operators.truss import k_truss, truss_numbers
-from linkgraph.operators.walks import random_walks
+from linkgraph.operators.walks import node2vec_walks, random_walks
 from linkgraph.operators.triangles import clustering_coefficients, triangle_counts
 from linkgraph.sources.edges import tpch_edges, tpch_supplier_graph
 
@@ -353,6 +353,54 @@ s0 AS MATERIALIZED (SELECT id AS start_id, wn AS walk_no, id
         its.append(f""",
 s{t} AS MATERIALIZED (SELECT w.start_id, w.walk_no, a.dst AS id
       FROM s{t-1} w JOIN adjr a ON a.src = w.id AND a.rn = {h} % a.deg)"""
+        )
+    steps = "\nUNION ALL ".join(
+        f"SELECT start_id, walk_no, {t} AS step, id FROM s{t}"
+        for t in range(0, length + 1)
+    )
+    return pre + "".join(its) + "\n" + steps
+
+
+def _n2v_sql(
+    length: int = 3, p: float = 0.25, q: float = 4.0, seed: int = 13
+) -> str:
+    """Unrolled node2vec biased walks over supp_dir: per step, explode
+    the current vertex's sorted neighbors, LEFT JOIN the edge set for
+    the prev-adjacency test, weight 1/p / 1 / 1/q, and take the first
+    neighbor whose running sum exceeds r·total — the identical
+    IEEE-double cumulation the engine runs (operators/walks.py
+    node2vec_walks), so trajectories match exactly. p and q are
+    chosen binary-exact so the weight literals are identical on both
+    sides."""
+    rp, rq = repr(1.0 / p), repr(1.0 / q)
+    pre = f"""
+WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({SUPP_DIR})),
+verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+s0 AS MATERIALIZED (SELECT id AS start_id, 0 AS walk_no,
+                           CAST(NULL AS BIGINT) AS prev, id FROM verts)"""
+    its = []
+    for t in range(1, length + 1):
+        h = (
+            f"CAST(('0x' || substr(md5('{seed}:' || CAST(start_id AS VARCHAR)"
+            f" || ':' || CAST(walk_no AS VARCHAR) || ':{t}'), 1, 15)) AS BIGINT)"
+        )
+        its.append(f""",
+x{t} AS (SELECT w.start_id, w.walk_no, w.id AS cur, d.dst AS nbr,
+              CASE WHEN d.dst = w.prev THEN {rp}
+                   WHEN ad.src IS NOT NULL THEN 1.0
+                   ELSE {rq} END AS wt
+       FROM s{t-1} w JOIN e d ON d.src = w.id
+       LEFT JOIN e ad ON ad.src = w.prev AND ad.dst = d.dst),
+y{t} AS (SELECT *,
+              sum(wt) OVER (PARTITION BY start_id, walk_no
+                            ORDER BY nbr ROWS UNBOUNDED PRECEDING) AS cum,
+              sum(wt) OVER (PARTITION BY start_id, walk_no) AS tot
+       FROM x{t}),
+s{t} AS MATERIALIZED (
+       SELECT start_id, walk_no, min(cur) AS prev, min(nbr) AS id
+       FROM y{t}
+       WHERE cum > (CAST({h} AS DOUBLE) / 1152921504606846976.0) * tot
+       GROUP BY 1, 2)"""
         )
     steps = "\nUNION ALL ".join(
         f"SELECT start_id, walk_no, {t} AS step, id FROM s{t}"
@@ -957,6 +1005,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # adjacency and the identical hash strings
     q["random_walks_suppdir"] = lambda s, d: (
         random_walks(_supp_dir(s, d), length=4, walks_per_node=2, seed=7)
+        .select("start_id", "walk_no", F.col("step").cast("int").alias("step"), "id")
+    )
+    # node2vec second-order bias: the prev-adjacency join + IEEE-double
+    # weighted pick replay identically in SQL (binary-exact p/q)
+    q["node2vec_walks_suppdir"] = lambda s, d: (
+        node2vec_walks(_supp_dir(s, d), length=3, p=0.25, q=4.0, seed=13)
         .select("start_id", "walk_no", F.col("step").cast("int").alias("step"), "id")
     )
 
@@ -1970,6 +2024,7 @@ FROM customer
         "ann_cosine_topk": _ann_topk_sql(5),
         "ivf_cosine_topk": _ivf_topk_sql(5),
         "random_walks_suppdir": _walks_sql(4, 2, 7),
+        "node2vec_walks_suppdir": _n2v_sql(3, 0.25, 4.0, 13),
         "webgraph_pagerank": _webgraph_pagerank_sql(),
         "webgraph_host_edges": f"""
 SELECT src AS src_host, dst AS dst_host, CAST(weight AS BIGINT) AS weight
