@@ -856,6 +856,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pipeline actually executes)
     q["dedup_clusters"] = lambda s, d: dedup_clusters(_docs(s, d), threshold=0.5)
 
+    # --- the end-to-end training-corpus gate: near-dup survivor ∧
+    # language-consistency ∧ quality ∧ length — the composition a real
+    # 100 TB data pipeline runs as ONE Catalyst plan (stats are pure
+    # column expressions fused into the scan; the only shuffles are
+    # the dedup pipeline's bucketed joins + one doc_id semi-join)
+    q["training_corpus_filter"] = _corpus_filter
+
     # --- similarity search
     q["cosine_topk"] = lambda s, d: cosine_topk(
         _read(s, d, "embeddings"),
@@ -1326,6 +1333,41 @@ def _webgraph_host_pagerank(s, d):
     return ranks.join(
         hosts.select("host", F.xxhash64("host").alias("id")), "id"
     ).select("host", F.round("rank", 8).alias("rank"))
+
+
+def _corpus_filter(s, d):
+    """Training-ready corpus: docs that (a) are the canonical survivor
+    of their near-dup cluster, (b) have predicted language == the
+    recorded lang, (c) pass quality >= 0.35 and n_tokens >= 20.
+    Returns (doc_id, lang, n_tokens, quality)."""
+    from linkgraph.functions.text import (
+        lang_id_col,
+        quality_score_col,
+        token_count_col,
+    )
+
+    docs = _docs(s, d)
+    stats = docs.select(
+        "doc_id",
+        "lang",
+        token_count_col(F.col("text")).alias("n_tokens"),
+        quality_score_col(F.col("text")).alias("quality"),
+        lang_id_col(F.col("text")).alias("lang_pred"),
+    )
+    survivors = (
+        dedup_clusters(docs, threshold=0.5)
+        .filter(~F.col("is_duplicate"))
+        .select("doc_id")
+    )
+    return (
+        stats.join(survivors, "doc_id")
+        .filter(
+            (F.col("lang_pred") == F.col("lang"))
+            & (F.col("quality") >= 0.35)
+            & (F.col("n_tokens") >= 20)
+        )
+        .select("doc_id", "lang", "n_tokens", "quality")
+    )
 
 
 def _norm_url(u: str) -> str:
@@ -1895,6 +1937,29 @@ WHERE round(common * 1.0 / (na.n + nb.n - common), 6) >= 0.5
 """,
         "simhash": _simhash_sql(16),
         "dedup_clusters": _dedup_clusters_sql(32, 8, 0.5),
+        "training_corpus_filter": f"""
+WITH clusters AS MATERIALIZED ({_dedup_clusters_sql(32, 8, 0.5)}),
+docs2 AS ({DOCS}),
+base AS (SELECT doc_id, lang, text, {toks} AS t FROM docs2),
+m AS (SELECT doc_id, lang, text, t,
+        len(t) AS n_tokens,
+        len(list_filter(t, x -> list_contains({stop_en}, x))) AS hits_en,
+        len(list_filter(t, x -> list_contains({stop_de}, x))) AS hits_de,
+        len(list_filter(t, x -> list_contains({stop_fr}, x))) AS hits_fr,
+        len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS punct,
+        length(text) AS nchar
+      FROM base),
+stats AS (SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+  round(0.5 * least(1.0, n_tokens / 100.0)
+      + 0.5 * least(1.0, 3.0 * (CASE WHEN n_tokens > 0 THEN hits_en * 1.0 / n_tokens ELSE 0.0 END))
+      - 0.2 * (CASE WHEN nchar > 0 THEN punct * 1.0 / nchar ELSE 0.0 END), 6) AS quality,
+  CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr THEN 'en'
+       WHEN hits_de >= hits_fr THEN 'de' ELSE 'fr' END AS lang_pred
+  FROM m)
+SELECT s.doc_id, s.lang, s.n_tokens, s.quality
+FROM stats s JOIN clusters c ON s.doc_id = c.doc_id AND NOT c.is_duplicate
+WHERE s.lang_pred = s.lang AND s.quality >= 0.35 AND s.n_tokens >= 20
+""",
         "text_stats": f"""
 WITH docs AS ({DOCS}),
 base AS (SELECT doc_id, text, {toks} AS t FROM docs),
