@@ -1,6 +1,8 @@
 from linkgraph.operators.centrality import (
     betweenness_centrality,
     closeness_centrality,
+    distance_summary,
+    eccentricity,
     harmonic_centrality,
     multi_source_bfs,
     multi_source_shortest_paths,
@@ -19,7 +21,7 @@ from linkgraph.operators.layout import (
     spiral_layout,
     spring_layout_sampled,
 )
-from linkgraph.operators.lpa import label_propagation
+from linkgraph.operators.lpa import label_propagation, modularity
 from linkgraph.operators.mst import minimum_spanning_forest
 from linkgraph.operators.pagerank import pagerank
 from linkgraph.operators.traversal import (
@@ -31,6 +33,7 @@ from linkgraph.operators.traversal import (
     shortest_paths,
 )
 from linkgraph.operators.triangles import clustering_coefficients, triangle_counts
+from linkgraph.operators.walks import node2vec_walks, random_walks
 
 __all__ = [
     "pagerank",
@@ -58,6 +61,11 @@ __all__ = [
     "kamada_kawai_layout",
     "closeness_centrality",
     "betweenness_centrality",
+    "eccentricity",
+    "distance_summary",
+    "modularity",
+    "random_walks",
+    "node2vec_walks",
     "harmonic_centrality",
     "multi_source_shortest_paths",
     "hits",

@@ -1,4 +1,4 @@
-from linkgraph.sources.edges import build_edges, tpch_edges
+from linkgraph.sources.edges import anchor_text_stats, build_edges, build_host_edges, tpch_edges
 from linkgraph.sources.pages import generate_pages_local, pages_dataframe
 
-__all__ = ["build_edges", "tpch_edges", "generate_pages_local", "pages_dataframe"]
+__all__ = ["anchor_text_stats", "build_edges", "build_host_edges", "tpch_edges", "generate_pages_local", "pages_dataframe"]
