@@ -112,11 +112,16 @@ def node2vec_walks(
     Determinism: the same counter hash as ``random_walks`` yields a
     uniform r ∈ [0,1) per (walker, step); the pick is the FIRST
     neighbor in sorted order whose running weight sum exceeds
-    r·total. Cumulation order and arithmetic are plain IEEE doubles
-    in ascending-neighbor order, so ANSI SQL replays the trajectory
-    exactly. Step 1 has no predecessor: no bias matches, every
-    weight is the constant 1/q, and the weighted pick reduces to
-    uniform — one code path for all steps.
+    r·total. The running sum is IEEE doubles in ascending-neighbor
+    order, so an ANSI SQL replay reproduces trajectories exactly
+    PROVIDED 1/p and 1/q are binary-exact (dyadic p, q — e.g. 0.25,
+    1.0, 4.0): with non-dyadic weights the unordered total's
+    summation order is an engine implementation detail and a pick at
+    a cum boundary can differ by an ulp across engines (within ONE
+    engine results are always reproducible). Step 1 has no
+    predecessor: no bias matches, every weight is the constant 1/q,
+    and the weighted pick reduces to uniform — one code path for all
+    steps.
 
     Plan shape per step: explode the walkers' neighbor lists
     (O(Σ deg(cur)) rows), one hash join against the stationary edge
@@ -127,11 +132,15 @@ def node2vec_walks(
     throughout."""
     if p <= 0 or q <= 0:
         raise ValueError("node2vec p and q must be positive")
+    # stationary on BOTH join keys: the per-step join is on
+    # (nbr, prev), and Spark's co-partition check requires all
+    # cluster keys — a single-key partitioning would re-exchange the
+    # full E-row pair frame every step
     pairs = stationary(
         graph.sym_edges.select(
             F.col("dst").alias("nbr"), F.col("src").alias("prev")
         ).distinct(),
-        "nbr",
+        ["nbr", "prev"],
     )
     adj = stationary(
         graph.sym_edges.select("src", "dst")

@@ -25,8 +25,15 @@ sys.path.insert(0, os.path.join(REPO, "scripts"))
 BIG_EDGES = os.path.join(REPO, "BENCH", "scratch", "edges_big.parquet")
 
 
+PAGES_BIG = os.path.join(REPO, "BENCH", "scratch", "pages.parquet")
+
+
 def main() -> None:
-    if not os.path.exists(os.path.join(BIG_EDGES, "_SUCCESS")):
+    # the anchor row needs the pages table too; scaling_bench's BUILD
+    # creates each input conditionally, so one rebuild covers both
+    if not all(
+        os.path.exists(os.path.join(p, "_SUCCESS")) for p in (BIG_EDGES, PAGES_BIG)
+    ):
         import scaling_bench
 
         subprocess.run([sys.executable, "-c", scaling_bench.BUILD], check=True)
@@ -115,6 +122,23 @@ def main() -> None:
         "rows_per_sec": round(wrows / wall, 1),
     }
 
+    # anchor-text aggregation over the 2M-page scratch table: one
+    # vectorized extraction UDF + explode, then two map-side-combined
+    # aggs — the webtext signal feed at extraction scale
+    from linkgraph.sources.edges import anchor_text_stats
+
+    pages = spark.read.parquet(PAGES_BIG)
+    n_pages = pages.count()
+    t0 = time.time()
+    n_targets = anchor_text_stats(pages).count()
+    wall = time.time() - t0
+    results["anchor_stats"] = {
+        "sec": round(wall, 1),
+        "pages": n_pages,
+        "targets": n_targets,
+        "pages_per_sec": round(n_pages / wall, 1),
+    }
+
     # best-over-runs: hypervisor-neighbor jitter swings identical runs
     # up to 4x here; keep each operator's fastest observed wall
     best_path = os.path.join(REPO, "BENCH", "scratch", "bigops_best.json")
@@ -159,6 +183,14 @@ Notes:
   after orientation): degree-ordered orientation bounds hub fan-out
   in the wedge self-join — the unoriented join would be O(Σ deg²) on
   the Zipf head and would not finish.
+- hits3 runs TWO SpMVs per iteration (authority and hub updates) over
+  two stationary operand copies, each partitioned on its join key.
+- random_walks builds the ranked adjacency once (one groupBy over E)
+  then does one co-partitioned join per step; trajectory_rows counts
+  every visited (walker, step) pair.
+- anchor_stats runs on the 2M-page scratch table (the extraction
+  bench input): one vectorized (href, anchor) UDF + explode before
+  any shuffle, then two map-side-combined aggregations.
 
 Generated by scripts/big_ops_bench.py.
 """
