@@ -7,7 +7,9 @@ in scaling_bench.py for the headline metric).
 
 Writes BENCH/BIGOPS.md. Reuses BENCH/scratch/edges_big.parquet
 (rebuilds via scaling_bench's builder when missing).
-Usage: python scripts/big_ops_bench.py
+Usage: python scripts/big_ops_bench.py [op ...]
+With op names, only those rows run (rest kept from the best-file);
+with none, the full sweep runs.
 """
 
 from __future__ import annotations
@@ -53,24 +55,31 @@ def main() -> None:
 
     results: dict[str, dict] = {}
 
-    t0 = time.time()
-    deg = g.in_degrees().agg(F.max("in_degree"), F.count("*")).collect()[0]
-    results["degrees"] = {
-        "sec": round(time.time() - t0, 1),
-        "vertices": deg[1],
-        "max_in_degree": deg[0],
-    }
+    only = set(sys.argv[1:])
 
-    t0 = time.time()
-    wcc = weakly_connected_components(g)
-    n_comp = wcc.state.select("component").distinct().count()
-    wall = time.time() - t0
-    results["wcc"] = {
-        "sec": round(wall, 1),
-        "rounds": wcc.iterations,
-        "components": n_comp,
-        "edges_per_sec": round(m / wall, 1),
-    }
+    def want(name: str) -> bool:
+        return not only or name in only
+
+    if want("degrees"):
+        t0 = time.time()
+        deg = g.in_degrees().agg(F.max("in_degree"), F.count("*")).collect()[0]
+        results["degrees"] = {
+            "sec": round(time.time() - t0, 1),
+            "vertices": deg[1],
+            "max_in_degree": deg[0],
+        }
+
+    if want("wcc"):
+        t0 = time.time()
+        wcc = weakly_connected_components(g)
+        n_comp = wcc.state.select("component").distinct().count()
+        wall = time.time() - t0
+        results["wcc"] = {
+            "sec": round(wall, 1),
+            "rounds": wcc.iterations,
+            "components": n_comp,
+            "edges_per_sec": round(m / wall, 1),
+        }
 
     # triangle stress: the replicated bipartite graph has no wedges
     # after orientation (trivially 0 triangles), so the wedge-join
@@ -79,65 +88,69 @@ def main() -> None:
     # degree-ordered orientation
     from linkgraph.sources.random_graph import random_edges
 
-    zg = random_edges(spark, 2_000_000, 40_000_000, seed=5, zipf_s=1.2, partitions=64)
-    zg_edges = zg.persist()
-    zm = zg_edges.count()
-    t0 = time.time()
-    tri = total_triangles(LinkGraph(zg_edges, directed=False))
-    wall = time.time() - t0
-    results["triangles_zipf"] = {
-        "sec": round(wall, 1),
-        "graph": f"{zm:,} zipf(1.2) edges / 2M vertices",
-        "total": tri,
-        "edges_per_sec": round(zm / wall, 1),
-    }
-    zg_edges.unpersist()
+    if want("triangles_zipf"):
+        zg = random_edges(spark, 2_000_000, 40_000_000, seed=5, zipf_s=1.2, partitions=64)
+        zg_edges = zg.persist()
+        zm = zg_edges.count()
+        t0 = time.time()
+        tri = total_triangles(LinkGraph(zg_edges, directed=False))
+        wall = time.time() - t0
+        results["triangles_zipf"] = {
+            "sec": round(wall, 1),
+            "graph": f"{zm:,} zipf(1.2) edges / 2M vertices",
+            "total": tri,
+            "edges_per_sec": round(zm / wall, 1),
+        }
+        zg_edges.unpersist()
 
     # HITS: two SpMVs per iteration over the two stationary operand
     # copies — the spectral plan at 375M edges
     from linkgraph.operators.spectral import hits_fixed_iterations
 
-    t0 = time.time()
-    h = hits_fixed_iterations(g, k=3)
-    top = h.orderBy(F.desc("authority")).limit(1).collect()[0]
-    wall = time.time() - t0
-    results["hits3"] = {
-        "sec": round(wall, 1),
-        "iterations": 3,
-        "top_authority": round(top["authority"], 6),
-        "edges_per_sec_per_iter": round(m / (wall / 3), 1),
-    }
+    if want("hits3"):
+        t0 = time.time()
+        h = hits_fixed_iterations(g, k=3)
+        top = h.orderBy(F.desc("authority")).limit(1).collect()[0]
+        wall = time.time() - t0
+        results["hits3"] = {
+            "sec": round(wall, 1),
+            "iterations": 3,
+            "top_authority": round(top["authority"], 6),
+            "edges_per_sec_per_iter": round(m / (wall / 3), 1),
+        }
 
     # deterministic random walks: adjacency build (one groupBy over E)
     # + length co-partitioned join steps over 10M walkers
     from linkgraph.operators.walks import random_walks
 
-    t0 = time.time()
-    wk = random_walks(g, length=2, walks_per_node=1, seed=11)
-    wrows = wk.count()
-    wall = time.time() - t0
-    results["random_walks_len2"] = {
-        "sec": round(wall, 1),
-        "trajectory_rows": wrows,
-        "rows_per_sec": round(wrows / wall, 1),
-    }
+    if want("random_walks_len2"):
+        t0 = time.time()
+        wk = random_walks(g, length=2, walks_per_node=1, seed=11)
+        wrows = wk.count()
+        wall = time.time() - t0
+        results["random_walks_len2"] = {
+            "sec": round(wall, 1),
+            "trajectory_rows": wrows,
+            "rows_per_sec": round(wrows / wall, 1),
+        }
 
     # anchor-text aggregation over the 2M-page scratch table: one
     # vectorized extraction UDF + explode, then two map-side-combined
     # aggs — the webtext signal feed at extraction scale
     from linkgraph.sources.edges import anchor_text_stats
 
-    pages = spark.read.parquet(PAGES_BIG)
-    n_pages = pages.count()
-    t0 = time.time()
-    n_targets = anchor_text_stats(pages).count()
-    wall = time.time() - t0
-    results["anchor_stats"] = {
-        "sec": round(wall, 1),
-        "pages": n_pages,
-        "targets": n_targets,
-        "pages_per_sec": round(n_pages / wall, 1),
-    }
+    if want("anchor_stats"):
+        pages = spark.read.parquet(PAGES_BIG)
+        n_pages = pages.count()
+        t0 = time.time()
+        n_targets = anchor_text_stats(pages).count()
+        wall = time.time() - t0
+        results["anchor_stats"] = {
+            "sec": round(wall, 1),
+            "pages": n_pages,
+            "targets": n_targets,
+            "pages_per_sec": round(n_pages / wall, 1),
+        }
 
     # best-over-runs: hypervisor-neighbor jitter swings identical runs
     # up to 4x here; keep each operator's fastest observed wall
