@@ -40,6 +40,7 @@ from linkgraph.operators.components import (
     strongly_connected_components,
     weakly_connected_components,
 )
+from linkgraph.operators.sampling import hash_split, stratified_sample
 from linkgraph.operators.dedup import (
     MERSENNE31,
     dedup_clusters,
@@ -862,6 +863,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # column expressions fused into the scan; the only shuffles are
     # the dedup pipeline's bucketed joins + one doc_id semi-join)
     q["training_corpus_filter"] = _corpus_filter
+
+    # --- deterministic corpus mixing: per-language Bernoulli rates
+    # and train/val/test hash splits. Both are pure narrow column
+    # predicates over the portable 60-bit (doc_id, seed) hash — no
+    # shuffle, no RNG state — so the survivor/split sets are identical
+    # at any parallelism or cluster size (what a 100 TB mixing job
+    # needs for re-runs and per-shard retries; df.sample() is
+    # partition-seeded and gives none of this).
+    q["corpus_sample_stratified"] = lambda s, d: stratified_sample(
+        _read(s, d, "documents"),
+        "doc_id",
+        "lang",
+        {"en": 0.5, "zh": 0.25, "fr": 1.0},
+        seed=7,
+    ).select("doc_id", "lang", token_count_col(F.col("text")).alias("n_tokens"))
+    q["corpus_split_counts"] = lambda s, d: (
+        hash_split(
+            _read(s, d, "documents"),
+            "doc_id",
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+            seed=11,
+        )
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
 
     # --- similarity search
     q["cosine_topk"] = lambda s, d: cosine_topk(
@@ -1959,6 +1985,27 @@ stats AS (SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
 SELECT s.doc_id, s.lang, s.n_tokens, s.quality
 FROM stats s JOIN clusters c ON s.doc_id = c.doc_id AND NOT c.is_duplicate
 WHERE s.lang_pred = s.lang AND s.quality >= 0.35 AND s.n_tokens >= 20
+""",
+        # mixing bucket = md5-60-bit((doc_id || ':seed')) % 1e6 — the
+        # exact expression linkgraph.operators.sampling._bucket emits
+        "corpus_sample_stratified": """
+SELECT doc_id, lang,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS n_tokens
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15)) AS BIGINT) % 1000000
+      < CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 250000
+                  WHEN 'fr' THEN 1000000 ELSE 0 END
+""",
+        # ranges carved in sorted split-name order (test, train, val)
+        "corpus_split_counts": """
+WITH b AS (SELECT lang,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 15)) AS BIGINT) % 1000000 AS bucket
+       FROM documents)
+SELECT lang,
+       CASE WHEN bucket < 100000 THEN 'test'
+            WHEN bucket < 900000 THEN 'train' ELSE 'val' END AS split,
+       count(*) AS n_docs
+FROM b GROUP BY 1, 2
 """,
         "text_stats": f"""
 WITH docs AS ({DOCS}),

@@ -1,0 +1,104 @@
+"""Deterministic corpus sampling and splitting for training-data
+mixing — per-stratum Bernoulli sampling and train/val/test hash
+splits.
+
+Both operators are pure narrow column expressions over the portable
+md5-derived 60-bit hash (functions/text.md5int_col): no shuffle, no
+RNG state, no driver coordination. A row's fate depends only on
+(id, seed), so the SAME rows survive at any parallelism, partition
+layout or cluster size — the property a 100 TB mixing job actually
+needs (re-runs, backfills and per-shard retries all agree), and the
+property `df.sample()` (partition-seeded XORShift) does not give.
+The sampling predicate sits directly above the parquet scan, so
+column pruning and (for partition-column strata) partition pruning
+still apply; downstream sees an ordinary filtered frame.
+
+Reference scope note: networkx-rust has no corpus operators; these
+serve the training-pipeline surface (SURVEY §2.8b) next to dedup/
+text-stats, matching the engines the reference's users feed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.functions.text import md5int_col
+
+# sampling resolution: rates are quantized to 1/DENOM. 60-bit hash
+# mod 1e6 is uniform to ~1e-12 bias — far below sampling noise.
+DENOM = 1_000_000
+
+
+def _bucket(id_col: Column, seed: int) -> Column:
+    """Uniform bucket in [0, DENOM) from row id + seed, identical in
+    Spark and ANSI SQL (md5 hex → 60-bit int → mod)."""
+    return md5int_col(F.concat(id_col.cast("string"), F.lit(f":{seed}"))) % DENOM
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically.
+
+    ``rates`` maps stratum value → keep fraction in [0, 1]; strata not
+    listed keep ``default_rate``. Selection is per-row Bernoulli on
+    the (id, seed) hash bucket, so expected per-stratum counts are
+    rate·n with binomial noise, and the selected id set is stable
+    across runs, partitionings and engines. Changing ``seed`` draws an
+    independent sample; nested rates with the same seed nest the
+    samples (a 10% sample contains the 5% sample), which is how
+    training-data ablation subsets stay comparable.
+    """
+    for k, v in rates.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"rate for stratum {k!r} must be in [0, 1], got {v}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    threshold = F.lit(int(round(default_rate * DENOM)))
+    for value, rate in sorted(rates.items()):
+        threshold = (
+            F.when(F.col(strata_col) == F.lit(value), F.lit(int(round(rate * DENOM))))
+            .otherwise(threshold)
+        )
+    return df.filter(_bucket(F.col(id_col), seed) < threshold)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split by hash bucket.
+
+    ``weights`` maps split name → fraction; fractions must sum to 1
+    (±1/DENOM). Buckets are carved into consecutive ranges in sorted
+    split-name order, so the assignment is a total, disjoint,
+    deterministic function of (id, seed) — holdout rows never migrate
+    between runs or cluster sizes, and the train split at weight w
+    equals ``stratified_sample`` at rate w with the same seed when
+    its range starts at bucket 0.
+    """
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1.0 / DENOM:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    expr = None
+    hi = 0
+    bucket = _bucket(F.col(id_col), seed)
+    names = sorted(weights)
+    for name in names[:-1]:
+        hi += int(round(weights[name] * DENOM))
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)

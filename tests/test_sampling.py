@@ -1,0 +1,100 @@
+"""Deterministic sampling / splitting: stability across partitioning,
+rate accuracy, nesting, split totality, and cross-engine (DuckDB)
+agreement of the hash bucket."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.operators.sampling import DENOM, _bucket, hash_split, stratified_sample
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # full-range 64-bit ids via xxhash64, three strata
+    return (
+        spark.range(6000)
+        .select(
+            F.xxhash64(F.col("id")).alias("doc_id"),
+            F.element_at(
+                F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+                (F.col("id") % 3 + 1).cast("int"),
+            ).alias("lang"),
+        )
+        .cache()
+    )
+
+
+def test_sample_deterministic_across_partitioning(corpus):
+    rates = {"en": 0.5, "de": 0.2, "fr": 1.0}
+    a = stratified_sample(corpus, "doc_id", "lang", rates, seed=7)
+    b = stratified_sample(corpus.repartition(17, "lang"), "doc_id", "lang", rates, seed=7)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0
+
+
+def test_sample_rates_and_default(corpus):
+    got = (
+        stratified_sample(corpus, "doc_id", "lang", {"en": 0.5, "de": 0.2}, seed=1)
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    by_lang = {r["lang"]: r["count"] for r in got}
+    # 2000 docs per stratum; binomial sd ~22 at p=0.5 — allow 5 sd
+    assert abs(by_lang["en"] - 1000) < 110
+    assert abs(by_lang["de"] - 400) < 90
+    assert "fr" not in by_lang  # default_rate=0 drops unlisted strata
+
+
+def test_samples_nest_with_same_seed(corpus):
+    small = stratified_sample(corpus, "doc_id", "lang", {"en": 0.1}, seed=3)
+    big = stratified_sample(corpus, "doc_id", "lang", {"en": 0.4}, seed=3)
+    assert small.exceptAll(big).count() == 0
+    assert small.count() < big.count()
+
+
+def test_different_seeds_differ(corpus):
+    a = stratified_sample(corpus, "doc_id", "lang", {"en": 0.5}, seed=1)
+    b = stratified_sample(corpus, "doc_id", "lang", {"en": 0.5}, seed=2)
+    assert a.exceptAll(b).count() > 0
+
+
+def test_sample_rate_validation(corpus):
+    with pytest.raises(ValueError):
+        stratified_sample(corpus, "doc_id", "lang", {"en": 1.5})
+    with pytest.raises(ValueError):
+        stratified_sample(corpus, "doc_id", "lang", {}, default_rate=-0.1)
+
+
+def test_split_total_disjoint_deterministic(corpus):
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s = hash_split(corpus, "doc_id", w, seed=5)
+    counts = {r["split"]: r["count"] for r in s.groupBy("split").count().collect()}
+    assert sum(counts.values()) == corpus.count()  # total + disjoint (1 row each)
+    assert abs(counts["train"] - 4800) < 150
+    s2 = hash_split(corpus.repartition(13), "doc_id", w, seed=5)
+    assert s.exceptAll(s2).count() == 0
+
+
+def test_split_weight_validation(corpus):
+    with pytest.raises(ValueError):
+        hash_split(corpus, "doc_id", {"train": 0.5, "test": 0.4})
+    with pytest.raises(ValueError):
+        hash_split(corpus, "doc_id", {})
+
+
+def test_bucket_matches_duckdb(corpus, spark):
+    """The Spark hash bucket must equal the ANSI-SQL oracle bucket
+    row-for-row (the cross-engine contract the oracles rely on)."""
+    rows = (
+        corpus.limit(50)
+        .select("doc_id", _bucket(F.col("doc_id"), 9).alias("bucket"))
+        .collect()
+    )
+    con = duckdb.connect()
+    for r in rows:
+        (b,) = con.sql(
+            f"SELECT CAST(('0x' || substr(md5('{r['doc_id']}:9'), 1, 15)) AS BIGINT) % {DENOM}"
+        ).fetchone()
+        assert b == r["bucket"], r["doc_id"]
