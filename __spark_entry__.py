@@ -864,6 +864,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the dedup pipeline's bucketed joins + one doc_id semi-join)
     q["training_corpus_filter"] = _corpus_filter
 
+    # --- in-document repetition signals (Gopher-style duplicate-ngram
+    # rule): pure per-row array math fused into the scan — no shuffle
+    from linkgraph.functions.text import dup_trigram_frac_col, type_token_ratio_col
+
+    q["repetition_stats"] = lambda s, d: _read(s, d, "documents").select(
+        "doc_id",
+        type_token_ratio_col(F.col("text")).alias("type_token_ratio"),
+        dup_trigram_frac_col(F.col("text")).alias("dup_trigram_frac"),
+    )
+
     # --- deterministic corpus mixing: per-language Bernoulli rates
     # and train/val/test hash splits. Both are pure narrow column
     # predicates over the portable 60-bit (doc_id, seed) hash — no
@@ -1985,6 +1995,19 @@ stats AS (SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
 SELECT s.doc_id, s.lang, s.n_tokens, s.quality
 FROM stats s JOIN clusters c ON s.doc_id = c.doc_id AND NOT c.is_duplicate
 WHERE s.lang_pred = s.lang AND s.quality >= 0.35 AND s.n_tokens >= 20
+""",
+        "repetition_stats": """
+WITH base AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+tri AS (SELECT doc_id, t,
+        CASE WHEN len(t) >= 3
+             THEN list_transform(generate_series(1, len(t) - 2),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             ELSE [] END AS g
+        FROM base)
+SELECT doc_id,
+       CASE WHEN len(t) > 0 THEN round(len(list_distinct(t)) * 1.0 / len(t), 6) ELSE 0.0 END AS type_token_ratio,
+       CASE WHEN len(g) > 0 THEN round(1.0 - len(list_distinct(g)) * 1.0 / len(g), 6) ELSE 0.0 END AS dup_trigram_frac
+FROM tri
 """,
         # mixing bucket = md5-60-bit((doc_id || ':seed')) % 1e6 — the
         # exact expression linkgraph.operators.sampling._bucket emits

@@ -87,3 +87,33 @@ def shingle_fingerprint_col(text: Column, k: int = 5) -> Column:
     )
     min_hash = F.array_min(F.transform(shingles, lambda s: md5int_col(s)))
     return F.when(n >= k, min_hash).otherwise(doc_fingerprint_col(text))
+
+
+def type_token_ratio_col(text: Column) -> Column:
+    """Lexical diversity: distinct tokens / tokens, 0.0 for empty
+    docs. Low values flag boilerplate/spam (Gopher-style repetition
+    rule). Pure per-row array math — no shuffle at any scale."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    return F.when(
+        n > 0, F.round(F.size(F.array_distinct(toks)) / n.cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+
+
+def dup_trigram_frac_col(text: Column) -> Column:
+    """Fraction of token 3-grams that are repeats of an earlier one:
+    1 − distinct/total, 0.0 for docs under 3 tokens. The in-document
+    repetition signal (Gopher's duplicate-n-gram rule); pure per-row
+    array math — no shuffle at any scale."""
+    toks = tokens_col(text)
+    # sequence/slice are only valid for >=3 tokens; CaseWhen evaluates
+    # the branch lazily, so short docs never touch them
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    n = F.size(tri)
+    return F.when(
+        F.size(toks) >= 3,
+        F.round(F.lit(1.0) - F.size(F.array_distinct(tri)) / n.cast("double"), 6),
+    ).otherwise(F.lit(0.0))

@@ -42,12 +42,19 @@ def minhash_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Distinct token k-gram shingles per doc: (id, shingle)."""
+    """Distinct token k-gram shingles per doc: (id, shingle).
+    Docs shorter than k tokens yield no rows (sequence(1, n-k+1)
+    would descend through slice(…, 0, …), which throws — the CaseWhen
+    branch keeps short docs off that path; explode drops the empty
+    array)."""
     toks = tokens_col(F.col(text_col))
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
+    sh = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
         .distinct()

@@ -140,3 +140,17 @@ def test_dedup_clusters_no_dups(spark):
     out = dedup_clusters(df, threshold=0.9).collect()
     assert all(r["canonical_id"] == r["doc_id"] and not r["is_duplicate"] for r in out)
     assert len(out) == 5
+
+
+def test_shingles_short_docs_yield_no_rows(spark):
+    """Docs under k tokens must contribute zero shingles, not crash
+    (sequence(1, n-k+1) descends through slice(…, 0, …) unguarded)."""
+    from linkgraph.operators.dedup import shingles
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta"), (3, ""), (4, "one")],
+        "doc_id long, text string",
+    )
+    got = shingles(df, "doc_id", "text", k=3).collect()
+    assert {r["id"] for r in got} == {1}
+    assert len(got) == 2  # 4 tokens → 2 distinct trigrams

@@ -73,3 +73,27 @@ def test_shingle_fingerprint_shift_tolerant(spark):
     )
     sf = {r["id"]: r["f"] for r in df.select("id", shingle_fingerprint_col(F.col("t"), k=5).alias("f")).collect()}
     assert sf[1] == sf[2]  # min-shingle survives a prefix insertion
+
+
+def test_repetition_stats_known_values(spark):
+    from linkgraph.functions.text import dup_trigram_frac_col, type_token_ratio_col
+
+    rows = [
+        # 9 tokens, 3 distinct → ttr 1/3; 7 trigrams, 3 distinct → 4/7
+        ("a b c a b c a b c", 0.333333, 0.571429),
+        ("a", 1.0, 0.0),          # too short for trigrams
+        ("", 0.0, 0.0),           # empty doc
+        ("x y", 1.0, 0.0),
+        ("a a a a a", 0.2, 0.666667),
+        (None, 0.0, 0.0),         # null text
+    ]
+    df = spark.createDataFrame(rows, "t string, ttr double, dup3 double")
+    out = df.select(
+        "ttr",
+        "dup3",
+        type_token_ratio_col(F.col("t")).alias("got_ttr"),
+        dup_trigram_frac_col(F.col("t")).alias("got_dup3"),
+    ).collect()
+    for r in out:
+        assert r["got_ttr"] == r["ttr"]
+        assert r["got_dup3"] == r["dup3"]
