@@ -43,6 +43,7 @@ from linkgraph.operators.components import (
 from linkgraph.operators.sampling import hash_split, stratified_sample
 from linkgraph.operators.dedup import (
     MERSENNE31,
+    contamination,
     dedup_clusters,
     exact_duplicates,
     lsh_candidate_pairs,
@@ -63,11 +64,19 @@ from linkgraph.operators.centrality import (
 )
 from linkgraph.operators.lpa import modularity
 from linkgraph.operators.kcore import core_numbers, k_core
-from linkgraph.operators.linkpred import graph_summary, link_prediction_scores
+from linkgraph.operators.linkpred import (
+    graph_summary,
+    link_prediction_scores,
+    reciprocity,
+)
 from linkgraph.operators.layout import circular_layout, shell_layout, spiral_layout
 from linkgraph.operators.lpa import label_propagation
 from linkgraph.operators.mst import minimum_spanning_forest
-from linkgraph.operators.pagerank import pagerank, pagerank_fixed_iterations
+from linkgraph.operators.pagerank import (
+    pagerank,
+    pagerank_fixed_iterations,
+    trustrank,
+)
 from linkgraph.operators.spectral import (
     eigenvector_centrality_fixed_iterations,
     hits_fixed_iterations,
@@ -874,6 +883,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dup_trigram_frac_col(F.col("text")).alias("dup_trigram_frac"),
     )
 
+    # --- benchmark decontamination: per-training-doc 5-gram overlap
+    # against a held-out eval slice (doc_id % 37 == 0). Eval k-gram
+    # set is broadcast — the training side never shuffles on the gram
+    def _contamination(s, d):
+        docs = _read(s, d, "documents")
+        return contamination(
+            docs.filter(F.col("doc_id") % 37 != 0),
+            docs.filter(F.col("doc_id") % 37 == 0),
+            k=5,
+            threshold=0.1,
+        ).select(
+            F.col("id").alias("doc_id"),
+            "n_ngrams",
+            "contaminated_ngrams",
+            F.round("contamination", 6).alias("contamination"),
+            "flagged",
+        )
+
+    q["ngram_contamination"] = _contamination
+
     # --- deterministic corpus mixing: per-language Bernoulli rates
     # and train/val/test hash splits. Both are pure narrow column
     # predicates over the portable 60-bit (doc_id, seed) hash — no
@@ -1064,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_host", "dst_host", F.col("weight").cast("long").alias("weight")
     )
     q["webgraph_host_pagerank"] = _webgraph_host_pagerank
+    q["webgraph_host_trustrank"] = _webgraph_host_trustrank
 
     # --- harmonic centrality (disconnect-robust closeness; same
     # batched multi-source machinery, NetworkX-verified in
@@ -1122,6 +1152,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("transitivity", 9).alias("transitivity"),
             F.round("assortativity", 9).alias("assortativity"),
         )
+    )
+
+    # --- reciprocity: mutual-link fraction of the directed supplier
+    # graph — one distinct + one reversed-key semi-join, no state
+    q["reciprocity_suppdir"] = lambda s, d: reciprocity(_supp_dir(s, d)).select(
+        "n_edges", "n_mutual", F.round("reciprocity", 9).alias("reciprocity")
     )
 
     # --- spectral link analysis (power-iteration family, like
@@ -1371,6 +1407,37 @@ def _webgraph_host_pagerank(s, d):
     ).select("host", F.round("rank", 8).alias("rank"))
 
 
+def _webgraph_host_trustrank(s, d):
+    """TrustRank over the host graph: teleport mass uniform over the
+    trusted seeds d0, d7, d14, … (host index % 7 == 0) — the
+    web-spam-demotion score. Fixed WEB_PR_ITERS iterations so the
+    unrolled personalized-PageRank SQL oracle is value-comparable."""
+    he = _host_edges(s)
+    edges = he.select(
+        F.xxhash64("src_host").alias("src"),
+        F.xxhash64("dst_host").alias("dst"),
+        "weight",
+    )
+    hosts = (
+        he.select(F.col("src_host").alias("host"))
+        .unionAll(he.select("dst_host"))
+        .distinct()
+    )
+    seeds = hosts.filter(
+        F.regexp_extract("host", r"^d(\d+)\.", 1).cast("int") % 7 == 0
+    ).select(F.xxhash64("host").alias("id"))
+    trust = trustrank(
+        LinkGraph(edges, directed=True),
+        seeds,
+        tol=-1.0,
+        max_iter=WEB_PR_ITERS,
+        truncate_every=1,
+    ).state
+    return trust.join(
+        hosts.select("host", F.xxhash64("host").alias("id")), "id"
+    ).select("host", F.round("rank", 8).alias("trust"))
+
+
 def _corpus_filter(s, d):
     """Training-ready corpus: docs that (a) are the canonical survivor
     of their near-dup cluster, (b) have predicted language == the
@@ -1556,6 +1623,60 @@ GROUP BY 1, 2"""
 def _host_pagerank_sql(alpha: float = 0.85) -> str:
     return _unrolled_pr_from_edges_sql(
         _host_edges_sql(), "host", WEB_PR_ITERS, alpha
+    )
+
+
+def _unrolled_ppr_from_edges_sql(
+    edges_sql: str,
+    key_alias: str,
+    iters: int,
+    seed_pred: str,
+    alpha: float = 0.85,
+) -> str:
+    """Unrolled PERSONALIZED weighted PageRank (TrustRank when the
+    teleport set is a trusted seed list) over an arbitrary
+    string-keyed edges(src, dst, weight) fragment. ``seed_pred`` is a
+    SQL boolean over ``v.id`` selecting the seed vertices; teleport
+    is uniform over the seeds and dangling mass also redistributes by
+    it — the engine's exact personalized update rule
+    (operators/pagerank.py: rank' = (1-α)·tp + α·(Σc + dm·tp))."""
+    pre = f"""
+WITH edges AS MATERIALIZED ({edges_sql}),
+verts AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM verts),
+outw AS MATERIALIZED (SELECT src AS id, sum(weight) AS w FROM edges GROUP BY 1),
+seeds AS MATERIALIZED (SELECT id FROM verts v WHERE {seed_pred}),
+ns AS (SELECT count(*) AS s FROM seeds),
+tp AS MATERIALIZED (SELECT v.id,
+        CASE WHEN sd.id IS NOT NULL THEN 1.0 / (SELECT s FROM ns) ELSE 0.0 END AS tp
+     FROM verts v LEFT JOIN seeds sd ON v.id = sd.id),
+r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM verts)"""
+    its = []
+    for i in range(1, iters + 1):
+        its.append(f""",
+d{i} AS (SELECT coalesce(sum(r.rank), 0.0) AS dm FROM r{i-1} r
+         WHERE r.id NOT IN (SELECT id FROM outw)),
+c{i} AS (SELECT e.dst AS id, sum(r.rank * e.weight / o.w) AS s
+         FROM r{i-1} r JOIN edges e ON r.id = e.src JOIN outw o ON o.id = e.src
+         GROUP BY 1),
+r{i} AS MATERIALIZED (SELECT v.id,
+         (1.0 - {alpha}) * t.tp
+         + {alpha} * (coalesce(c.s, 0.0) + (SELECT dm FROM d{i}) * t.tp) AS rank
+         FROM verts v JOIN tp t ON v.id = t.id LEFT JOIN c{i} c ON v.id = c.id)"""
+        )
+    return (
+        pre + "".join(its)
+        + f"\nSELECT id AS {key_alias}, round(rank, 8) AS trust FROM r{iters}"
+    )
+
+
+def _host_trustrank_sql(alpha: float = 0.85) -> str:
+    return _unrolled_ppr_from_edges_sql(
+        _host_edges_sql(),
+        "host",
+        WEB_PR_ITERS,
+        r"CAST(regexp_extract(v.id, '^d(\d+)\.', 1) AS INT) % 7 = 0",
+        alpha,
     )
 
 
@@ -1760,6 +1881,17 @@ SELECT n.u, n.v, n.cn AS common_neighbors,
        round(n.aa, 9) AS adamic_adar,
        du.deg * dv.deg AS preferential_attachment
 FROM nonadj n JOIN deg du ON du.id = n.u JOIN deg dv ON dv.id = n.v
+""",
+        "reciprocity_suppdir": f"""
+WITH e AS (SELECT DISTINCT src, dst FROM ({SUPP_DIR})),
+n AS (SELECT count(*) AS m FROM e),
+mu AS (SELECT count(*) AS c FROM e x JOIN e y
+       ON x.src = y.dst AND x.dst = y.src AND x.src <> x.dst)
+SELECT CAST(n.m AS BIGINT) AS n_edges,
+       CAST(mu.c AS BIGINT) AS n_mutual,
+       round(CASE WHEN n.m > 0 THEN mu.c * 1.0 / n.m ELSE 0.0 END, 9)
+         AS reciprocity
+FROM n, mu
 """,
         "graph_metrics_suppco": f"""
 WITH e0 AS (SELECT * FROM ({SUPP_CO}) WHERE CAST(weight AS BIGINT) % 3 = 0),
@@ -2009,6 +2141,31 @@ SELECT doc_id,
        CASE WHEN len(g) > 0 THEN round(1.0 - len(list_distinct(g)) * 1.0 / len(g), 6) ELSE 0.0 END AS dup_trigram_frac
 FROM tri
 """,
+        # distinct 5-gram shingles per doc; eval slice = doc_id%37==0
+        "ngram_contamination": """
+WITH base AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g
+       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+             FROM base WHERE len(t) >= 5)),
+bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 37 = 0),
+train AS (SELECT * FROM sh WHERE doc_id % 37 <> 0),
+sizes AS (SELECT doc_id, count(*) AS n FROM train GROUP BY 1),
+hits AS (SELECT t.doc_id, count(*) AS c FROM train t JOIN bench b ON t.g = b.g
+         GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(s.n, 0) AS BIGINT) AS n_ngrams,
+       CAST(coalesce(h.c, 0) AS BIGINT) AS contaminated_ngrams,
+       round(CASE WHEN coalesce(s.n, 0) > 0
+                  THEN coalesce(h.c, 0) * 1.0 / s.n ELSE 0.0 END, 6)
+         AS contamination,
+       CASE WHEN coalesce(s.n, 0) > 0
+            THEN coalesce(h.c, 0) * 1.0 / s.n ELSE 0.0 END >= 0.1 AS flagged
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 37 <> 0) d
+LEFT JOIN sizes s ON d.doc_id = s.doc_id
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+""",
         # mixing bucket = md5-60-bit((doc_id || ':seed')) % 1e6 — the
         # exact expression linkgraph.operators.sampling._bucket emits
         "corpus_sample_stratified": """
@@ -2166,6 +2323,7 @@ SELECT src AS src_host, dst AS dst_host, CAST(weight AS BIGINT) AS weight
 FROM ({_host_edges_sql()})
 """,
         "webgraph_host_pagerank": _host_pagerank_sql(),
+        "webgraph_host_trustrank": _host_trustrank_sql(),
         "multigraph_edge_ids": """
 SELECT CAST(o_custkey AS BIGINT) AS src,
        CAST(l_suppkey + 1000000 AS BIGINT) AS dst,

@@ -7,7 +7,11 @@ from linkgraph.operators.centrality import (
     multi_source_bfs,
     multi_source_shortest_paths,
 )
-from linkgraph.operators.linkpred import graph_summary, link_prediction_scores
+from linkgraph.operators.linkpred import (
+    graph_summary,
+    link_prediction_scores,
+    reciprocity,
+)
 from linkgraph.operators.spectral import eigenvector_centrality, hits
 from linkgraph.operators.truss import k_truss, truss_numbers
 from linkgraph.operators.components import strongly_connected_components, weakly_connected_components
@@ -23,7 +27,7 @@ from linkgraph.operators.layout import (
 )
 from linkgraph.operators.lpa import label_propagation, modularity
 from linkgraph.operators.mst import minimum_spanning_forest
-from linkgraph.operators.pagerank import pagerank
+from linkgraph.operators.pagerank import pagerank, trustrank
 from linkgraph.operators.traversal import (
     bfs_levels,
     dfs_preorder,
@@ -74,4 +78,6 @@ __all__ = [
     "graph_summary",
     "k_truss",
     "truss_numbers",
+    "reciprocity",
+    "trustrank",
 ]

@@ -266,3 +266,69 @@ def simhash_duplicates(df: DataFrame, id_col: str, text_col: str, bits: int = 16
         .agg(F.count("*").alias("n_docs"), F.min("id").alias("keep_id"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    k: int = 5,
+    threshold: float = 0.2,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: per-training-doc overlap of distinct
+    token k-grams against an eval/benchmark corpus —
+    (id, n_ngrams, contaminated_ngrams, contamination, flagged).
+
+    ``contamination`` = |doc k-grams ∩ benchmark k-grams| / |doc
+    k-grams| (0.0 for docs shorter than k tokens); ``flagged`` =
+    contamination >= threshold. This is the standard n-gram-collision
+    decontamination pass of LLM training pipelines, expressed as one
+    map-side shingle explode per corpus plus one join.
+
+    Scale shape: eval sets are tiny next to a training corpus, so the
+    distinct benchmark k-gram set is broadcast by default — the
+    training side then never shuffles on the k-gram, only on doc id
+    for the final per-doc counts. Set ``broadcast_benchmark=False``
+    for a large benchmark side: the overlap join becomes a shuffle
+    keyed by the k-gram string (uniformly distributed — no hot-doc
+    skew), still sub-quadratic.
+    """
+    bench_id = bench_id_col or id_col
+    bench_text = bench_text_col or text_col
+    train_sh = shingles(docs, id_col, text_col, k)
+    bench_sh = shingles(benchmark, bench_id, bench_text, k).select("shingle").distinct()
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    sizes = train_sh.groupBy("id").agg(F.count("*").alias("n_ngrams"))
+    hits = (
+        train_sh.join(bench_sh, "shingle")
+        .groupBy("id")
+        .agg(F.count("*").alias("contaminated_ngrams"))
+    )
+    all_ids = docs.select(F.col(id_col).alias("id")).distinct()
+    return (
+        all_ids.join(sizes, "id", "left")
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("contaminated_ngrams", F.lit(0)).alias("contaminated_ngrams"),
+            F.when(
+                F.coalesce("n_ngrams", F.lit(0)) > 0,
+                F.coalesce("contaminated_ngrams", F.lit(0)) / F.col("n_ngrams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("contamination"),
+            (
+                F.when(
+                    F.coalesce("n_ngrams", F.lit(0)) > 0,
+                    F.coalesce("contaminated_ngrams", F.lit(0)) / F.col("n_ngrams"),
+                ).otherwise(F.lit(0.0))
+                >= threshold
+            ).alias("flagged"),
+        )
+    )

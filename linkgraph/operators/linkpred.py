@@ -172,3 +172,34 @@ def graph_summary(graph: LinkGraph) -> DataFrame:
         "n_nodes long, n_edges long, density double, transitivity double, "
         "assortativity double",
     )
+
+
+def reciprocity(graph: LinkGraph) -> DataFrame:
+    """One-row DataFrame(n_edges, n_mutual, reciprocity) over the
+    distinct directed edge pairs: the fraction of edges (u, v) whose
+    reverse (v, u) is also present (``networkx.overall_reciprocity``;
+    reference parity: networkx-rust exposes the same digraph edge
+    surface this summarizes). NetworkX computes
+    2·(m − m_undirected)/m, under which a self-loop is NOT
+    reciprocated — mirrored here by excluding src = dst from the
+    mutual count.
+
+    Scale shape: one distinct on (src, dst) and one self-semi-join on
+    the reversed key — both shuffles on the edge key, no per-vertex
+    state, no driver loop.
+    """
+    if not graph.directed:
+        raise ValueError("reciprocity is defined for directed graphs")
+    spark = graph.edges.sparkSession
+    e = graph.edges.select("src", "dst").distinct()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n_edges = e.count()
+    n_mutual = (
+        e.filter(F.col("src") != F.col("dst"))
+        .join(rev, ["src", "dst"], "left_semi")
+        .count()
+    )
+    return spark.createDataFrame(
+        [(n_edges, n_mutual, (n_mutual / n_edges) if n_edges else 0.0)],
+        "n_edges long, n_mutual long, reciprocity double",
+    )

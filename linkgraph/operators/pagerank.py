@@ -270,3 +270,35 @@ def pagerank_fixed_iterations(
         personalization=personalization,
     )
     return res.state
+
+
+def trustrank(
+    graph: LinkGraph,
+    seeds: DataFrame,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    **kwargs,
+) -> IterationResult:
+    """TrustRank (Gyöngyi/Garcia-Molina/Pedersen, VLDB'04): biased
+    PageRank whose teleport distribution is uniform over a trusted
+    seed set — the standard web-spam-demotion score over a host
+    graph. Exactly ``pagerank`` with
+    ``personalization = uniform(seeds)``; dangling mass also returns
+    to the seeds, so trust never leaks to unreachable spam clusters.
+
+    ``seeds``: DataFrame with an ``id`` column (extra columns
+    ignored). Must be non-empty — an empty seed frame has no valid
+    teleport distribution and raises (loud-failure policy).
+
+    Inherits every ``pagerank`` scale lever (stationary cached
+    transition table, broadcast-SpMV plan, salting switch) via
+    ``**kwargs``.
+    """
+    p = seeds.select(F.col("id"), F.lit(1.0).alias("p")).distinct()
+    if p.limit(1).count() == 0:
+        raise ValueError("trustrank requires a non-empty seed set")
+    return pagerank(
+        graph, alpha=alpha, tol=tol, max_iter=max_iter,
+        personalization=p, **kwargs,
+    )

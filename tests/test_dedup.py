@@ -154,3 +154,53 @@ def test_shingles_short_docs_yield_no_rows(spark):
     got = shingles(df, "doc_id", "text", k=3).collect()
     assert {r["id"] for r in got} == {1}
     assert len(got) == 2  # 4 tokens → 2 distinct trigrams
+
+
+def test_contamination_vs_python_oracle(spark):
+    """Per-doc 5-gram overlap vs a pure-Python set computation,
+    including a sub-k doc (0 grams) and a fully-clean doc."""
+    import re
+
+    from linkgraph.operators.dedup import contamination
+
+    train = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "completely different words appear here nothing shared at all ok"),
+        (3, "tiny doc"),
+        (4, "the quick brown fox jumps over a sleepy cat instead"),
+    ]
+    bench = [(100, "we note the quick brown fox jumps over the lazy dog and more")]
+    docs = spark.createDataFrame(train, "doc_id long, text string")
+    b = spark.createDataFrame(bench, "doc_id long, text string")
+    got = {r["id"]: r for r in contamination(docs, b, k=5, threshold=0.2).collect()}
+
+    def grams(t, k=5):
+        toks = re.findall(r"[a-z0-9]+", t.lower())
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    bg = set().union(*[grams(t) for _, t in bench])
+    assert set(got) == {i for i, _ in train}
+    for i, t in train:
+        g = grams(t)
+        r = got[i]
+        assert (r["n_ngrams"], r["contaminated_ngrams"]) == (len(g), len(g & bg))
+        exp = len(g & bg) / len(g) if g else 0.0
+        assert abs(r["contamination"] - exp) < 1e-12
+        assert r["flagged"] == (exp >= 0.2)
+
+
+def test_contamination_no_broadcast_same_result(spark):
+    """broadcast_benchmark=False (large-eval shuffle path) is
+    value-identical to the broadcast plan."""
+    from linkgraph.operators.dedup import contamination
+
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 13}" for j in range(12))) for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows[:15], "doc_id long, text string")
+    bench = spark.createDataFrame(rows[15:], "doc_id long, text string")
+    a = sorted(map(tuple, contamination(docs, bench, k=3).collect()))
+    b = sorted(
+        map(tuple, contamination(docs, bench, k=3, broadcast_benchmark=False).collect())
+    )
+    assert a == b and len(a) == 15

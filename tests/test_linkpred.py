@@ -114,3 +114,43 @@ def test_graph_summary_triangle_free(spark):
     row = graph_summary(g).collect()[0]
     assert row["transitivity"] == 0.0
     assert not math.isnan(row["density"])
+
+
+def _rand_directed(seed, n=20, m=60):
+    rng = random.Random(seed)
+    return sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(m)})
+
+
+def test_reciprocity_vs_networkx(spark):
+    from linkgraph.operators.linkpred import reciprocity
+
+    for seed in (3, 11):
+        edges = _rand_directed(seed)
+        g = graph_from_edges(spark, edges, directed=True)
+        r = reciprocity(g).collect()[0]
+        G = nx.DiGraph(edges)
+        assert r["n_edges"] == G.number_of_edges()
+        assert abs(r["reciprocity"] - nx.overall_reciprocity(G)) < 1e-12
+
+
+def test_reciprocity_self_loops_not_mutual(spark):
+    from linkgraph.operators.linkpred import reciprocity
+
+    # (1,1) is its own reverse but NetworkX's 2*(m - m_und)/m formula
+    # does not count it; duplicate (1,2) rows collapse to one edge
+    g = graph_from_edges(
+        spark, [(1, 1), (1, 2), (2, 1), (1, 2, 5.0)], directed=True
+    )
+    r = reciprocity(g).collect()[0]
+    assert (r["n_edges"], r["n_mutual"]) == (3, 2)
+    G = nx.DiGraph([(1, 1), (1, 2), (2, 1)])
+    assert abs(r["reciprocity"] - nx.overall_reciprocity(G)) < 1e-12
+
+
+def test_reciprocity_requires_directed(spark):
+    from linkgraph.operators.linkpred import reciprocity
+    import pytest
+
+    g = graph_from_edges(spark, [(1, 2)], directed=False)
+    with pytest.raises(ValueError):
+        reciprocity(g)

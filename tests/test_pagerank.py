@@ -184,3 +184,36 @@ def test_rank_broadcast_guard(two_cliques_bridge):
 
     with pytest.raises(ValueError, match="rank_broadcast"):
         pagerank(two_cliques_bridge, rank_broadcast=True, rank_broadcast_max=3)
+
+
+def test_trustrank_equals_seed_personalized_pagerank(spark, star_hub):
+    """trustrank == pagerank with a uniform-over-seeds teleport; seeds
+    collapse duplicates; result matches the pure-Python oracle."""
+    from conftest import collect_map
+    from linkgraph.operators.pagerank import trustrank
+
+    g = star_hub
+    edges = [(r["src"], r["dst"], r["weight"]) for r in g.edges.collect()]
+    verts = sorted(r["id"] for r in g.vertices.select("id").collect())
+    seed_ids = verts[:2]
+    seeds = spark.createDataFrame(
+        [(i,) for i in seed_ids + seed_ids], "id long"  # dup rows collapse
+    )
+    got = collect_map(
+        trustrank(g, seeds, tol=1e-10, max_iter=300).state, "id", "rank"
+    )
+    want = pagerank_oracle(
+        edges, verts, tol=1e-10,
+        personalization={i: 1.0 / len(seed_ids) for i in seed_ids},
+    )
+    a = np.array([got[k] for k in sorted(got)])
+    b = np.array([want[k] for k in sorted(want)])
+    assert np.allclose(a, b, atol=1e-8), float(np.abs(a - b).max())
+
+
+def test_trustrank_empty_seeds_raises(spark, star_hub):
+    from linkgraph.operators.pagerank import trustrank
+
+    seeds = spark.createDataFrame([], "id long")
+    with pytest.raises(ValueError, match="non-empty seed"):
+        trustrank(star_hub, seeds)
