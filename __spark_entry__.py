@@ -903,6 +903,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ngram_contamination"] = _contamination
 
+    # --- PII scrubbing: deterministic synthetic PII (email / phone /
+    # IPv4 by doc_id residue — the parquet corpus has none) counted
+    # and redacted with regexes that Java and RE2 read identically.
+    # Pure per-row regexp column math fused into the scan — no shuffle
+    def _pii_stats(s, d):
+        from linkgraph.functions.text import (
+            pii_email_count_col,
+            pii_ipv4_count_col,
+            pii_phone_count_col,
+            redact_pii_col,
+        )
+
+        did = F.col("doc_id")
+        aug = F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit("."),
+                    ((did * 3) % 256).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        )
+        return _read(s, d, "documents").select(
+            "doc_id",
+            pii_email_count_col(aug).alias("n_emails"),
+            pii_ipv4_count_col(aug).alias("n_ipv4"),
+            pii_phone_count_col(aug).alias("n_phones"),
+            redact_pii_col(aug).alias("redacted"),
+        )
+
+    q["pii_stats"] = _pii_stats
+
     # --- deterministic corpus mixing: per-language Bernoulli rates
     # and train/val/test hash splits. Both are pure narrow column
     # predicates over the portable 60-bit (doc_id, seed) hash — no
@@ -1153,6 +1203,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("assortativity", 9).alias("assortativity"),
         )
     )
+
+    # --- bow-tie decomposition (Broder et al.): CORE/IN/OUT/TENDRIL/
+    # DISCONNECTED over a direction-ruled supplier graph (the natural
+    # graphs here are single giant SCCs). Both engines break the
+    # largest-SCC tie by min-vertex-id component label — identical
+    from linkgraph.operators.bowtie import bowtie_decomposition
+
+    q["bowtie_suppco"] = lambda s, d: bowtie_decomposition(_bowtie_graph(s, d))
 
     # --- reciprocity: mutual-link fraction of the directed supplier
     # graph — one distinct + one reversed-key semi-join, no state
@@ -1405,6 +1463,35 @@ def _webgraph_host_pagerank(s, d):
     return ranks.join(
         hosts.select("host", F.xxhash64("host").alias("id")), "id"
     ).select("host", F.round("rank", 8).alias("rank"))
+
+
+def _bowtie_graph(s, d) -> LinkGraph:
+    """Directed graph with deliberate bow-tie macro-structure, built
+    by deterministic id-residue direction rules over the supplier
+    co-occurrence pairs (the natural graphs here are single giant
+    SCCs — degenerate for this decomposition). Buckets by id % 10:
+    0-3 core zone (both directions), 4-5 feed INTO the core, 6-7 are
+    fed FROM the core, 8 hangs off the IN zone (tendrils), 9 links
+    only to itself (disconnected); other pair kinds are dropped."""
+    from linkgraph.sources.edges import tpch_supplier_graph
+
+    co = tpch_supplier_graph(s, d).select("src", "dst")
+    ca, cb = F.col("src") % 10, F.col("dst") % 10
+    rev = lambda df: df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    core_core = co.filter((ca < 4) & (cb < 4))
+    edges = (
+        core_core.unionAll(rev(core_core))
+        .unionAll(co.filter(ca.isin(4, 5) & (cb < 4)))
+        .unionAll(rev(co.filter((ca < 4) & cb.isin(4, 5))))
+        .unionAll(co.filter((ca < 4) & cb.isin(6, 7)))
+        .unionAll(rev(co.filter(ca.isin(6, 7) & (cb < 4))))
+        .unionAll(co.filter(ca.isin(4, 5) & (cb == 8)))
+        .unionAll(rev(co.filter((ca == 8) & cb.isin(4, 5))))
+        .unionAll(co.filter((ca == 8) & (cb == 8)))
+        .unionAll(co.filter((ca == 9) & (cb == 9)))
+        .withColumn("weight", F.lit(1.0))
+    )
+    return LinkGraph(edges, directed=True)
 
 
 def _webgraph_host_trustrank(s, d):
@@ -1882,6 +1969,62 @@ SELECT n.u, n.v, n.cn AS common_neighbors,
        du.deg * dv.deg AS preferential_attachment
 FROM nonadj n JOIN deg du ON du.id = n.u JOIN deg dv ON dv.id = n.v
 """,
+        # nested WITH RECURSIVE subqueries (closure computed inside,
+        # aggregates outside) — DuckDB 1.0 mis-expands joins against
+        # aggregated CTEs inside a recursive scope
+        "bowtie_suppco": f"""
+WITH co AS MATERIALIZED (SELECT src, dst FROM ({SUPP_CO})),
+ed AS MATERIALIZED (
+  SELECT src, dst FROM co WHERE src % 10 < 4 AND dst % 10 < 4
+  UNION ALL SELECT dst, src FROM co WHERE src % 10 < 4 AND dst % 10 < 4
+  UNION ALL SELECT src, dst FROM co WHERE src % 10 IN (4,5) AND dst % 10 < 4
+  UNION ALL SELECT dst, src FROM co WHERE src % 10 < 4 AND dst % 10 IN (4,5)
+  UNION ALL SELECT src, dst FROM co WHERE src % 10 < 4 AND dst % 10 IN (6,7)
+  UNION ALL SELECT dst, src FROM co WHERE src % 10 IN (6,7) AND dst % 10 < 4
+  UNION ALL SELECT src, dst FROM co WHERE src % 10 IN (4,5) AND dst % 10 = 8
+  UNION ALL SELECT dst, src FROM co WHERE src % 10 = 8 AND dst % 10 IN (4,5)
+  UNION ALL SELECT src, dst FROM co WHERE src % 10 = 8 AND dst % 10 = 8
+  UNION ALL SELECT src, dst FROM co WHERE src % 10 = 9 AND dst % 10 = 9
+),
+verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM ed UNION SELECT dst FROM ed),
+reach AS MATERIALIZED (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT src, dst FROM ed
+    UNION
+    SELECT r.a, e2.dst FROM r JOIN ed e2 ON r.b = e2.src
+  ) SELECT a, b FROM r
+),
+wreach AS MATERIALIZED (
+  WITH RECURSIVE sym AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+  r(a, b) AS (
+    SELECT src, dst FROM sym
+    UNION
+    SELECT r.a, s2.dst FROM r JOIN sym s2 ON r.b = s2.src
+  ) SELECT a, b FROM r
+),
+scc AS MATERIALIZED (
+  SELECT v.id, least(v.id, coalesce(min(m.u), v.id)) AS component
+  FROM verts v LEFT JOIN (
+    SELECT r1.a AS v, r1.b AS u FROM reach r1
+    JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+  ) m ON v.id = m.v GROUP BY v.id
+),
+core AS MATERIALIZED (
+  SELECT id FROM scc WHERE component = (
+    SELECT component FROM (SELECT component, count(*) AS n FROM scc GROUP BY 1)
+    ORDER BY n DESC, component ASC LIMIT 1)
+),
+fwd AS (SELECT DISTINCT r.b AS id FROM reach r JOIN core c ON r.a = c.id),
+bwd AS (SELECT DISTINCT r.a AS id FROM reach r JOIN core c ON r.b = c.id),
+weak AS (SELECT DISTINCT w.b AS id FROM wreach w JOIN core c ON w.a = c.id)
+SELECT v.id,
+  CASE WHEN v.id IN (SELECT id FROM core) THEN 'CORE'
+       WHEN v.id IN (SELECT id FROM bwd) THEN 'IN'
+       WHEN v.id IN (SELECT id FROM fwd) THEN 'OUT'
+       WHEN v.id IN (SELECT id FROM weak) THEN 'TENDRIL'
+       ELSE 'DISCONNECTED' END AS region
+FROM verts v
+""",
         "reciprocity_suppdir": f"""
 WITH e AS (SELECT DISTINCT src, dst FROM ({SUPP_DIR})),
 n AS (SELECT count(*) AS m FROM e),
@@ -2165,6 +2308,33 @@ SELECT d.doc_id,
 FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 37 <> 0) d
 LEFT JOIN sizes s ON d.doc_id = s.doc_id
 LEFT JOIN hits h ON d.doc_id = h.doc_id
+""",
+        # NOT an f-string: the regex bounded-repetition braces are
+        # literal. Patterns/order mirror functions/text.redact_pii_col
+        "pii_stats": r"""
+WITH aug AS (SELECT doc_id, text
+  || CASE WHEN doc_id % 3 = 0
+          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+          ELSE '' END
+  || CASE WHEN doc_id % 5 = 0
+          THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          ELSE '' END
+  || CASE WHEN doc_id % 7 = 0
+          THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+               || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+          ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT)
+    AS n_emails,
+  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT)
+    AS n_ipv4,
+  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{4}\b')) AS INT) AS n_phones,
+  regexp_replace(regexp_replace(regexp_replace(t,
+    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+    '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+FROM aug
 """,
         # mixing bucket = md5-60-bit((doc_id || ':seed')) % 1e6 — the
         # exact expression linkgraph.operators.sampling._bucket emits

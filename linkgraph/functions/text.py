@@ -117,3 +117,34 @@ def dup_trigram_frac_col(text: Column) -> Column:
         F.size(toks) >= 3,
         F.round(F.lit(1.0) - F.size(F.array_distinct(tri)) / n.cast("double"), 6),
     ).otherwise(F.lit(0.0))
+
+
+# PII patterns — one regex dialect that Java (Spark) and RE2 (DuckDB)
+# read identically: literal classes, \d, \b, bounded repetition only
+# (no lookaround, no backrefs — RE2 has neither).
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+def pii_email_count_col(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), 0))
+
+
+def pii_ipv4_count_col(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(PII_IPV4_RE), 0))
+
+
+def pii_phone_count_col(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(PII_PHONE_RE), 0))
+
+
+def redact_pii_col(text: Column) -> Column:
+    """Text with emails/IPv4s/phones replaced by typed placeholders —
+    the scrubbing pass of a training-data pipeline. Order matters:
+    emails first (their domains contain dots that the later patterns
+    must not see), then IPs (dotted digits), then phones. Pure
+    per-row regexp_replace — fused into the scan, no shuffle."""
+    out = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+    return F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")

@@ -12,6 +12,7 @@ from linkgraph.operators.linkpred import (
     link_prediction_scores,
     reciprocity,
 )
+from linkgraph.operators.bowtie import bowtie_decomposition, reachable_set
 from linkgraph.operators.spectral import eigenvector_centrality, hits
 from linkgraph.operators.truss import k_truss, truss_numbers
 from linkgraph.operators.components import strongly_connected_components, weakly_connected_components
@@ -80,4 +81,6 @@ __all__ = [
     "truss_numbers",
     "reciprocity",
     "trustrank",
+    "bowtie_decomposition",
+    "reachable_set",
 ]

@@ -89,3 +89,54 @@ def test_wcc_pointer_jumping_logarithmic_rounds(spark):
 
     with _pytest.raises(ConvergenceError):
         weakly_connected_components(g, max_iter=20, jump=False)
+
+
+def test_bowtie_decomposition_vs_networkx(spark):
+    """Classic bow-tie (IN → CORE cycle → OUT, a tendril, a tube, a
+    disconnected pair) plus random digraphs vs a NetworkX-derived
+    oracle (largest SCC, descendants/ancestors, weak components)."""
+    import random
+
+    import networkx as nx
+
+    from conftest import graph_from_edges
+    from linkgraph.operators.bowtie import bowtie_decomposition
+
+    def oracle(edges):
+        G = nx.DiGraph(edges)
+        sccs = sorted(
+            nx.strongly_connected_components(G), key=lambda c: (-len(c), min(c))
+        )
+        core = sccs[0]
+        fwd = set().union(*[nx.descendants(G, v) for v in core]) | core
+        bwd = set().union(*[nx.ancestors(G, v) for v in core]) | core
+        weak = next(c for c in nx.weakly_connected_components(G) if core & c)
+        return {
+            v: "CORE" if v in core
+            else "IN" if v in bwd
+            else "OUT" if v in fwd
+            else "TENDRIL" if v in weak
+            else "DISCONNECTED"
+            for v in G
+        }
+
+    hand = [(1, 3), (2, 3), (3, 4), (4, 5), (5, 3), (5, 6), (6, 7),
+            (1, 8), (1, 9), (9, 6), (10, 11)]
+    cases = [hand]
+    for seed in (5, 23):
+        rng = random.Random(seed)
+        cases.append(sorted({(rng.randrange(30), rng.randrange(30)) for _ in range(55)}))
+    for edges in cases:
+        g = graph_from_edges(spark, edges, directed=True)
+        got = {r["id"]: r["region"] for r in bowtie_decomposition(g).collect()}
+        assert got == oracle(edges)
+
+
+def test_bowtie_requires_directed(spark):
+    import pytest
+
+    from conftest import graph_from_edges
+    from linkgraph.operators.bowtie import bowtie_decomposition
+
+    with pytest.raises(ValueError):
+        bowtie_decomposition(graph_from_edges(spark, [(1, 2)], directed=False))

@@ -97,3 +97,52 @@ def test_repetition_stats_known_values(spark):
     for r in out:
         assert r["got_ttr"] == r["ttr"]
         assert r["got_dup3"] == r["dup3"]
+
+
+def test_pii_counts_and_redaction_vs_python_re(spark):
+    """Counts and redacted text byte-match Python re on texts with
+    multiple/zero hits per type; pattern order (email → IP → phone)
+    keeps dotted/dashed digit runs from double-matching."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from linkgraph.functions.text import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+        pii_email_count_col,
+        pii_ipv4_count_col,
+        pii_phone_count_col,
+        redact_pii_col,
+    )
+
+    rows = [
+        (1, "mail me at john.doe+x@sub.example.org or call 555-0123 now"),
+        (2, "server 10.0.255.3 and 192.168.1.1 no contact"),
+        (3, "clean text with numbers 12345 and dash 12-34 only"),
+        (4, "two mails a@b.co c.d@e-f.io ip 1.2.3.4 phone 999-1234"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            pii_email_count_col(F.col("text")).alias("e"),
+            pii_ipv4_count_col(F.col("text")).alias("i"),
+            pii_phone_count_col(F.col("text")).alias("p"),
+            redact_pii_col(F.col("text")).alias("red"),
+        ).collect()
+    }
+    for i, t in rows:
+        red = re.sub(PII_EMAIL_RE, "<EMAIL>", t)
+        red = re.sub(PII_IPV4_RE, "<IP>", red)
+        red = re.sub(PII_PHONE_RE, "<PHONE>", red)
+        r = got[i]
+        assert (r["e"], r["i"], r["p"]) == (
+            len(re.findall(PII_EMAIL_RE, t)),
+            len(re.findall(PII_IPV4_RE, t)),
+            len(re.findall(PII_PHONE_RE, t)),
+        )
+        assert r["red"] == red
