@@ -152,6 +152,61 @@ def main() -> None:
             "pages_per_sec": round(n_pages / wall, 1),
         }
 
+    # core-seeded set reachability on the hub-heavy Zipf graph: the
+    # bow-tie decomposition's building block at scale — ONE frontier
+    # BFS seeded by the top-1000 in-degree vertices at once, never a
+    # traversal per seed
+    from linkgraph.operators.bowtie import reachable_set
+
+    if want("reachable_zipf"):
+        zg = random_edges(
+            spark, 2_000_000, 40_000_000, seed=5, zipf_s=1.2, partitions=64
+        ).persist()
+        zm2 = zg.count()
+        seeds = (
+            zg.groupBy("dst")
+            .count()
+            .orderBy(F.desc("count"), F.asc("dst"))
+            .limit(1000)
+            .select(F.col("dst").alias("id"))
+        )
+        t0 = time.time()
+        n_reach = reachable_set(zg.select("src", "dst"), seeds).count()
+        wall = time.time() - t0
+        results["reachable_zipf"] = {
+            "sec": round(wall, 1),
+            "graph": f"{zm2:,} zipf(1.2) edges / 2M vertices",
+            "seeds": 1000,
+            "reached": n_reach,
+            "edges_per_sec": round(zm2 / wall, 1),
+        }
+        zg.unpersist()
+
+    # benchmark decontamination over the 2M-page scratch table: the
+    # page text as the training corpus, a hash-picked 1/1000 slice as
+    # the eval set — shingle explodes are map-side, the eval 5-gram
+    # set is broadcast, the only shuffle keys on doc id
+    from linkgraph.operators.dedup import contamination
+
+    if want("contamination_pages"):
+        pages2 = spark.read.parquet(PAGES_BIG).select(
+            F.col("url").alias("doc_id"), F.col("text")
+        )
+        is_eval = F.abs(F.xxhash64("doc_id")) % 1000 == 0
+        n_docs = pages2.count()
+        t0 = time.time()
+        out = contamination(
+            pages2.filter(~is_eval), pages2.filter(is_eval), k=5, threshold=0.5
+        )
+        n_flagged = out.filter("flagged").count()
+        wall = time.time() - t0
+        results["contamination_pages"] = {
+            "sec": round(wall, 1),
+            "docs": n_docs,
+            "flagged": n_flagged,
+            "docs_per_sec": round(n_docs / wall, 1),
+        }
+
     # best-over-runs: hypervisor-neighbor jitter swings identical runs
     # up to 4x here; keep each operator's fastest observed wall
     best_path = os.path.join(REPO, "BENCH", "scratch", "bigops_best.json")
@@ -204,6 +259,15 @@ Notes:
 - anchor_stats runs on the 2M-page scratch table (the extraction
   bench input): one vectorized (href, anchor) UDF + explode before
   any shuffle, then two map-side-combined aggregations.
+- reachable_zipf is the bow-tie decomposition's building block: one
+  frontier BFS seeded by the top-1000 in-degree hubs AT ONCE over the
+  Zipf(1.2) graph — per-round cost is one co-partitioned
+  frontier⋈edges join + anti-join against the visited set, never a
+  traversal per seed.
+- contamination_pages treats the 2M page texts as the training corpus
+  and a hash-picked 1/1000 slice as the eval set: both 5-gram shingle
+  explodes are map-side, the distinct eval-gram set is broadcast, and
+  the only shuffle keys on doc id (the per-doc counts).
 
 Generated by scripts/big_ops_bench.py.
 """
