@@ -65,6 +65,7 @@ from linkgraph.operators.centrality import (
 from linkgraph.operators.lpa import modularity
 from linkgraph.operators.kcore import core_numbers, k_core
 from linkgraph.operators.linkpred import (
+    average_neighbor_degree,
     graph_summary,
     link_prediction_scores,
     reciprocity,
@@ -80,6 +81,7 @@ from linkgraph.operators.pagerank import (
 from linkgraph.operators.spectral import (
     eigenvector_centrality_fixed_iterations,
     hits_fixed_iterations,
+    katz_centrality_fixed_iterations,
 )
 from linkgraph.operators.similarity import (
     ann_cosine_topk,
@@ -337,6 +339,27 @@ x{i} AS MATERIALIZED (SELECT id, u / (SELECT sqrt(sum(u * u)) FROM u{i}) AS x
          FROM u{i})"""
         )
     return pre + "".join(its) + f"\nSELECT id, round(x, 8) AS centrality FROM x{k}"
+
+
+def _katz_sql(k: int = 5, alpha: float = 0.1, beta: float = 1.0) -> str:
+    """Unrolled k-iteration Katz centrality (the NetworkX x'=αA'x+β
+    update from x=0, end-normalized L2) over supp_dir (weight 1)."""
+    pre = f"""
+WITH e AS MATERIALIZED ({SUPP_DIR}),
+verts AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+x0 AS (SELECT id, 0.0 AS x FROM verts)"""
+    its = []
+    for i in range(1, k + 1):
+        its.append(f""",
+c{i} AS (SELECT e.dst AS id, sum(x.x) AS s
+         FROM x{i-1} x JOIN e ON x.id = e.src GROUP BY 1),
+x{i} AS MATERIALIZED (SELECT v.id, {alpha} * coalesce(c.s, 0.0) + {beta} AS x
+         FROM verts v LEFT JOIN c{i} c ON v.id = c.id)"""
+        )
+    return pre + "".join(its) + (
+        f"\nSELECT id, round(x / (SELECT sqrt(sum(x * x)) FROM x{k}), 8)"
+        f" AS centrality FROM x{k}"
+    )
 
 
 def _walks_sql(length: int = 4, walks_per_node: int = 2, seed: int = 7) -> str:
@@ -1234,6 +1257,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id", F.round("centrality", 8).alias("centrality")
         )
     )
+    q["katz5_suppdir"] = lambda s, d: (
+        katz_centrality_fixed_iterations(_supp_dir(s, d), k=5).select(
+            "id", F.round("centrality", 8).alias("centrality")
+        )
+    )
+
+    # --- degree mixing: mean out-degree of each vertex's successors
+    # (networkx.average_neighbor_degree, source=out target=out) —
+    # one degree agg + one edge⋈degree join + one groupBy
+    q["avg_nbr_degree_suppdir"] = lambda s, d: (
+        average_neighbor_degree(_supp_dir(s, d)).select(
+            "id", F.round("avg_nbr_degree", 9).alias("avg_nbr_degree")
+        )
+    )
 
     # --- multigraph edge identity (§2.1/§2.2: multigraph.rs:78-90)
     q["multigraph_edge_ids"] = lambda s, d: _multi_graph(s, d).edges
@@ -1913,6 +1950,17 @@ FROM v LEFT JOIN mutual m ON v.id = m.v GROUP BY v.id
         "pagerank5_personalized": _ppr_sql(5),
         "hits5_cust_supp": _hits_sql(5),
         "eigenvector5_suppco": _eigen_sql(5),
+        "katz5_suppdir": _katz_sql(5),
+        "avg_nbr_degree_suppdir": f"""
+WITH e AS MATERIALIZED ({SUPP_DIR}),
+verts AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+outdeg AS MATERIALIZED (
+  SELECT v.id, count(e.src) AS d FROM verts v
+  LEFT JOIN e ON e.src = v.id GROUP BY 1),
+nb AS (SELECT e.src AS id, avg(d.d) AS a
+       FROM e JOIN outdeg d ON e.dst = d.id GROUP BY 1)
+SELECT v.id, round(coalesce(nb.a, 0.0), 9) AS avg_nbr_degree
+FROM verts v LEFT JOIN nb ON v.id = nb.id""",
         # harmonic: the closeness_hierarchy recursive-CTE walk with
         # sum(1/d) instead of (r-1)/Σd
         "harmonic_hierarchy": f"""

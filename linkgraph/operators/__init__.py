@@ -8,12 +8,17 @@ from linkgraph.operators.centrality import (
     multi_source_shortest_paths,
 )
 from linkgraph.operators.linkpred import (
+    average_neighbor_degree,
     graph_summary,
     link_prediction_scores,
     reciprocity,
 )
 from linkgraph.operators.bowtie import bowtie_decomposition, reachable_set
-from linkgraph.operators.spectral import eigenvector_centrality, hits
+from linkgraph.operators.spectral import (
+    eigenvector_centrality,
+    hits,
+    katz_centrality,
+)
 from linkgraph.operators.truss import k_truss, truss_numbers
 from linkgraph.operators.components import strongly_connected_components, weakly_connected_components
 from linkgraph.operators.kcore import core_numbers, k_core

@@ -203,3 +203,64 @@ def reciprocity(graph: LinkGraph) -> DataFrame:
         [(n_edges, n_mutual, (n_mutual / n_edges) if n_edges else 0.0)],
         "n_edges long, n_mutual long, reciprocity double",
     )
+
+
+def average_neighbor_degree(
+    graph: LinkGraph, source: str = "out", target: str = "out"
+) -> DataFrame:
+    """DataFrame(id, avg_nbr_degree): per-vertex mean degree of its
+    neighborhood — ``networkx.average_neighbor_degree`` semantics.
+
+    Directed graphs pick the neighborhood by ``source`` and the
+    neighbors' degree by ``target``, each one of "out" / "in" /
+    "in+out" (the NetworkX parameter surface); undirected graphs
+    ignore both and use the symmetric adjacency on both sides.
+    Multi-edges count with multiplicity, as in NetworkX; vertices
+    with an empty neighborhood report 0.0.
+
+    Scale shape: one degree aggregation (map-side combined), one
+    edge⋈degree hash join keyed on the neighbor id, one groupBy on
+    the vertex id — no driver loop, no per-vertex state beyond the
+    two V-row frames.
+    """
+
+    def _pairs(direction: str) -> DataFrame:
+        e = graph.edges.select("src", "dst")
+        if not graph.directed:
+            return graph.sym_edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        if direction == "out":
+            return e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        if direction == "in":
+            return e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+        if direction == "in+out":
+            return e.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
+                e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+            )
+        raise ValueError(f"unknown direction {direction!r}")
+
+    if not graph.directed:
+        deg = graph.degrees().select(F.col("id").alias("v"), F.col("degree").alias("d"))
+    elif target == "out":
+        deg = graph.out_degrees().select(
+            F.col("id").alias("v"), F.col("out_degree").alias("d")
+        )
+    elif target == "in":
+        deg = graph.in_degrees().select(
+            F.col("id").alias("v"), F.col("in_degree").alias("d")
+        )
+    elif target == "in+out":
+        deg = graph.degrees().select(F.col("id").alias("v"), F.col("degree").alias("d"))
+    else:
+        raise ValueError(f"unknown direction {target!r}")
+
+    nbr_avg = (
+        _pairs(source)
+        .join(deg, "v")
+        .groupBy(F.col("u").alias("id"))
+        .agg(F.avg("d").alias("a"))
+    )
+    return (
+        graph.vertices.select("id")
+        .join(nbr_avg, "id", "left")
+        .select("id", F.coalesce("a", F.lit(0.0)).alias("avg_nbr_degree"))
+    )

@@ -248,3 +248,100 @@ def eigenvector_centrality_fixed_iterations(
     """Exactly-k-iteration variant for the SQL oracle."""
     res = eigenvector_centrality(graph, tol=-1.0, max_iter=k, truncate_every=1, **kw)
     return res.state
+
+
+def katz_centrality(
+    graph: LinkGraph,
+    alpha: float = 0.1,
+    beta: float = 1.0,
+    tol: float = 1e-6,
+    max_iter: int = 1000,
+    weighted: bool = True,
+    weight_expr: Column | str | None = None,
+    truncate_every: int = 3,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
+    on_exhaustion: str = "raise",
+) -> IterationResult:
+    """Katz centrality: IterationResult whose state is
+    DataFrame(id, centrality), L2-normalized at the end.
+
+    Exactly ``networkx.katz_centrality``'s pure-Python iteration:
+    start from x = 0, per round x'(v) = α·Σ_{u→v} w(u,v)·x(u) + β,
+    stop when Σ|x'-x| < n·tol, then scale by 1/√Σx² once at return
+    (NetworkX's ``normalized=True``). Exhausting ``max_iter`` raises
+    (PowerIterationFailedConvergence parity). Directed graphs sum
+    over in-edges; undirected graphs symmetrize. Convergence requires
+    α < 1/λ_max — the caller's contract, as in NetworkX.
+
+    Physical plan per iteration is the PageRank SpMV shape: the edge
+    operand is cached hash-partitioned on ``src`` and never
+    re-shuffles; only the V-row score frame moves, and the final
+    normalization constant rides as a 1-row in-plan broadcast.
+    """
+    spark = graph.edges.sparkSession
+    vertices = graph.vertices.select("id")
+    n = vertices.count()
+    if n == 0:
+        return IterationResult(
+            state=spark.createDataFrame([], "id long, centrality double")
+        )
+    w = _weight_col(weighted, weight_expr)
+    e = graph.sym_edges.select("src", "dst", w.alias("w"))
+    e_by_src = stationary(e, "src")
+
+    init = truncate_lineage(vertices.select("id", F.lit(0.0).alias("x")))
+    fixed_iters = tol < 0
+
+    def step(state: DataFrame, i: int) -> tuple[DataFrame, float]:
+        xs = state.select("id", "x")
+        raw = (
+            xs.join(e_by_src, xs.id == e_by_src.src)
+            .select(F.col("dst").alias("id"), (F.col("x") * F.col("w")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("cs"))
+        )
+        new = (
+            state.select("id", F.col("x").alias("_old"))
+            .join(raw, "id", "left")
+            .select(
+                "id",
+                "_old",
+                (
+                    F.lit(float(alpha)) * F.coalesce("cs", F.lit(0.0))
+                    + F.lit(float(beta))
+                ).alias("x"),
+            )
+        )
+        if fixed_iters:
+            return new, float("inf")
+        new = new.persist()
+        delta = new.agg(F.sum(F.abs(F.col("x") - F.col("_old")))).collect()[0][0]
+        state.unpersist()
+        return new, float(delta)
+
+    res = iterate(
+        init,
+        step,
+        tol=n * tol,
+        max_iter=max_iter,
+        truncate_every=truncate_every,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+        spark=spark,
+        on_exhaustion="ok" if fixed_iters else on_exhaustion,
+    )
+    nrm = res.state.agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm"))
+    res.state = (
+        res.state.crossJoin(F.broadcast(nrm))
+        .select("id", (F.col("x") / F.col("nrm")).alias("centrality"))
+    )
+    e_by_src.unpersist()
+    return res
+
+
+def katz_centrality_fixed_iterations(graph: LinkGraph, k: int, **kw) -> DataFrame:
+    """Exactly-k-iteration Katz (no convergence action) — the
+    SQL-oracle-comparable variant, like pagerank_fixed_iterations."""
+    res = katz_centrality(graph, tol=-1.0, max_iter=k, truncate_every=1, **kw)
+    return res.state

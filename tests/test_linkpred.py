@@ -154,3 +154,38 @@ def test_reciprocity_requires_directed(spark):
     g = graph_from_edges(spark, [(1, 2)], directed=False)
     with pytest.raises(ValueError):
         reciprocity(g)
+
+
+def _rand_digraph(seed, n=20, m=60):
+    rng = random.Random(seed)
+    pairs = {(rng.randrange(n), rng.randrange(n)) for _ in range(m)}
+    return sorted((a, b) for a, b in pairs if a != b)
+
+
+def test_average_neighbor_degree_directed(spark):
+    from linkgraph.operators.linkpred import average_neighbor_degree
+
+    edges = _rand_digraph(31)
+    g = graph_from_edges(spark, edges, directed=True)
+    G = nx.DiGraph(edges)
+    for source, target in [("out", "out"), ("in", "in"),
+                           ("out", "in"), ("in+out", "in+out")]:
+        got = {r["id"]: r["avg_nbr_degree"]
+               for r in average_neighbor_degree(g, source, target).collect()}
+        want = nx.average_neighbor_degree(G, source=source, target=target)
+        assert set(got) == set(want)
+        for v, x in want.items():
+            assert abs(got[v] - x) < 1e-12, (source, target, v, got[v], x)
+
+
+def test_average_neighbor_degree_undirected(spark):
+    from linkgraph.operators.linkpred import average_neighbor_degree
+
+    edges = [(a, b) for a, b in _rand_digraph(8) if a < b]
+    g = graph_from_edges(spark, edges, directed=False)
+    got = {r["id"]: r["avg_nbr_degree"]
+           for r in average_neighbor_degree(g).collect()}
+    want = nx.average_neighbor_degree(nx.Graph(edges))
+    assert set(got) == set(want)
+    for v, x in want.items():
+        assert abs(got[v] - x) < 1e-12

@@ -18,6 +18,7 @@ import pytest
 from conftest import graph_from_edges
 from linkgraph.operators.spectral import (
     eigenvector_centrality,
+    katz_centrality,
     eigenvector_centrality_fixed_iterations,
     hits,
     hits_fixed_iterations,
@@ -156,3 +157,41 @@ def test_spectral_empty_graph(spark):
     g = LinkGraph(e, directed=True)
     assert hits(g).state.count() == 0
     assert eigenvector_centrality(g).state.count() == 0
+
+
+def test_katz_vs_networkx_directed(spark):
+    edges = _rand_edges(21)
+    g = graph_from_edges(spark, edges, directed=True)
+    got = {r["id"]: r["centrality"] for r in
+           katz_centrality(g, alpha=0.05, tol=1e-10,
+                           max_iter=2000).state.collect()}
+    G = nx.DiGraph()
+    for a, b, w in edges:
+        G.add_edge(a, b, weight=G.edges[a, b]["weight"] + w if G.has_edge(a, b) else w)
+    want = nx.katz_centrality(G, alpha=0.05, tol=1e-10, max_iter=2000,
+                              weight="weight")
+    assert set(got) == set(want)
+    for v, x in want.items():
+        assert abs(got[v] - x) < 1e-6, (v, got[v], x)
+
+
+def test_katz_vs_networkx_undirected(spark):
+    edges = _rand_edges(5, canonical=True)
+    g = graph_from_edges(spark, edges, directed=False)
+    got = {r["id"]: r["centrality"] for r in
+           katz_centrality(g, alpha=0.04, beta=0.7, tol=1e-10,
+                           max_iter=2000).state.collect()}
+    G = nx.Graph()
+    G.add_weighted_edges_from(edges)
+    want = nx.katz_centrality(G, alpha=0.04, beta=0.7, tol=1e-10,
+                              max_iter=2000, weight="weight")
+    for v, x in want.items():
+        assert abs(got[v] - x) < 1e-6, (v, got[v], x)
+
+
+def test_katz_exhaustion_raises(spark):
+    # alpha beyond 1/λ_max diverges — the loop must fail loudly
+    edges = _rand_edges(7)
+    g = graph_from_edges(spark, edges, directed=True)
+    with pytest.raises(ConvergenceError):
+        katz_centrality(g, alpha=0.05, tol=1e-15, max_iter=2)
