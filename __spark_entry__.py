@@ -40,6 +40,11 @@ from linkgraph.operators.components import (
     strongly_connected_components,
     weakly_connected_components,
 )
+from linkgraph.operators.packing import (
+    chunk_documents,
+    mixture_weights,
+    pack_sequences,
+)
 from linkgraph.operators.sampling import hash_split, stratified_sample
 from linkgraph.operators.dedup import (
     MERSENNE31,
@@ -999,6 +1004,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n_docs"))
+    )
+
+    # --- corpus assembly: token-window chunking, causal-LM sequence
+    # packing (concatenate-in-id-order, cut every `capacity` tokens —
+    # exact integer layout, reproducible across engines), and
+    # temperature mixture weights. All zero-Python column algebra;
+    # the packing prefix sum is the bucketed distributed cumsum, not
+    # a global window.
+    q["corpus_chunks"] = lambda s, d: chunk_documents(
+        _docs(s, d), chunk_tokens=64, stride=48
+    )
+    q["corpus_pack"] = lambda s, d: pack_sequences(_docs(s, d), capacity=256)
+    q["corpus_mixture_weights"] = lambda s, d: mixture_weights(
+        _docs(s, d), "source", alpha=0.5
+    ).select(
+        "group", "n_docs", "n_tokens", F.round("weight", 9).alias("weight")
     )
 
     # --- similarity search
@@ -2405,6 +2426,42 @@ SELECT lang,
        count(*) AS n_docs
 FROM b GROUP BY 1, 2
 """,
+        "corpus_chunks": f"""
+WITH d AS ({DOCS}),
+t AS (SELECT doc_id, {toks} AS tk FROM d),
+n AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM t WHERE len(tk) > 0),
+e AS (SELECT doc_id, tk, n,
+             unnest(generate_series(0, (n - 1) // 48)) AS chunk_no FROM n)
+SELECT doc_id, chunk_no,
+       least(64, n - chunk_no * 48) AS chunk_tokens,
+       array_to_string(tk[chunk_no * 48 + 1 : chunk_no * 48 + 64], ' ')
+         AS chunk_text
+FROM e""",
+        "corpus_pack": f"""
+WITH d AS ({DOCS}),
+t AS (SELECT doc_id, CAST(len({toks}) AS BIGINT) AS tc FROM d),
+c AS (SELECT doc_id, tc,
+             sum(tc) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cend
+      FROM t),
+s AS (SELECT doc_id, tc, cend - tc AS cstart, cend FROM c WHERE tc > 0),
+e AS (SELECT doc_id, tc, cstart,
+             unnest(generate_series(CAST(cstart // 256 AS BIGINT),
+                                    CAST((cend - 1) // 256 AS BIGINT))) AS seq_id
+      FROM s)
+SELECT doc_id, seq_id,
+       greatest(0, seq_id * 256 - cstart) AS doc_tok_start,
+       least(tc, (seq_id + 1) * 256 - cstart) AS doc_tok_end,
+       greatest(0, cstart - seq_id * 256) AS seq_off
+FROM e""",
+        "corpus_mixture_weights": f"""
+WITH d AS ({DOCS}),
+g AS MATERIALIZED (SELECT source AS "group", count(*) AS n_docs,
+       sum(CAST(len({toks}) AS BIGINT)) AS n_tokens FROM d GROUP BY 1)
+SELECT "group", n_docs, n_tokens,
+       round(pow(CAST(n_tokens AS DOUBLE), 0.5)
+             / (SELECT sum(pow(CAST(n_tokens AS DOUBLE), 0.5)) FROM g), 9)
+         AS weight
+FROM g""",
         "text_stats": f"""
 WITH docs AS ({DOCS}),
 base AS (SELECT doc_id, text, {toks} AS t FROM docs),

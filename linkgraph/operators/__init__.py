@@ -42,6 +42,11 @@ from linkgraph.operators.traversal import (
     reconstruct_path,
     shortest_paths,
 )
+from linkgraph.operators.packing import (
+    chunk_documents,
+    mixture_weights,
+    pack_sequences,
+)
 from linkgraph.operators.triangles import clustering_coefficients, triangle_counts
 from linkgraph.operators.walks import node2vec_walks, random_walks
 
@@ -88,4 +93,9 @@ __all__ = [
     "trustrank",
     "bowtie_decomposition",
     "reachable_set",
+    "katz_centrality",
+    "average_neighbor_degree",
+    "chunk_documents",
+    "pack_sequences",
+    "mixture_weights",
 ]
