@@ -1256,6 +1256,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bowtie_suppco"] = lambda s, d: bowtie_decomposition(_bowtie_graph(s, d))
 
+    # --- co-citation / bibliographic coupling: the wedge self-join
+    # keyed on the shared center; min_count=2 keeps the signal pairs
+    from linkgraph.operators.linkpred import cocitation_counts
+
+    q["cocitation_suppdir"] = lambda s, d: cocitation_counts(
+        _supp_dir(s, d), mode="cocitation", min_count=2
+    )
+    q["coupling_suppdir"] = lambda s, d: cocitation_counts(
+        _supp_dir(s, d), mode="coupling", min_count=2
+    )
+
+    # --- topological generations over the order DAG (Kahn layering;
+    # one anti-join peel per depth level, cycle → loud failure)
+    from linkgraph.operators.dag import topological_generations
+
+    q["topo_generations_dag"] = lambda s, d: topological_generations(_sssp_dag(s, d))
+
     # --- reciprocity: mutual-link fraction of the directed supplier
     # graph — one distinct + one reversed-key semi-join, no state
     q["reciprocity_suppdir"] = lambda s, d: reciprocity(_supp_dir(s, d)).select(
@@ -2094,6 +2111,27 @@ SELECT v.id,
        ELSE 'DISCONNECTED' END AS region
 FROM verts v
 """,
+        "cocitation_suppdir": f"""
+WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({SUPP_DIR}))
+SELECT a.dst AS u, b.dst AS v, count(*) AS common
+FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+GROUP BY 1, 2 HAVING count(*) >= 2""",
+        "coupling_suppdir": f"""
+WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({SUPP_DIR}))
+SELECT a.src AS u, b.src AS v, count(*) AS common
+FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+GROUP BY 1, 2 HAVING count(*) >= 2""",
+        "topo_generations_dag": f"""
+WITH RECURSIVE dag AS (SELECT DISTINCT src, dst FROM ({SSSP_DAG})),
+walk(id, g) AS (
+  SELECT s.id, 0 FROM (
+    SELECT src AS id FROM dag
+    EXCEPT SELECT dst FROM dag
+  ) s
+  UNION ALL
+  SELECT e.dst, walk.g + 1 FROM walk JOIN dag e ON walk.id = e.src
+)
+SELECT id, CAST(max(g) AS BIGINT) AS generation FROM walk GROUP BY id""",
         "reciprocity_suppdir": f"""
 WITH e AS (SELECT DISTINCT src, dst FROM ({SUPP_DIR})),
 n AS (SELECT count(*) AS m FROM e),

@@ -7,8 +7,10 @@ from linkgraph.operators.centrality import (
     multi_source_bfs,
     multi_source_shortest_paths,
 )
+from linkgraph.operators.dag import topological_generations
 from linkgraph.operators.linkpred import (
     average_neighbor_degree,
+    cocitation_counts,
     graph_summary,
     link_prediction_scores,
     reciprocity,
@@ -98,4 +100,6 @@ __all__ = [
     "chunk_documents",
     "pack_sequences",
     "mixture_weights",
+    "topological_generations",
+    "cocitation_counts",
 ]

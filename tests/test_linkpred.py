@@ -189,3 +189,43 @@ def test_average_neighbor_degree_undirected(spark):
     assert set(got) == set(want)
     for v, x in want.items():
         assert abs(got[v] - x) < 1e-12
+
+
+def test_cocitation_and_coupling(spark):
+    from linkgraph.operators.linkpred import cocitation_counts
+
+    edges = _rand_digraph(44, n=15, m=70)
+    g = graph_from_edges(spark, edges, directed=True)
+    adj_out, adj_in = {}, {}
+    for a, b in edges:
+        adj_out.setdefault(a, set()).add(b)
+        adj_in.setdefault(b, set()).add(a)
+    verts = sorted({x for e in edges for x in e})
+
+    def brute(nbrs):
+        want = {}
+        for i, u in enumerate(verts):
+            for v in verts[i + 1:]:
+                c = len(nbrs.get(u, set()) & nbrs.get(v, set()))
+                if c:
+                    want[(u, v)] = c
+        return want
+
+    # cocitation: shared in-neighbors; coupling: shared out-neighbors
+    got = {(r["u"], r["v"]): r["common"]
+           for r in cocitation_counts(g, "cocitation").collect()}
+    assert got == brute(adj_in)
+    got = {(r["u"], r["v"]): r["common"]
+           for r in cocitation_counts(g, "coupling").collect()}
+    assert got == brute(adj_out)
+
+
+def test_cocitation_center_degree_cap(spark):
+    from linkgraph.operators.linkpred import cocitation_counts
+
+    # hub 0 links 1..5 (degree 5 > cap); page 9 links 1,2 only
+    edges = [(0, i) for i in range(1, 6)] + [(9, 1), (9, 2)]
+    g = graph_from_edges(spark, edges, directed=True)
+    got = {(r["u"], r["v"]): r["common"]
+           for r in cocitation_counts(g, max_center_degree=3).collect()}
+    assert got == {(1, 2): 1}
