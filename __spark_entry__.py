@@ -346,6 +346,57 @@ x{i} AS MATERIALIZED (SELECT id, u / (SELECT sqrt(sum(u * u)) FROM u{i}) AS x
     return pre + "".join(its) + f"\nSELECT id, round(x, 8) AS centrality FROM x{k}"
 
 
+def _url_sql() -> str:
+    """Mirror of the url_canonicalize query: the same synthetic URL
+    construction and the same Java∩RE2-subset regex chain
+    (functions/url.py), evaluated by DuckDB."""
+    from linkgraph.functions.url import MULTI_SUFFIXES
+
+    sufs = ", ".join(f"'{s}'" for s in MULTI_SUFFIXES)
+    return f"""
+WITH d AS (SELECT doc_id, source FROM documents),
+u AS MATERIALIZED (SELECT doc_id,
+  'HTTP' || CASE WHEN doc_id % 3 = 0 THEN 'S' ELSE '' END || '://' ||
+  CASE WHEN doc_id % 9 = 0 THEN 'User@' ELSE '' END ||
+  'WWW.' || source || CAST(doc_id % 97 AS VARCHAR) || '.' ||
+  CASE WHEN doc_id % 4 = 0 THEN 'co.uk' WHEN doc_id % 4 = 1 THEN 'com'
+       WHEN doc_id % 4 = 2 THEN 'org.au' ELSE 'io' END ||
+  CASE WHEN doc_id % 5 = 0 THEN ':443' WHEN doc_id % 5 = 1 THEN ':80'
+       WHEN doc_id % 5 = 2 THEN ':8080' ELSE '' END ||
+  CASE WHEN doc_id % 11 = 0 THEN '/'
+       ELSE '/A/b' || CAST(doc_id % 7 AS VARCHAR)
+            || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+            || CASE WHEN doc_id % 6 = 0 THEN '?q=1&x=2' ELSE '' END END ||
+  CASE WHEN doc_id % 8 = 0 THEN '#Frag' ELSE '' END AS url
+  FROM d),
+p AS MATERIALIZED (SELECT doc_id, url,
+  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+  regexp_replace(lower(regexp_extract(url,
+    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^[^@]*@', '') AS auth,
+  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+  FROM u),
+h AS MATERIALIZED (SELECT doc_id, url, scheme, rest,
+  regexp_replace(auth, ':[0-9]+$', '') AS host,
+  CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+       WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+       ELSE auth END AS hostp
+  FROM p),
+lab AS (SELECT *, string_split(host, '.') AS labels,
+        len(string_split(host, '.')) AS nl FROM h)
+SELECT doc_id, url,
+  CASE WHEN scheme = '' THEN url
+       ELSE scheme || '://' || hostp ||
+            (CASE WHEN rest = '/' THEN '' ELSE rest END) END AS url_norm,
+  host,
+  CASE WHEN nl <= 2 THEN host
+       WHEN array_to_string(labels[nl-1:nl], '.') IN ({sufs}) AND nl >= 3
+            THEN array_to_string(labels[nl-2:nl], '.')
+       ELSE array_to_string(labels[nl-1:nl], '.') END AS domain,
+  CAST(len(list_filter(string_split(regexp_replace(rest, '\\?.*$', ''), '/'),
+       x -> x <> '')) AS BIGINT) AS path_depth
+FROM lab"""
+
+
 def _katz_sql(k: int = 5, alpha: float = 0.1, beta: float = 1.0) -> str:
     """Unrolled k-iteration Katz centrality (the NetworkX x'=αA'x+β
     update from x=0, end-normalized L2) over supp_dir (weight 1)."""
@@ -1005,6 +1056,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n_docs"))
     )
+
+    # --- URL canonicalization over a deterministic synthetic URL
+    # table (documents has no URL column; the residue classes cover
+    # every branch: scheme/host case, userinfo, default + nonstandard
+    # ports, multi-label public suffixes, bare "/", query, fragment)
+    def _url_rows(s, d):
+        from linkgraph.functions.url import (
+            canonical_host_col,
+            canonicalize_url_col,
+            path_depth_col,
+            registrable_domain_col,
+        )
+
+        doc = _read(s, d, "documents")
+        m = F.col("doc_id")
+        url = F.concat(
+            F.lit("HTTP"),
+            F.when(m % 3 == 0, F.lit("S")).otherwise(F.lit("")),
+            F.lit("://"),
+            F.when(m % 9 == 0, F.lit("User@")).otherwise(F.lit("")),
+            F.lit("WWW."),
+            F.col("source"),
+            (m % 97).cast("string"),
+            F.lit("."),
+            F.when(m % 4 == 0, F.lit("co.uk"))
+            .when(m % 4 == 1, F.lit("com"))
+            .when(m % 4 == 2, F.lit("org.au"))
+            .otherwise(F.lit("io")),
+            F.when(m % 5 == 0, F.lit(":443"))
+            .when(m % 5 == 1, F.lit(":80"))
+            .when(m % 5 == 2, F.lit(":8080"))
+            .otherwise(F.lit("")),
+            F.when(m % 11 == 0, F.lit("/")).otherwise(
+                F.concat(
+                    F.lit("/A/b"),
+                    (m % 7).cast("string"),
+                    F.when(m % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+                    F.when(m % 6 == 0, F.lit("?q=1&x=2")).otherwise(F.lit("")),
+                )
+            ),
+            F.when(m % 8 == 0, F.lit("#Frag")).otherwise(F.lit("")),
+        )
+        t = doc.select("doc_id", url.alias("url"))
+        return t.select(
+            "doc_id",
+            "url",
+            canonicalize_url_col(F.col("url")).alias("url_norm"),
+            canonical_host_col(F.col("url")).alias("host"),
+            registrable_domain_col(F.col("url")).alias("domain"),
+            path_depth_col(F.col("url")).alias("path_depth"),
+        )
+
+    q["url_canonicalize"] = _url_rows
 
     # --- corpus assembly: token-window chunking, causal-LM sequence
     # packing (concatenate-in-id-order, cut every `capacity` tokens —
@@ -2464,6 +2568,7 @@ SELECT lang,
        count(*) AS n_docs
 FROM b GROUP BY 1, 2
 """,
+        "url_canonicalize": _url_sql(),
         "corpus_chunks": f"""
 WITH d AS ({DOCS}),
 t AS (SELECT doc_id, {toks} AS tk FROM d),
