@@ -1057,6 +1057,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .agg(F.count("*").alias("n_docs"))
     )
 
+    # --- cross-document repeated-span signal (_docs includes the
+    # deterministic id+100000 duplicates, so real shared 5-grams
+    # exist); one shingle groupBy + semi-join, no pairwise expansion
+    from linkgraph.operators.dedup import duplicated_ngram_stats
+
+    q["dup_ngram_stats"] = lambda s, d: duplicated_ngram_stats(
+        _docs(s, d), "doc_id", "text", k=5
+    ).select(
+        F.col("id").alias("doc_id"),
+        "n_ngrams",
+        "dup_ngrams",
+        F.round("dup_frac", 6).alias("dup_frac"),
+    )
+
     # --- URL canonicalization over a deterministic synthetic URL
     # table (documents has no URL column; the residue classes cover
     # every branch: scheme/host case, userinfo, default + nonstandard
@@ -2568,6 +2582,28 @@ SELECT lang,
        count(*) AS n_docs
 FROM b GROUP BY 1, 2
 """,
+        "dup_ngram_stats": f"""
+WITH d AS ({DOCS}),
+base AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+         FROM d),
+sh AS MATERIALIZED (SELECT DISTINCT doc_id,
+       t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+         AS g
+       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+             FROM base WHERE len(t) >= 5)),
+shared AS (SELECT g FROM sh GROUP BY 1 HAVING count(*) >= 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+hits AS (SELECT s.doc_id, count(*) AS c FROM sh s JOIN shared u ON s.g = u.g
+         GROUP BY 1)
+SELECT i.doc_id,
+       CAST(coalesce(s.n, 0) AS BIGINT) AS n_ngrams,
+       CAST(coalesce(h.c, 0) AS BIGINT) AS dup_ngrams,
+       round(CASE WHEN coalesce(s.n, 0) > 0
+                  THEN coalesce(h.c, 0) * 1.0 / s.n ELSE 0.0 END, 6)
+         AS dup_frac
+FROM (SELECT DISTINCT doc_id FROM d) i
+LEFT JOIN sizes s ON i.doc_id = s.doc_id
+LEFT JOIN hits h ON i.doc_id = h.doc_id""",
         "url_canonicalize": _url_sql(),
         "corpus_chunks": f"""
 WITH d AS ({DOCS}),

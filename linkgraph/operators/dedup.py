@@ -332,3 +332,54 @@ def contamination(
             ).alias("flagged"),
         )
     )
+
+
+def duplicated_ngram_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Cross-document exact-substring duplication signal:
+    (id, n_ngrams, dup_ngrams, dup_frac) where a doc's distinct token
+    k-gram counts as duplicated when the SAME k-gram occurs in at
+    least one other document — the corpus-level repeated-span measure
+    behind suffix-array training-data dedup (Lee et al.), computed at
+    k-gram granularity. Docs shorter than k tokens report 0/0/0.0.
+
+    Scale shape: one map-side shingle explode, one groupBy keyed on
+    the k-gram string (uniformly distributed — boilerplate k-grams
+    are hot VALUES but partial aggregation combines them map-side),
+    one semi-join back and one per-doc count. No pairwise expansion
+    anywhere: cost is linear in total shingle volume regardless of
+    how many documents share a span.
+    """
+    sh = shingles(df, id_col, text_col, k)
+    shared = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("shingle")
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_ngrams"))
+    hits = (
+        sh.join(shared, "shingle", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("dup_ngrams"))
+    )
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    return (
+        ids.join(sizes, "id", "left")
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("dup_ngrams", F.lit(0)).alias("dup_ngrams"),
+            F.when(
+                F.coalesce("n_ngrams", F.lit(0)) > 0,
+                F.coalesce("dup_ngrams", F.lit(0)) / F.col("n_ngrams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )

@@ -204,3 +204,33 @@ def test_contamination_no_broadcast_same_result(spark):
         map(tuple, contamination(docs, bench, k=3, broadcast_benchmark=False).collect())
     )
     assert a == b and len(a) == 15
+
+
+def test_duplicated_ngram_stats(spark):
+    from linkgraph.operators.dedup import duplicated_ngram_stats
+
+    docs = [
+        (1, "a b c d e f"),        # shares 'a b c' with doc 2
+        (2, "a b c x y"),
+        (3, "q r s t u"),          # unique
+        (4, "too short"),          # < k tokens
+        (5, "a b c d e f"),        # exact dup of 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["id"]: (r["n_ngrams"], r["dup_ngrams"], r["dup_frac"])
+           for r in duplicated_ngram_stats(df, k=3).collect()}
+    # brute force
+    import itertools
+    grams = {}
+    for i, t in docs:
+        toks = t.split()
+        gs = {" ".join(toks[j:j+3]) for j in range(len(toks) - 2)}
+        grams[i] = gs
+    for i, t in docs:
+        n = len(grams[i])
+        dup = sum(
+            1 for g in grams[i]
+            if any(g in grams[j] for j, _ in docs if j != i)
+        )
+        want = (n, dup, dup / n if n else 0.0)
+        assert got[i] == want, (i, got[i], want)
