@@ -1,4 +1,14 @@
 from linkgraph.sources.edges import anchor_text_stats, build_edges, build_host_edges, tpch_edges
+from linkgraph.sources.io import load_graph, save_graph
 from linkgraph.sources.pages import generate_pages_local, pages_dataframe
 
-__all__ = ["anchor_text_stats", "build_edges", "build_host_edges", "tpch_edges", "generate_pages_local", "pages_dataframe"]
+__all__ = [
+    "anchor_text_stats",
+    "build_edges",
+    "build_host_edges",
+    "tpch_edges",
+    "generate_pages_local",
+    "pages_dataframe",
+    "save_graph",
+    "load_graph",
+]
