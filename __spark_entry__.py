@@ -87,6 +87,7 @@ from linkgraph.operators.spectral import (
     eigenvector_centrality_fixed_iterations,
     hits_fixed_iterations,
     katz_centrality_fixed_iterations,
+    salsa_fixed_iterations,
 )
 from linkgraph.operators.similarity import (
     ann_cosine_topk,
@@ -344,6 +345,42 @@ x{i} AS MATERIALIZED (SELECT id, u / (SELECT sqrt(sum(u * u)) FROM u{i}) AS x
          FROM u{i})"""
         )
     return pre + "".join(its) + f"\nSELECT id, round(x, 8) AS centrality FROM x{k}"
+
+
+def _salsa_sql(k: int = 5) -> str:
+    """Unrolled k-iteration SALSA (degree-normalized alternating walk,
+    per-step L1 normalization — operators/spectral.salsa) over the
+    bipartite cust_supp graph."""
+    pre = f"""
+WITH e AS MATERIALIZED (SELECT src, dst FROM ({CUST_SUPP})),
+verts AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+outd AS MATERIALIZED (SELECT src, 1.0 / count(*) AS wa FROM e GROUP BY 1),
+ind AS MATERIALIZED (SELECT dst, 1.0 / count(*) AS wh FROM e GROUP BY 1),
+ew AS MATERIALIZED (SELECT e.src, e.dst, o.wa, i.wh
+      FROM e JOIN outd o ON e.src = o.src JOIN ind i ON e.dst = i.dst),
+nn AS (SELECT count(*) AS n FROM verts),
+s0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS hub,
+      1.0 / (SELECT n FROM nn) AS authority FROM verts)"""
+    its = []
+    for i in range(1, k + 1):
+        its.append(f""",
+ar{i} AS (SELECT w.dst AS id, sum(s.hub * w.wa) AS r
+          FROM s{i-1} s JOIN ew w ON s.id = w.src GROUP BY 1),
+a{i} AS MATERIALIZED (SELECT v.id,
+          coalesce(r.r, 0.0) / (SELECT sum(r) FROM ar{i}) AS authority
+          FROM verts v LEFT JOIN ar{i} r ON v.id = r.id),
+hr{i} AS (SELECT w.src AS id, sum(a.authority * w.wh) AS r
+          FROM a{i} a JOIN ew w ON a.id = w.dst GROUP BY 1),
+s{i} AS MATERIALIZED (SELECT v.id,
+          coalesce(r.r, 0.0) / (SELECT sum(r) FROM hr{i}) AS hub,
+          a.authority
+          FROM verts v LEFT JOIN hr{i} r ON v.id = r.id
+          JOIN a{i} a ON v.id = a.id)"""
+        )
+    return pre + "".join(its) + (
+        f"\nSELECT id, round(hub, 8) AS hub, round(authority, 8) AS authority"
+        f" FROM s{k}"
+    )
 
 
 def _url_sql() -> str:
@@ -1057,6 +1094,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .agg(F.count("*").alias("n_docs"))
     )
 
+    # --- GraphSAGE-style neighborhood feature aggregation: supplier
+    # vertices aggregate their ordering customers' balances — one
+    # edge⋈feature join + one map-side-combined groupBy
+    from linkgraph.operators.features import aggregate_neighbor_features
+
+    q["nbr_features_cust_supp"] = lambda s, d: aggregate_neighbor_features(
+        _cust_supp(s, d),
+        _read(s, d, "customer").select(
+            F.col("c_custkey").cast("long").alias("id"),
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+        ),
+        direction="in",
+        aggs=("mean", "sum", "max", "min"),
+    ).select(
+        "id",
+        "nbr_count",
+        F.round("mean_acctbal", 6).alias("mean_acctbal"),
+        F.round("sum_acctbal", 6).alias("sum_acctbal"),
+        "max_acctbal",
+        "min_acctbal",
+    )
+
+    # --- GraphSAGE mean aggregator over the embedding column: a
+    # deterministic double-ring graph on vec_ids; per-dimension rows
+    # (posexplode BEFORE the shuffle — hub-safe, no giant cells)
+    def _nbr_emb(s, d):
+        from linkgraph.operators.features import aggregate_neighbor_embeddings
+
+        emb = _read(s, d, "embeddings")
+        m = emb.count()
+        e1 = emb.select(
+            F.col("vec_id").alias("src"),
+            ((F.col("vec_id") * 17 + 1) % m).alias("dst"),
+        )
+        e2 = emb.select(
+            F.col("vec_id").alias("src"), ((F.col("vec_id") + 1) % m).alias("dst")
+        )
+        g = LinkGraph(e1.unionAll(e2), directed=True)
+        out = aggregate_neighbor_embeddings(
+            g, emb, id_col="vec_id", vec_col="embedding", direction="in"
+        )
+        return out.select(
+            "id", "nbr_count", F.posexplode("mean_vec").alias("pos", "val")
+        ).select(
+            "id",
+            F.col("pos").cast("long").alias("pos"),
+            "nbr_count",
+            F.round("val", 6).alias("val"),
+        )
+
+    q["nbr_embeddings_ring"] = _nbr_emb
+
+    # --- deterministic negative-edge sampling (GNN/link-pred training
+    # pairs): counter-hash draws against the distributed dense index,
+    # anti-joined against real edges — same survivors at any
+    # parallelism, like the corpus samplers
+    from linkgraph.operators.sampling import negative_edges
+
+    q["negative_edges_hier"] = lambda s, d: negative_edges(
+        LinkGraph(_hierarchy_edges(s, d), directed=True),
+        per_node=3,
+        trials_factor=3,
+        seed=7,
+    )
+
     # --- cross-document repeated-span signal (_docs includes the
     # deterministic id+100000 duplicates, so real shared 5-grams
     # exist); one shingle groupBy + semi-join, no pairwise expansion
@@ -1403,6 +1505,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_spectral.py)
     q["hits5_cust_supp"] = lambda s, d: (
         hits_fixed_iterations(_cust_supp(s, d), k=5).select(
+            "id",
+            F.round("hub", 8).alias("hub"),
+            F.round("authority", 8).alias("authority"),
+        )
+    )
+    q["salsa5_cust_supp"] = lambda s, d: (
+        salsa_fixed_iterations(_cust_supp(s, d), k=5).select(
             "id",
             F.round("hub", 8).alias("hub"),
             F.round("authority", 8).alias("authority"),
@@ -2105,6 +2214,7 @@ FROM v LEFT JOIN mutual m ON v.id = m.v GROUP BY v.id
         "pagerank5_suppliers": _pagerank_sql(5),
         "pagerank5_personalized": _ppr_sql(5),
         "hits5_cust_supp": _hits_sql(5),
+        "salsa5_cust_supp": _salsa_sql(5),
         "eigenvector5_suppco": _eigen_sql(5),
         "katz5_suppdir": _katz_sql(5),
         "avg_nbr_degree_suppdir": f"""
@@ -2582,6 +2692,58 @@ SELECT lang,
        count(*) AS n_docs
 FROM b GROUP BY 1, 2
 """,
+        "nbr_features_cust_supp": f"""
+WITH e AS MATERIALIZED ({CUST_SUPP}),
+verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+f AS (SELECT CAST(c_custkey AS BIGINT) AS nbr,
+             CAST(c_acctbal AS DOUBLE) AS acctbal FROM customer),
+p AS (SELECT dst AS v, src AS nbr FROM e),
+a AS (SELECT v, count(*) AS nbr_count,
+             round(avg(acctbal), 6) AS mean_acctbal,
+             round(sum(acctbal), 6) AS sum_acctbal,
+             max(acctbal) AS max_acctbal,
+             min(acctbal) AS min_acctbal
+      FROM p JOIN f USING (nbr) GROUP BY 1)
+SELECT verts.id, coalesce(a.nbr_count, 0) AS nbr_count,
+       mean_acctbal, sum_acctbal, max_acctbal, min_acctbal
+FROM verts LEFT JOIN a ON verts.id = a.v""",
+        "nbr_embeddings_ring": """
+WITH m AS (SELECT count(*) AS n FROM embeddings),
+e AS MATERIALIZED (
+  SELECT vec_id AS src, (vec_id * 17 + 1) % (SELECT n FROM m) AS dst
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id, (vec_id + 1) % (SELECT n FROM m) FROM embeddings),
+u AS MATERIALIZED (
+  SELECT vec_id, unnest(embedding) AS val,
+         generate_subscripts(embedding, 1) AS pos FROM embeddings),
+cells AS (SELECT e.dst AS id, u.pos - 1 AS pos, CAST(u.val AS DOUBLE) AS val
+          FROM e JOIN u ON e.src = u.vec_id)
+SELECT id, CAST(pos AS BIGINT) AS pos, count(*) AS nbr_count,
+       round(avg(val), 6) AS val
+FROM cells GROUP BY 1, 2""",
+        "negative_edges_hier": f"""
+WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({HIER})),
+verts AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+idx AS MATERIALIZED (
+  SELECT id, row_number() OVER (ORDER BY id) - 1 AS i FROM verts),
+nn AS (SELECT count(*) AS n FROM verts),
+cand AS (
+  SELECT v.id AS src, t.t,
+         CAST(('0x' || substr(md5('7:' || CAST(v.id AS VARCHAR) || ':'
+              || CAST(t.t AS VARCHAR)), 1, 15)) AS BIGINT)
+           % (SELECT n FROM nn) AS i
+  FROM verts v CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8)) t(t)),
+c2 AS (SELECT c.src, x.id AS dst, c.t
+       FROM cand c JOIN idx x ON c.i = x.i WHERE c.src <> x.id),
+c3 AS (SELECT c.src, c.dst, min(c.t) AS t FROM c2 c
+       WHERE NOT EXISTS (SELECT 1 FROM e
+                         WHERE e.src = c.src AND e.dst = c.dst)
+       GROUP BY 1, 2),
+r AS (SELECT src, dst,
+      CAST(row_number() OVER (PARTITION BY src ORDER BY t, dst) AS INT)
+        AS "rank" FROM c3)
+SELECT src, dst, "rank" FROM r WHERE "rank" <= 3""",
         "dup_ngram_stats": f"""
 WITH d AS ({DOCS}),
 base AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t

@@ -20,6 +20,7 @@ from linkgraph.operators.spectral import (
     eigenvector_centrality,
     hits,
     katz_centrality,
+    salsa,
 )
 from linkgraph.operators.truss import k_truss, truss_numbers
 from linkgraph.operators.components import strongly_connected_components, weakly_connected_components
@@ -43,6 +44,12 @@ from linkgraph.operators.traversal import (
     reachable_from,
     reconstruct_path,
     shortest_paths,
+)
+from linkgraph.operators.features import aggregate_neighbor_features
+from linkgraph.operators.sampling import (
+    hash_split,
+    negative_edges,
+    stratified_sample,
 )
 from linkgraph.operators.packing import (
     chunk_documents,
@@ -102,4 +109,9 @@ __all__ = [
     "mixture_weights",
     "topological_generations",
     "cocitation_counts",
+    "salsa",
+    "negative_edges",
+    "stratified_sample",
+    "hash_split",
+    "aggregate_neighbor_features",
 ]

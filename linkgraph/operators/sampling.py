@@ -102,3 +102,79 @@ def hash_split(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def negative_edges(
+    graph,
+    per_node: int = 5,
+    trials_factor: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic negative sampling for link-prediction/GNN
+    training: DataFrame(src, dst, rank) of up to ``per_node``
+    NON-adjacent vertices per source, drawn by a counter hash —
+    reproducible bit-for-bit across runs, partitionings and cluster
+    sizes (the same property stratified_sample gives rows).
+
+    Draw t of vertex u proposes the vertex at dense index
+    md5(seed:u:t) mod n (the distributed high-bit-bucket index, no
+    global window); self-pairs and real edges (both orientations on
+    undirected graphs) are anti-joined out, duplicate draws collapse
+    to their first trial, and the ``per_node`` survivors with the
+    lowest trial numbers win. ``trials_factor`` oversamples to cover
+    collision/adjacency losses; near-complete-neighborhood vertices
+    can yield fewer than ``per_node`` rows (sparse web graphs never
+    hit this).
+
+    Scale shape: V·trials candidate rows, one equi-join on the dense
+    index (uniform by construction), one anti-join on the edge key,
+    one per-source window over ≤ trials rows. No quadratic set, no
+    driver loop.
+    """
+    from linkgraph.operators.layout import _indexed
+    from pyspark.sql import Window
+
+    if per_node <= 0 or trials_factor <= 0:
+        raise ValueError("per_node and trials_factor must be positive")
+    v_idx = _indexed(graph.vertices)
+    n = graph.vertices.count()
+    if n < 2:
+        return graph.edges.sparkSession.createDataFrame(
+            [], "src long, dst long, rank int"
+        )
+    trials = per_node * trials_factor
+    cand = (
+        v_idx.select(F.col("id").alias("src"))
+        .withColumn("t", F.explode(F.sequence(F.lit(0), F.lit(trials - 1))))
+        .withColumn(
+            "i",
+            md5int_col(
+                F.concat(
+                    F.lit(f"{seed}:"),
+                    F.col("src").cast("string"),
+                    F.lit(":"),
+                    F.col("t").cast("string"),
+                )
+            )
+            % n,
+        )
+    )
+    cand = (
+        cand.join(v_idx.select(F.col("i"), F.col("id").alias("dst")), "i")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", "t")
+    )
+    probe = (graph.edges if graph.directed else graph.sym_edges).select(
+        "src", "dst"
+    ).distinct()
+    cand = (
+        cand.join(probe, ["src", "dst"], "left_anti")
+        .groupBy("src", "dst")
+        .agg(F.min("t").alias("t"))
+    )
+    w = Window.partitionBy("src").orderBy("t", "dst")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_node)
+        .select("src", "dst", "rank")
+    )

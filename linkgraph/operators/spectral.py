@@ -345,3 +345,133 @@ def katz_centrality_fixed_iterations(graph: LinkGraph, k: int, **kw) -> DataFram
     SQL-oracle-comparable variant, like pagerank_fixed_iterations."""
     res = katz_centrality(graph, tol=-1.0, max_iter=k, truncate_every=1, **kw)
     return res.state
+
+
+def salsa(
+    graph: LinkGraph,
+    tol: float = 1e-8,
+    max_iter: int = 100,
+    truncate_every: int = 3,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
+    on_exhaustion: str = "raise",
+) -> IterationResult:
+    """SALSA (Lempel & Moran): IterationResult whose state is
+    DataFrame(id, hub, authority), both L1-normalized.
+
+    The stochastic sibling of HITS — each step divides by the degree
+    of the step's source: authority'(v) = Σ_{u→v} hub(u)/outdeg(u)
+    then L1-normalize, hub'(u) = Σ_{u→v} authority'(v)/indeg(v) then
+    L1-normalize. The fixpoint is the stationary distribution of the
+    alternating forward/backward random walk, which — unlike HITS —
+    is not dominated by the densest community (the TKC effect).
+    Unweighted by construction (the classic formulation); stop rule,
+    exhaustion behavior, zero-degree conventions and the physical
+    plan (two stationary degree-annotated edge copies, each hash-
+    partitioned on its join key; 1-row normalizer broadcasts; delta
+    carried on the state) all mirror ``hits``.
+    """
+    spark = graph.edges.sparkSession
+    vertices = graph.vertices.select("id")
+    n = vertices.count()
+    if n == 0:
+        return IterationResult(
+            state=spark.createDataFrame([], "id long, hub double, authority double")
+        )
+    e = graph.sym_edges.select("src", "dst")
+    m = e.count()
+    if m == 0:
+        return IterationResult(
+            state=vertices.select(
+                "id", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+            )
+        )
+    outd = e.groupBy("src").agg(F.count("*").alias("od"))
+    ind = e.groupBy("dst").agg(F.count("*").alias("idg"))
+    ew = (
+        e.join(outd, "src")
+        .join(ind, "dst")
+        .select(
+            "src",
+            "dst",
+            (F.lit(1.0) / F.col("od")).alias("wa"),
+            (F.lit(1.0) / F.col("idg")).alias("wh"),
+        )
+    )
+    e_by_src = stationary(ew, "src", rows=m)
+    e_by_dst = stationary(ew, "dst", rows=m)
+
+    init = truncate_lineage(
+        vertices.select(
+            "id", F.lit(1.0 / n).alias("hub"), F.lit(1.0 / n).alias("authority")
+        )
+    )
+    fixed_iters = tol < 0
+
+    def step(state: DataFrame, i: int) -> tuple[DataFrame, float]:
+        hubs = state.select("id", "hub")
+        a_raw = (
+            hubs.join(e_by_src, hubs.id == e_by_src.src)
+            .select(F.col("dst").alias("id"), (F.col("hub") * F.col("wa")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("a_raw"))
+        )
+        a_sum = a_raw.agg(F.sum("a_raw").alias("asum"))
+        auth = (
+            vertices.join(a_raw, "id", "left")
+            .crossJoin(F.broadcast(a_sum))
+            .select(
+                "id",
+                (F.coalesce("a_raw", F.lit(0.0)) / F.col("asum")).alias("authority"),
+            )
+        )
+        h_raw = (
+            auth.join(e_by_dst, auth.id == e_by_dst.dst)
+            .select(
+                F.col("src").alias("id"),
+                (F.col("authority") * F.col("wh")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("h_raw"))
+        )
+        h_sum = h_raw.agg(F.sum("h_raw").alias("hsum"))
+        new = (
+            state.select("id", F.col("hub").alias("_old"))
+            .join(auth, "id")
+            .join(h_raw, "id", "left")
+            .crossJoin(F.broadcast(h_sum))
+            .select(
+                "id",
+                (F.coalesce("h_raw", F.lit(0.0)) / F.col("hsum")).alias("hub"),
+                "authority",
+                "_old",
+            )
+        )
+        if fixed_iters:
+            return new, float("inf")
+        new = new.persist()
+        delta = new.agg(F.sum(F.abs(F.col("hub") - F.col("_old")))).collect()[0][0]
+        state.unpersist()
+        return new, float(delta)
+
+    res = iterate(
+        init,
+        step,
+        tol=n * tol,
+        max_iter=max_iter,
+        truncate_every=truncate_every,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+        spark=spark,
+        on_exhaustion="ok" if fixed_iters else on_exhaustion,
+    )
+    res.state = res.state.select("id", "hub", "authority")
+    e_by_src.unpersist()
+    e_by_dst.unpersist()
+    return res
+
+
+def salsa_fixed_iterations(graph: LinkGraph, k: int, **kw) -> DataFrame:
+    """Exactly-k-iteration SALSA — the SQL-oracle-comparable variant."""
+    res = salsa(graph, tol=-1.0, max_iter=k, truncate_every=1, **kw)
+    return res.state

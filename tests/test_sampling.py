@@ -6,6 +6,7 @@ import duckdb
 import pytest
 from pyspark.sql import functions as F
 
+from conftest import graph_from_edges
 from linkgraph.operators.sampling import DENOM, _bucket, hash_split, stratified_sample
 
 
@@ -98,3 +99,47 @@ def test_bucket_matches_duckdb(corpus, spark):
             f"SELECT CAST(('0x' || substr(md5('{r['doc_id']}:9'), 1, 15)) AS BIGINT) % {DENOM}"
         ).fetchone()
         assert b == r["bucket"], r["doc_id"]
+
+
+def test_negative_edges_properties(spark):
+    from linkgraph.operators.sampling import negative_edges
+
+    edges = [(i, (i + 1) % 20) for i in range(20)] + [(0, 5), (3, 11)]
+    g = graph_from_edges(spark, edges, directed=True)
+    rows = negative_edges(g, per_node=4, seed=13).collect()
+    real = set(edges)
+    per_src = {}
+    for r in rows:
+        assert (r["src"], r["dst"]) not in real
+        assert r["src"] != r["dst"]
+        per_src.setdefault(r["src"], []).append(r["rank"])
+    for src, ranks in per_src.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 4
+    # every vertex has plenty of non-neighbors here -> full quota
+    assert all(len(v) == 4 for v in per_src.values())
+    assert set(per_src) == {x for e in edges for x in e}
+    # deterministic: identical on a second run
+    again = negative_edges(g, per_node=4, seed=13).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_negative_edges_undirected_excludes_both_orientations(spark):
+    from linkgraph.operators.sampling import negative_edges
+
+    edges = [(1, 2), (2, 3), (3, 4)]
+    g = graph_from_edges(spark, edges, directed=False)
+    rows = negative_edges(g, per_node=10, trials_factor=10, seed=3).collect()
+    sym = {(a, b) for a, b in edges} | {(b, a) for a, b in edges}
+    assert rows, "sparse graph must yield negatives"
+    for r in rows:
+        assert (r["src"], r["dst"]) not in sym
+
+
+def test_negative_edges_complete_graph_empty(spark):
+    from linkgraph.operators.sampling import negative_edges
+
+    n = 6
+    edges = [(a, b) for a in range(n) for b in range(n) if a != b]
+    g = graph_from_edges(spark, edges, directed=True)
+    assert negative_edges(g, per_node=3, seed=5).count() == 0

@@ -22,6 +22,8 @@ from linkgraph.operators.spectral import (
     eigenvector_centrality_fixed_iterations,
     hits,
     hits_fixed_iterations,
+    salsa,
+    salsa_fixed_iterations,
 )
 from linkgraph.plans.iterate import ConvergenceError
 
@@ -195,3 +197,53 @@ def test_katz_exhaustion_raises(spark):
     g = graph_from_edges(spark, edges, directed=True)
     with pytest.raises(ConvergenceError):
         katz_centrality(g, alpha=0.05, tol=1e-15, max_iter=2)
+
+
+def _salsa_replica(edges, vertices, k=None, tol=1e-8, max_iter=100):
+    """Documented SALSA semantics in numpy: the degree-normalized
+    alternating walk with per-step L1 normalization."""
+    idx = {v: i for i, v in enumerate(vertices)}
+    n = len(vertices)
+    A = np.zeros((n, n))
+    for u, v in edges:
+        A[idx[u], idx[v]] = 1.0
+    od = A.sum(axis=1)
+    idg = A.sum(axis=0)
+    Wa = np.divide(A, od[:, None], out=np.zeros_like(A), where=od[:, None] > 0)
+    Wh = np.divide(A, idg[None, :], out=np.zeros_like(A), where=idg[None, :] > 0)
+    h = np.full(n, 1.0 / n)
+    a = np.zeros(n)
+    rounds = k if k is not None else max_iter
+    for _ in range(rounds):
+        hold = h
+        a = Wa.T @ h
+        a = a / a.sum()
+        h = Wh @ a
+        h = h / h.sum()
+        if k is None and np.abs(h - hold).sum() < n * tol:
+            break
+    return ({v: h[idx[v]] for v in vertices}, {v: a[idx[v]] for v in vertices})
+
+
+def test_salsa_fixed_iterations_vs_replica(spark):
+    edges = [(a, b) for a, b, _ in _rand_edges(19)]
+    g = graph_from_edges(spark, edges, directed=True)
+    got = {r["id"]: (r["hub"], r["authority"]) for r in
+           salsa_fixed_iterations(g, k=4).collect()}
+    verts = sorted({x for e in edges for x in e})
+    h, a = _salsa_replica(edges, verts, k=4)
+    for v in verts:
+        assert abs(got[v][0] - h[v]) < 1e-9, ("hub", v)
+        assert abs(got[v][1] - a[v]) < 1e-9, ("authority", v)
+
+
+def test_salsa_converged_vs_replica(spark):
+    edges = [(a, b) for a, b, _ in _rand_edges(23)]
+    g = graph_from_edges(spark, edges, directed=True)
+    res = salsa(g, tol=1e-10, max_iter=500)
+    got = {r["id"]: (r["hub"], r["authority"]) for r in res.state.collect()}
+    verts = sorted({x for e in edges for x in e})
+    h, a = _salsa_replica(edges, verts, tol=1e-10, max_iter=500)
+    for v in verts:
+        assert abs(got[v][0] - h[v]) < 1e-7
+        assert abs(got[v][1] - a[v]) < 1e-7
