@@ -1094,6 +1094,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .agg(F.count("*").alias("n_docs"))
     )
 
+    # --- corpus term statistics: smoothed TF-IDF top terms per
+    # language, and exact per-language quality-score percentiles (the
+    # filter-threshold calibration step)
+    from linkgraph.operators.terms import group_percentiles, tfidf_top_terms
+
+    q["tfidf_top_terms_docs"] = lambda s, d: tfidf_top_terms(
+        _read(s, d, "documents"), "lang", "text", k=10
+    ).select(
+        "group", "term", "tf", "df_groups",
+        F.round("tfidf", 6).alias("tfidf"), "pos",
+    )
+    q["quality_percentiles_docs"] = lambda s, d: group_percentiles(
+        _read(s, d, "documents").select(
+            "lang", quality_score_col(F.col("text")).alias("q")
+        ),
+        "lang",
+        "q",
+    ).select(
+        "group", "n",
+        F.round("p50", 6).alias("p50"),
+        F.round("p90", 6).alias("p90"),
+        F.round("p99", 6).alias("p99"),
+    )
+
     # --- GraphSAGE-style neighborhood feature aggregation: supplier
     # vertices aggregate their ordering customers' balances — one
     # edge⋈feature join + one map-side-combined groupBy
@@ -2692,6 +2716,37 @@ SELECT lang,
        count(*) AS n_docs
 FROM b GROUP BY 1, 2
 """,
+        "tfidf_top_terms_docs": """
+WITH toks AS (SELECT lang AS "group",
+              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+              FROM documents),
+tf AS MATERIALIZED (SELECT "group", term, count(*) AS tf FROM toks
+      WHERE length(term) >= 2 GROUP BY 1, 2),
+ng AS (SELECT count(DISTINCT lang) AS n FROM documents),
+dfq AS (SELECT term, count(*) AS df_groups FROM tf GROUP BY 1),
+sc AS (SELECT tf."group", tf.term, tf.tf, dfq.df_groups,
+       tf.tf * (ln((1.0 + (SELECT n FROM ng)) / (1.0 + dfq.df_groups)) + 1.0)
+         AS tfidf
+       FROM tf JOIN dfq USING (term)),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY "group"
+      ORDER BY tfidf DESC, term ASC) AS INT) AS pos FROM sc)
+SELECT "group", term, tf, df_groups, round(tfidf, 6) AS tfidf, pos
+FROM r WHERE pos <= 10""",
+        "quality_percentiles_docs": f"""
+WITH q AS (SELECT lang AS "group",
+  round(0.5 * least(1.0, len({toks}) / 100.0)
+      + 0.5 * least(1.0, 3.0 * (CASE WHEN len({toks}) > 0
+          THEN len(list_filter({toks}, x -> list_contains({stop_en}, x)))
+               * 1.0 / len({toks}) ELSE 0.0 END))
+      - 0.2 * (CASE WHEN length(text) > 0
+          THEN len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))
+               * 1.0 / length(text) ELSE 0.0 END), 6) AS qv
+  FROM documents)
+SELECT "group", count(*) AS n,
+       round(quantile_cont(qv, 0.5), 6) AS p50,
+       round(quantile_cont(qv, 0.9), 6) AS p90,
+       round(quantile_cont(qv, 0.99), 6) AS p99
+FROM q GROUP BY 1""",
         "nbr_features_cust_supp": f"""
 WITH e AS MATERIALIZED ({CUST_SUPP}),
 verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),

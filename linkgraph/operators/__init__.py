@@ -45,7 +45,11 @@ from linkgraph.operators.traversal import (
     reconstruct_path,
     shortest_paths,
 )
-from linkgraph.operators.features import aggregate_neighbor_features
+from linkgraph.operators.features import (
+    aggregate_neighbor_embeddings,
+    aggregate_neighbor_features,
+)
+from linkgraph.operators.terms import group_percentiles, tfidf_top_terms
 from linkgraph.operators.sampling import (
     hash_split,
     negative_edges,
@@ -114,4 +118,7 @@ __all__ = [
     "stratified_sample",
     "hash_split",
     "aggregate_neighbor_features",
+    "aggregate_neighbor_embeddings",
+    "tfidf_top_terms",
+    "group_percentiles",
 ]

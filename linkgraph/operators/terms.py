@@ -1,0 +1,91 @@
+"""Corpus term statistics: TF-IDF top terms per group and exact
+per-group quantiles — the calibration/reporting aggregates a corpus
+pipeline runs before setting filter thresholds.
+
+Both are single-plan Catalyst aggregations over the portable
+tokenizer (functions/text.py): no Python, no driver loop. TF-IDF's
+term explode shuffles on the term string (uniform; stopword-hot
+VALUES are tamed by map-side partial aggregation), the per-group
+top-k is a bounded window over each group's term rows.
+
+Reference scope: networkx-rust has no text surface; these serve the
+training-pipeline inventory (SURVEY §2.8b).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from linkgraph.functions.text import tokens_col
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 10,
+    min_term_len: int = 2,
+) -> DataFrame:
+    """DataFrame(group, term, tf, df_groups, tfidf, pos): the top-k
+    terms of each group by smoothed TF-IDF.
+
+    tf = term occurrences within the group (with multiplicity);
+    df_groups = number of groups containing the term; tfidf =
+    tf · (ln((1 + N) / (1 + df_groups)) + 1) — the smoothed sklearn
+    formulation with groups as documents. Ties break by term string
+    ascending (deterministic across engines); terms shorter than
+    ``min_term_len`` are dropped (single letters carry no signal).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    toks = df.select(
+        F.col(group_col).alias("group"),
+        F.explode(tokens_col(F.col(text_col))).alias("term"),
+    ).filter(F.length("term") >= min_term_len)
+    tf = toks.groupBy("group", "term").agg(F.count("*").alias("tf"))
+    n_groups = df.select(group_col).distinct().count()
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_groups"))
+    scored = tf.join(dfreq, "term").select(
+        "group",
+        "term",
+        "tf",
+        "df_groups",
+        (
+            F.col("tf")
+            * (
+                F.log((F.lit(1.0) + n_groups) / (F.lit(1.0) + F.col("df_groups")))
+                + F.lit(1.0)
+            )
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("group").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .select("group", "term", "tf", "df_groups", "tfidf", "pos")
+    )
+
+
+def group_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """DataFrame(group, n, p<NN>…): exact (continuous-interpolation)
+    per-group percentiles of a numeric column — the calibration step
+    before turning a quality score into a filter threshold. Exact
+    `percentile`, not approx_percentile: the result is deterministic
+    and engine-portable (matches DuckDB's quantile_cont), at the cost
+    of a per-group sort — the right trade for calibration runs, which
+    aggregate to a handful of groups. For always-on monitoring over
+    huge groups swap in approx_percentile and drop the oracle claim.
+    """
+    exprs = [F.count("*").alias("n")] + [
+        F.expr(f"percentile({value_col}, {p})").alias(f"p{int(p * 100):02d}")
+        for p in percentiles
+    ]
+    return df.groupBy(F.col(group_col).alias("group")).agg(*exprs)

@@ -207,6 +207,50 @@ def main() -> None:
             "docs_per_sec": round(n_docs / wall, 1),
         }
 
+    # causal-LM sequence packing over the 2M page texts: the bucketed
+    # distributed prefix sum (no global window) is the piece that has
+    # to hold at corpus scale
+    from linkgraph.operators.packing import pack_sequences
+
+    if want("pack_pages"):
+        pages3 = spark.read.parquet(PAGES_BIG).select(
+            F.xxhash64("url").alias("doc_id"), F.col("text")
+        )
+        n_docs3 = pages3.count()
+        t0 = time.time()
+        packed = pack_sequences(pages3, capacity=2048)
+        row = packed.agg(
+            F.count("*").alias("spans"), F.max("seq_id").alias("max_seq")
+        ).collect()[0]
+        wall = time.time() - t0
+        results["pack_pages"] = {
+            "sec": round(wall, 1),
+            "docs": n_docs3,
+            "spans": row["spans"],
+            "sequences": int(row["max_seq"]) + 1,
+            "docs_per_sec": round(n_docs3 / wall, 1),
+        }
+
+    # negative sampling on the 2M-vertex Zipf graph: V*trials draws,
+    # one dense-index equi-join + one edge anti-join + per-src window
+    from linkgraph.operators.sampling import negative_edges as neg_edges
+    from linkgraph import LinkGraph as LG
+
+    if want("negatives_zipf"):
+        zg2 = random_edges(
+            spark, 2_000_000, 40_000_000, seed=5, zipf_s=1.2, partitions=64
+        )
+        gneg = LG(zg2.select("src", "dst"), directed=True)
+        t0 = time.time()
+        n_neg = neg_edges(gneg, per_node=5, trials_factor=3, seed=11).count()
+        wall = time.time() - t0
+        results["negatives_zipf"] = {
+            "sec": round(wall, 1),
+            "vertices": 2_000_000,
+            "negatives": n_neg,
+            "vertices_per_sec": round(2_000_000 / wall, 1),
+        }
+
     # best-over-runs: hypervisor-neighbor jitter swings identical runs
     # up to 4x here; keep each operator's fastest observed wall
     best_path = os.path.join(REPO, "BENCH", "scratch", "bigops_best.json")
@@ -268,6 +312,13 @@ Notes:
   and a hash-picked 1/1000 slice as the eval set: both 5-gram shingle
   explodes are map-side, the distinct eval-gram set is broadcast, and
   the only shuffle keys on doc id (the per-doc counts).
+- pack_pages lays the 2M page texts out as 2048-token causal-LM
+  sequences: the corpus-wide running token count is the bucketed
+  distributed prefix sum (≤2048 per-bucket windows + a driver offset
+  map), never a global single-partition window.
+- negatives_zipf draws 15 counter-hash candidates per vertex on the
+  2M-vertex Zipf(1.2) graph, resolves them through the dense-index
+  equi-join, anti-joins the 40M real edges and keeps 5 per vertex.
 
 Generated by scripts/big_ops_bench.py.
 """

@@ -1,0 +1,66 @@
+"""TF-IDF top terms and exact group percentiles vs pure-Python
+replicas."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from linkgraph.operators.terms import group_percentiles, tfidf_top_terms
+
+
+def test_tfidf_matches_replica(spark):
+    docs = [
+        ("a", "apple banana apple cherry"),
+        ("a", "apple date"),
+        ("b", "banana banana fig"),
+        ("c", "cherry fig grape grape grape"),
+    ]
+    df = spark.createDataFrame(docs, "source string, text string")
+    got = [
+        (r["group"], r["term"], r["tf"], r["df_groups"], r["tfidf"], r["pos"])
+        for r in tfidf_top_terms(df, "source", "text", k=3).collect()
+    ]
+    # replica
+    from collections import Counter
+
+    tf = Counter()
+    for g, t in docs:
+        for term in t.split():
+            tf[(g, term)] += 1
+    groups = {g for g, _ in docs}
+    dfreq = Counter(term for (_, term) in tf)
+    scored = [
+        (g, term, c, dfreq[term],
+         c * (math.log((1 + len(groups)) / (1 + dfreq[term])) + 1))
+        for (g, term), c in tf.items()
+    ]
+    want = []
+    for g in sorted(groups):
+        rows = sorted(
+            [s for s in scored if s[0] == g], key=lambda s: (-s[4], s[1])
+        )[:3]
+        want += [(g, t, c, d, s, i + 1) for i, (g2, t, c, d, s) in enumerate(rows)]
+    assert len(got) == len(want)
+    for gr, wr in zip(sorted(got), sorted(want)):
+        assert gr[:4] == wr[:4] and gr[5] == wr[5]
+        assert abs(gr[4] - wr[4]) < 1e-9
+
+
+def test_tfidf_validation(spark):
+    df = spark.createDataFrame([("a", "x")], "source string, text string")
+    with pytest.raises(ValueError):
+        tfidf_top_terms(df, k=0)
+
+
+def test_group_percentiles_exact(spark):
+    vals = [("g1", float(v)) for v in range(1, 101)] + [("g2", 5.0), ("g2", 7.0)]
+    df = spark.createDataFrame(vals, "g string, v double")
+    got = {r["group"]: r for r in
+           group_percentiles(df, "g", "v", (0.5, 0.9)).collect()}
+    # 1..100: p50 = 50.5 (interpolated), p90 = 90.1
+    assert got["g1"]["n"] == 100
+    assert abs(got["g1"]["p50"] - 50.5) < 1e-9
+    assert abs(got["g1"]["p90"] - 90.1) < 1e-9
+    assert abs(got["g2"]["p50"] - 6.0) < 1e-9
