@@ -1094,6 +1094,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .agg(F.count("*").alias("n_docs"))
     )
 
+    # --- event-log analytics: strict-order funnel + weekly cohort
+    # retention (completing the sessionization family)
+    from linkgraph.operators.events import funnel, retention_cohorts
+
+    q["events_funnel"] = lambda s, d: funnel(
+        _read(s, d, "events"), ["signup", "view", "purchase"]
+    )
+    q["events_retention"] = lambda s, d: retention_cohorts(_read(s, d, "events"))
+
     # --- corpus term statistics: smoothed TF-IDF top terms per
     # language, and exact per-language quality-score percentiles (the
     # filter-threshold calibration step)
@@ -2716,6 +2725,30 @@ SELECT lang,
        count(*) AS n_docs
 FROM b GROUP BY 1, 2
 """,
+        "events_funnel": """
+WITH s0 AS MATERIALIZED (SELECT user_id AS u, min(ts) AS t FROM events
+      WHERE event_type = 'signup' GROUP BY 1),
+s1 AS MATERIALIZED (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+      JOIN s0 ON e.user_id = s0.u AND e.ts > s0.t
+      WHERE e.event_type = 'view' GROUP BY 1),
+s2 AS MATERIALIZED (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+      JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t
+      WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT 0 AS step, 'signup' AS step_name, (SELECT count(*) FROM s0) AS users
+UNION ALL
+SELECT 1, 'view', (SELECT count(*) FROM s1)
+UNION ALL
+SELECT 2, 'purchase', (SELECT count(*) FROM s2)""",
+        "events_retention": """
+WITH weeks AS MATERIALIZED (
+  SELECT DISTINCT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events),
+first AS (SELECT u, min(wk) AS cohort FROM weeks GROUP BY 1)
+SELECT cohort,
+       CAST(date_diff('day', cohort, wk) // 7 AS BIGINT) AS "offset",
+       count(DISTINCT w.u) AS users
+FROM weeks w JOIN first f ON w.u = f.u
+GROUP BY 1, 2""",
         "tfidf_top_terms_docs": """
 WITH toks AS (SELECT lang AS "group",
               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term

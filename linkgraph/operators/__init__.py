@@ -49,6 +49,7 @@ from linkgraph.operators.features import (
     aggregate_neighbor_embeddings,
     aggregate_neighbor_features,
 )
+from linkgraph.operators.events import funnel, retention_cohorts
 from linkgraph.operators.terms import group_percentiles, tfidf_top_terms
 from linkgraph.operators.sampling import (
     hash_split,
@@ -121,4 +122,6 @@ __all__ = [
     "aggregate_neighbor_embeddings",
     "tfidf_top_terms",
     "group_percentiles",
+    "funnel",
+    "retention_cohorts",
 ]
