@@ -1192,6 +1192,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         seed=7,
     )
 
+    # --- winnowing fingerprint selection (MOSS): rightmost-min of
+    # each 4-window of 5-gram hashes, one (doc, window) groupBy
+    from linkgraph.operators.dedup import winnowing_fingerprints
+
+    q["winnowing_docs"] = lambda s, d: winnowing_fingerprints(
+        _docs(s, d), "doc_id", "text", k=5, window=4
+    ).select(F.col("id").alias("doc_id"), "fp", "pos")
+
     # --- cross-document repeated-span signal (_docs includes the
     # deterministic id+100000 duplicates, so real shared 5-grams
     # exist); one shingle groupBy + semi-join, no pairwise expansion
@@ -2832,6 +2840,23 @@ r AS (SELECT src, dst,
       CAST(row_number() OVER (PARTITION BY src ORDER BY t, dst) AS INT)
         AS "rank" FROM c3)
 SELECT src, dst, "rank" FROM r WHERE "rank" <= 3""",
+        "winnowing_docs": f"""
+WITH d AS ({DOCS}),
+t AS (SELECT doc_id, {toks} AS tk FROM d),
+g AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS pos,
+         {_md5int("array_to_string(tk[i : i + 4], ' ')")} AS h,
+         CAST(len(tk) AS BIGINT) - 4 AS m
+  FROM (SELECT doc_id, tk,
+        unnest(generate_series(1, CAST(len(tk) AS BIGINT) - 4)) AS i
+        FROM t WHERE len(tk) >= 5)),
+e AS (SELECT doc_id, h, pos,
+      unnest(generate_series(greatest(pos - 3, 0),
+                             least(pos, greatest(m - 4, 0)))) AS wid
+      FROM g),
+s AS (SELECT doc_id, wid,
+      min({{'h': h, 'np': -pos}}) AS sel FROM e GROUP BY 1, 2)
+SELECT DISTINCT doc_id, (sel).h AS fp, -(sel).np AS pos FROM s""",
         "dup_ngram_stats": f"""
 WITH d AS ({DOCS}),
 base AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t

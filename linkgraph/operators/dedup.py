@@ -383,3 +383,67 @@ def duplicated_ngram_stats(
             .alias("dup_frac"),
         )
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    the MOSS algorithm): DataFrame(id, fp, pos) — from the sequence
+    of token k-gram hashes, each sliding window of ``window``
+    consecutive hashes contributes its minimum (rightmost on ties),
+    deduplicated per document. Guarantees at least one shared
+    fingerprint for any match of ``window + k - 1`` tokens or longer
+    while storing ~2/(window+1) of all grams — the standard
+    sub-linear dedup/plagiarism index. Docs with fewer than k tokens
+    yield no rows; docs with fewer than ``window`` grams degenerate
+    to one whole-doc window.
+
+    Scale shape: a positional gram explode (×window fan-out, a small
+    constant) followed by ONE groupBy on (doc, window-id) — uniform
+    keys, map-side combined — and a distinct. The rightmost-min
+    tie-break is the lexicographic min of struct(hash, −pos), which
+    Spark and SQL engines order identically.
+    """
+    if k <= 0 or window <= 0:
+        raise ValueError("k and window must be positive")
+    toks = tokens_col(F.col(text_col))
+    grams = (
+        df.select(
+            F.col(id_col).alias("id"),
+            # CaseWhen BEFORE sequence: sequence(1, n-k+1) DESCENDS for
+            # n < k and the slice then throws (same guard as shingles)
+            F.when(
+                F.size(toks) >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                    lambda i: md5int_col(F.concat_ws(" ", F.slice(toks, i, k))),
+                ),
+            )
+            .otherwise(F.array().cast("array<bigint>"))
+            .alias("_hs"),
+        )
+        .filter(F.size("_hs") >= 1)
+        .select("id", F.size("_hs").alias("m"), F.posexplode("_hs").alias("pos", "h"))
+    )
+    w = window
+    sel = (
+        grams.withColumn(
+            "wid",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("pos") - (w - 1), F.lit(0)),
+                    F.least(F.col("pos"), F.greatest(F.col("m") - w, F.lit(0))),
+                )
+            ),
+        )
+        .groupBy("id", "wid")
+        .agg(F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).alias("s"))
+    )
+    return sel.select(
+        "id", F.col("s.h").alias("fp"), (-F.col("s.np")).alias("pos")
+    ).distinct()

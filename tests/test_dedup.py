@@ -234,3 +234,44 @@ def test_duplicated_ngram_stats(spark):
         )
         want = (n, dup, dup / n if n else 0.0)
         assert got[i] == want, (i, got[i], want)
+
+
+def test_winnowing_matches_python_replica(spark):
+    from linkgraph.operators.dedup import winnowing_fingerprints
+    import hashlib, re
+
+    def md5int(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def replica(text, k, w):
+        toks = re.findall(r"[a-z0-9]+", text.lower())
+        if len(toks) < k:
+            return set()
+        hs = [md5int(" ".join(toks[i:i + k])) for i in range(len(toks) - k + 1)]
+        m = len(hs)
+        out = set()
+        n_windows = max(m - w + 1, 1)
+        for s in range(n_windows):
+            win = hs[s:s + w]
+            mh = min(win)
+            # rightmost min
+            pos = max(i for i, h in enumerate(win, start=s) if h == mh)
+            out.add((mh, pos))
+        return out
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # shared prefix
+        (3, "a b c d e"),            # exactly one gram (m=1 < window)
+        (4, "one two three four five six"),  # m=2 < window
+        (5, "too short"),            # no grams
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in winnowing_fingerprints(df, k=5, window=4).collect():
+        got.setdefault(r["id"], set()).add((r["fp"], r["pos"]))
+    for i, t in docs:
+        assert got.get(i, set()) == replica(t, 5, 4), i
+    # the guarantee: docs 1 and 2 share a long match -> shared fingerprint
+    shared = {f for f, _ in got[1]} & {f for f, _ in got[2]}
+    assert shared
