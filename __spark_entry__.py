@@ -1094,6 +1094,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .agg(F.count("*").alias("n_docs"))
     )
 
+    # --- partition collapse: the cust_supp order-flow graph rolled up
+    # to nations (the host-pipeline shape generalized to any labels)
+    def _nation_quotient(s, d):
+        from linkgraph.graph import quotient_graph
+
+        cust = _read(s, d, "customer").select(
+            F.col("c_custkey").cast("long").alias("id"),
+            (F.col("c_nationkey").cast("long") + NAT).alias("label"),
+        )
+        supp = _read(s, d, "supplier").select(
+            (F.col("s_suppkey").cast("long") + SUPP).alias("id"),
+            (F.col("s_nationkey").cast("long") + NAT).alias("label"),
+        )
+        qg = quotient_graph(_cust_supp(s, d), cust.unionAll(supp))
+        return qg.edges.select("src", "dst", F.round("weight", 6).alias("weight"))
+
+    q["quotient_nations"] = _nation_quotient
+
     # --- event-log analytics: strict-order funnel + weekly cohort
     # retention (completing the sessionization family)
     from linkgraph.operators.events import funnel, retention_cohorts
@@ -2733,6 +2751,18 @@ SELECT lang,
        count(*) AS n_docs
 FROM b GROUP BY 1, 2
 """,
+        "quotient_nations": f"""
+WITH e AS MATERIALIZED ({CUST_SUPP}),
+lab AS MATERIALIZED (
+  SELECT CAST(c_custkey AS BIGINT) AS id,
+         CAST(c_nationkey + 3000000 AS BIGINT) AS label FROM customer
+  UNION ALL
+  SELECT CAST(s_suppkey + 1000000 AS BIGINT),
+         CAST(s_nationkey + 3000000 AS BIGINT) FROM supplier)
+SELECT sl.label AS src, dl.label AS dst, round(sum(e.weight), 6) AS weight
+FROM e JOIN lab sl ON e.src = sl.id JOIN lab dl ON e.dst = dl.id
+WHERE sl.label <> dl.label
+GROUP BY 1, 2""",
         "events_funnel": """
 WITH s0 AS MATERIALIZED (SELECT user_id AS u, min(ts) AS t FROM events
       WHERE event_type = 'signup' GROUP BY 1),

@@ -14,8 +14,8 @@ library (see SURVEY.md); this package is tables + Catalyst from the
 ground up.
 """
 
-from linkgraph.graph import LinkGraph
+from linkgraph.graph import LinkGraph, quotient_graph
 from linkgraph.session import get_spark
 
-__all__ = ["LinkGraph", "get_spark"]
+__all__ = ["LinkGraph", "quotient_graph", "get_spark"]
 __version__ = "0.1.0"

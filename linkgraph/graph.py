@@ -474,3 +474,42 @@ class LinkGraph:
             .agg(F.count("*").alias("in_degree"))
             .filter(F.col("in_degree") >= min_degree)
         )
+
+
+def quotient_graph(
+    graph: "LinkGraph",
+    labels: DataFrame,
+    self_loops: bool = False,
+) -> "LinkGraph":
+    """Community/partition collapse: the graph whose vertices are the
+    distinct labels and whose edge (a, b) aggregates the weights of
+    all original edges between a member of a and a member of b — the
+    generalization of the host-graph pipeline (sources/edges.py
+    build_host_edges) to arbitrary partitions: SCC condensations,
+    LPA/WCC community graphs, domain rollups. ``labels`` is
+    DataFrame(id, label); vertices missing a label are dropped with
+    their edges (the subgraph-then-collapse semantics). Intra-block
+    edges are dropped unless ``self_loops``.
+
+    Scale shape: two hash joins keyed on the edge endpoints + one
+    groupBy on the (label, label) pair — the label table is typically
+    V-row but the output E'-row is tiny; no driver state.
+    """
+    lab = labels.select(F.col("id"), F.col("label"))
+    e = graph.edges
+    src_l = lab.select(F.col("id").alias("src"), F.col("label").alias("_sl"))
+    dst_l = lab.select(F.col("id").alias("dst"), F.col("label").alias("_dl"))
+    collapsed = (
+        e.join(src_l, "src")
+        .join(dst_l, "dst")
+        .select(
+            F.col("_sl").alias("src"),
+            F.col("_dl").alias("dst"),
+            F.col("weight"),
+        )
+    )
+    if not self_loops:
+        collapsed = collapsed.filter(F.col("src") != F.col("dst"))
+    edges = collapsed.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    verts = lab.select(F.col("label").alias("id")).distinct()
+    return LinkGraph(edges, verts, directed=graph.directed)

@@ -233,3 +233,25 @@ def test_with_edge_ids_equal_weight_tiebreak_deterministic(spark):
     a, b = build(), build()
     assert a == b
     assert sorted(a[f"tag{i}"] for i in range(5)) == ["e0", "e1", "e2", "e3", "e4"]
+
+
+def test_quotient_graph(spark):
+    from linkgraph.graph import quotient_graph
+
+    # blocks: {1,2} -> A(10), {3} -> B(20); 4 unlabeled (dropped)
+    g = graph_from_edges(
+        spark, [(1, 3, 2.0), (2, 3, 5.0), (1, 2, 1.0), (3, 1, 4.0), (1, 4, 9.0)],
+        directed=True,
+    )
+    labels = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20)], "id long, label long"
+    )
+    q = quotient_graph(g, labels)
+    got = {(r["src"], r["dst"]): r["weight"] for r in q.edges.collect()}
+    assert got == {(10, 20): 7.0, (20, 10): 4.0}
+    assert {r["id"] for r in q.vertices.collect()} == {10, 20}
+    assert q.directed
+    # self_loops=True keeps the intra-block edge
+    q2 = quotient_graph(g, labels, self_loops=True)
+    got2 = {(r["src"], r["dst"]): r["weight"] for r in q2.edges.collect()}
+    assert got2[(10, 10)] == 1.0
