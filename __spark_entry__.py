@@ -1094,6 +1094,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .agg(F.count("*").alias("n_docs"))
     )
 
+    # --- mixing statistics: categorical label homophily on the
+    # order-flow graph, and the in-degree power-law tail exponent
+    from linkgraph.operators.linkpred import attribute_assortativity, powerlaw_alpha
+
+    def _nation_labels(s, d):
+        cust = _read(s, d, "customer").select(
+            F.col("c_custkey").cast("long").alias("id"),
+            (F.col("c_nationkey").cast("long") + NAT).alias("label"),
+        )
+        supp = _read(s, d, "supplier").select(
+            (F.col("s_suppkey").cast("long") + SUPP).alias("id"),
+            (F.col("s_nationkey").cast("long") + NAT).alias("label"),
+        )
+        return cust.unionAll(supp)
+
+    q["attr_assortativity_nations"] = lambda s, d: attribute_assortativity(
+        _cust_supp(s, d), _nation_labels(s, d)
+    ).select(F.round("r", 9).alias("r"))
+    q["powerlaw_alpha_suppdir"] = lambda s, d: powerlaw_alpha(
+        _supp_dir(s, d), dmin=2, degree="in"
+    ).select("n_tail", F.round("alpha", 6).alias("alpha"))
+
     # --- partition collapse: the cust_supp order-flow graph rolled up
     # to nations (the host-pipeline shape generalized to any labels)
     def _nation_quotient(s, d):
@@ -2751,6 +2773,38 @@ SELECT lang,
        count(*) AS n_docs
 FROM b GROUP BY 1, 2
 """,
+        "attr_assortativity_nations": f"""
+WITH e AS MATERIALIZED ({CUST_SUPP}),
+lab AS MATERIALIZED (
+  SELECT CAST(c_custkey AS BIGINT) AS id,
+         CAST(c_nationkey + 3000000 AS BIGINT) AS label FROM customer
+  UNION ALL
+  SELECT CAST(s_suppkey + 1000000 AS BIGINT),
+         CAST(s_nationkey + 3000000 AS BIGINT) FROM supplier),
+p AS MATERIALIZED (
+  SELECT sl.label AS sl, dl.label AS dl, count(*) AS c
+  FROM e JOIN lab sl ON e.src = sl.id JOIN lab dl ON e.dst = dl.id
+  GROUP BY 1, 2),
+m AS MATERIALIZED (
+  SELECT sl, dl, c * 1.0 / (SELECT sum(c) FROM p) AS e FROM p),
+tr AS (SELECT coalesce(sum(e), 0.0) AS tr FROM m WHERE sl = dl),
+a AS (SELECT sl, sum(e) AS a FROM m GROUP BY 1),
+b AS (SELECT dl, sum(e) AS b FROM m GROUP BY 1),
+ab AS (SELECT coalesce(sum(a.a * b.b), 0.0) AS ab
+       FROM a JOIN b ON a.sl = b.dl)
+SELECT round(((SELECT tr FROM tr) - (SELECT ab FROM ab))
+             / (1.0 - (SELECT ab FROM ab)), 9) AS r""",
+        "powerlaw_alpha_suppdir": f"""
+WITH e AS MATERIALIZED ({SUPP_DIR}),
+verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+ind AS (SELECT v.id, count(e.dst) AS d FROM verts v
+        LEFT JOIN e ON e.dst = v.id GROUP BY 1),
+tail AS (SELECT d FROM ind WHERE d >= 2)
+SELECT count(*) AS n_tail,
+       CASE WHEN sum(ln(d / 1.5)) > 0
+            THEN round(1.0 + count(*) / sum(ln(d / 1.5)), 6)
+            ELSE NULL END AS alpha
+FROM tail""",
         "quotient_nations": f"""
 WITH e AS MATERIALIZED ({CUST_SUPP}),
 lab AS MATERIALIZED (

@@ -9,10 +9,12 @@ from linkgraph.operators.centrality import (
 )
 from linkgraph.operators.dag import topological_generations
 from linkgraph.operators.linkpred import (
+    attribute_assortativity,
     average_neighbor_degree,
     cocitation_counts,
     graph_summary,
     link_prediction_scores,
+    powerlaw_alpha,
     reciprocity,
 )
 from linkgraph.operators.bowtie import bowtie_decomposition, reachable_set
@@ -124,4 +126,6 @@ __all__ = [
     "group_percentiles",
     "funnel",
     "retention_cohorts",
+    "attribute_assortativity",
+    "powerlaw_alpha",
 ]

@@ -311,3 +311,77 @@ def cocitation_counts(
         .agg(F.count("*").alias("common"))
     )
     return pairs.filter(F.col("common") >= min_count)
+
+
+def attribute_assortativity(graph: LinkGraph, labels: DataFrame) -> DataFrame:
+    """One-row DataFrame(r): categorical attribute assortativity —
+    ``networkx.attribute_assortativity_coefficient`` exactly:
+    r = (Σᵢ eᵢᵢ − Σᵢ aᵢ·bᵢ) / (1 − Σᵢ aᵢ·bᵢ) over the edge-normalized
+    label mixing matrix (undirected graphs count each edge in both
+    orientations, as NetworkX does). ``labels`` is DataFrame(id,
+    label); edges with an unlabeled endpoint are dropped. r = 1 means
+    perfect homophily, 0 random mixing, negative disassortative.
+
+    Scale shape: two endpoint-keyed joins, one (label, label) groupBy
+    (output rows = label-pair count, tiny), then label-keyed row/col
+    sums — no V-row state on the driver, three scalar aggs.
+    """
+    lab = labels.select("id", "label")
+    e = (graph.sym_edges if not graph.directed else graph.edges).select("src", "dst")
+    pairs = (
+        e.join(lab.select(F.col("id").alias("src"), F.col("label").alias("sl")), "src")
+        .join(lab.select(F.col("id").alias("dst"), F.col("label").alias("dl")), "dst")
+        .groupBy("sl", "dl")
+        .agg(F.count("*").alias("c"))
+    )
+    total = pairs.agg(F.sum("c").alias("t"))
+    m = pairs.crossJoin(F.broadcast(total)).select(
+        "sl", "dl", (F.col("c") / F.col("t")).alias("e")
+    )
+    trace = m.filter(F.col("sl") == F.col("dl")).agg(
+        F.coalesce(F.sum("e"), F.lit(0.0)).alias("tr")
+    )
+    a = m.groupBy("sl").agg(F.sum("e").alias("a"))
+    b = m.groupBy("dl").agg(F.sum("e").alias("b"))
+    ab = (
+        a.join(b, a.sl == b.dl)
+        .agg(F.coalesce(F.sum(F.col("a") * F.col("b")), F.lit(0.0)).alias("ab"))
+    )
+    return (
+        trace.crossJoin(F.broadcast(ab))
+        .select(
+            ((F.col("tr") - F.col("ab")) / (F.lit(1.0) - F.col("ab"))).alias("r")
+        )
+    )
+
+
+def powerlaw_alpha(graph: LinkGraph, dmin: int = 2, degree: str = "in") -> DataFrame:
+    """One-row DataFrame(n_tail, alpha): the discrete power-law tail
+    exponent of the degree distribution by the Clauset–Shalizi–Newman
+    MLE approximation α ≈ 1 + n·[Σ ln(dᵢ/(dmin − ½))]⁻¹ over degrees
+    ≥ ``dmin`` — the number every web-graph paper reports for the
+    in-degree head. ``degree``: "in"/"out"/"total" on directed
+    graphs; undirected graphs use the undirected degree. One degree
+    aggregation + one scalar agg; NULL alpha when the tail is empty
+    or degenerate (all tail degrees at dmin with zero log-sum).
+    """
+    if dmin < 1:
+        raise ValueError("dmin must be >= 1")
+    if not graph.directed:
+        deg = graph.degrees().select(F.col("degree").alias("d"))
+    elif degree == "in":
+        deg = graph.in_degrees().select(F.col("in_degree").alias("d"))
+    elif degree == "out":
+        deg = graph.out_degrees().select(F.col("out_degree").alias("d"))
+    elif degree == "total":
+        deg = graph.degrees().select(F.col("degree").alias("d"))
+    else:
+        raise ValueError(f"unknown degree {degree!r}")
+    tail = deg.filter(F.col("d") >= dmin)
+    return tail.agg(
+        F.count("*").alias("n_tail"),
+        F.when(
+            F.sum(F.log(F.col("d") / F.lit(dmin - 0.5))) > 0,
+            F.lit(1.0) + F.count("*") / F.sum(F.log(F.col("d") / F.lit(dmin - 0.5))),
+        ).alias("alpha"),
+    )

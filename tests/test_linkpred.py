@@ -229,3 +229,50 @@ def test_cocitation_center_degree_cap(spark):
     got = {(r["u"], r["v"]): r["common"]
            for r in cocitation_counts(g, max_center_degree=3).collect()}
     assert got == {(1, 2): 1}
+
+
+def test_attribute_assortativity_vs_networkx(spark):
+    from linkgraph.operators.linkpred import attribute_assortativity
+
+    rng = random.Random(71)
+    edges = sorted({(rng.randrange(20), rng.randrange(20)) for _ in range(60)})
+    edges = [(a, b) for a, b in edges if a != b]
+    verts = sorted({x for e in edges for x in e})
+    lab = {v: ["red", "blue", "green"][v % 3] for v in verts}
+
+    for directed in (True, False):
+        # nx.Graph collapses (a,b)/(b,a) to one edge while the engine
+        # keeps row multiplicity — feed canonical pairs when undirected
+        es = edges if directed else sorted({(min(a, b), max(a, b)) for a, b in edges})
+        g = graph_from_edges(spark, es, directed=directed)
+        ldf = spark.createDataFrame(list(lab.items()), "id long, label string")
+        got = attribute_assortativity(g, ldf).collect()[0]["r"]
+        G = nx.DiGraph(es) if directed else nx.Graph(es)
+        nx.set_node_attributes(G, lab, "color")
+        want = nx.attribute_assortativity_coefficient(G, "color")
+        assert abs(got - want) < 1e-12, (directed, got, want)
+
+
+def test_attribute_assortativity_perfect_homophily(spark):
+    from linkgraph.operators.linkpred import attribute_assortativity
+
+    g = graph_from_edges(spark, [(1, 2), (3, 4)], directed=True)
+    ldf = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b")], "id long, label string"
+    )
+    assert abs(attribute_assortativity(g, ldf).collect()[0]["r"] - 1.0) < 1e-12
+
+
+def test_powerlaw_alpha(spark):
+    from linkgraph.operators.linkpred import powerlaw_alpha
+
+    # star-ish: hub 0 with in-degree 6, others in-degree 1 or 0
+    edges = [(i, 0) for i in range(1, 7)] + [(0, 1), (0, 2)]
+    g = graph_from_edges(spark, edges, directed=True)
+    row = powerlaw_alpha(g, dmin=2, degree="in").collect()[0]
+    assert row["n_tail"] == 1  # only the hub has in-degree >= 2
+    want = 1.0 + 1.0 / math.log(6 / 1.5)
+    assert abs(row["alpha"] - want) < 1e-12
+    # empty tail -> NULL alpha
+    row2 = powerlaw_alpha(g, dmin=100).collect()[0]
+    assert row2["n_tail"] == 0 and row2["alpha"] is None
