@@ -1574,6 +1574,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["topo_generations_dag"] = lambda s, d: topological_generations(_sssp_dag(s, d))
 
+    # --- critical path: weighted longest path over the same DAG
+    from linkgraph.operators.dag import dag_longest_path
+
+    q["longest_path_dag"] = lambda s, d: dag_longest_path(_sssp_dag(s, d)).select(
+        "id", F.round("dist", 6).alias("dist")
+    )
+
     # --- reciprocity: mutual-link fraction of the directed supplier
     # graph — one distinct + one reversed-key semi-join, no state
     q["reciprocity_suppdir"] = lambda s, d: reciprocity(_supp_dir(s, d)).select(
@@ -2441,6 +2448,17 @@ walk(id, g) AS (
   SELECT e.dst, walk.g + 1 FROM walk JOIN dag e ON walk.id = e.src
 )
 SELECT id, CAST(max(g) AS BIGINT) AS generation FROM walk GROUP BY id""",
+        "longest_path_dag": f"""
+WITH RECURSIVE dag AS (SELECT src, dst, weight FROM ({SSSP_DAG})),
+paths(id, dist) AS (
+  SELECT s.id, CAST(0.0 AS DOUBLE) FROM (
+    SELECT src AS id FROM dag
+    EXCEPT SELECT dst FROM dag
+  ) s
+  UNION ALL
+  SELECT e.dst, paths.dist + e.weight FROM paths JOIN dag e ON paths.id = e.src
+)
+SELECT id, round(max(dist), 6) AS dist FROM paths GROUP BY id""",
         "reciprocity_suppdir": f"""
 WITH e AS (SELECT DISTINCT src, dst FROM ({SUPP_DIR})),
 n AS (SELECT count(*) AS m FROM e),

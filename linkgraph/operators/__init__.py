@@ -7,7 +7,7 @@ from linkgraph.operators.centrality import (
     multi_source_bfs,
     multi_source_shortest_paths,
 )
-from linkgraph.operators.dag import topological_generations
+from linkgraph.operators.dag import dag_longest_path, topological_generations
 from linkgraph.operators.linkpred import (
     attribute_assortativity,
     average_neighbor_degree,
@@ -128,4 +128,5 @@ __all__ = [
     "retention_cohorts",
     "attribute_assortativity",
     "powerlaw_alpha",
+    "dag_longest_path",
 ]

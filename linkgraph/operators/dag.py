@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from linkgraph.graph import LinkGraph
 from linkgraph.plans.iterate import ConvergenceError, LineageChain
+from linkgraph.plans.partitioning import stationary
 
 
 def topological_generations(graph: LinkGraph, max_rounds: int = 100_000) -> DataFrame:
@@ -77,3 +78,39 @@ def topological_generations(graph: LinkGraph, max_rounds: int = 100_000) -> Data
     vchain.release()
     fchain.release()
     return assigned
+
+
+def dag_longest_path(graph: LinkGraph, weighted: bool = True) -> DataFrame:
+    """DataFrame(id, dist): the weight of the longest (critical) path
+    from any source to each vertex of a DAG — 0 at the sources,
+    ``networkx.dag_longest_path_length`` at the sink end. Verifies
+    acyclicity first via the Kahn peel (raising ``ValueError`` on a
+    cycle, where max-relaxation would diverge silently), then runs
+    exactly ``depth`` frontier max-relaxation rounds — the SSSP plan
+    shape with max instead of min, over a stationary src-partitioned
+    edge operand. Weights must be non-negative (every vertex starts
+    from the empty path at 0, as in the NetworkX default).
+    """
+    if not graph.directed:
+        raise ValueError("dag_longest_path requires a directed graph")
+    gens = topological_generations(graph)  # loud on cycles
+    depth_row = gens.agg(F.max("generation").alias("d")).collect()[0]
+    depth = int(depth_row["d"]) if depth_row["d"] is not None else 0
+    w = F.col("weight").cast("double") if weighted else F.lit(1.0)
+    e = stationary(graph.edges.select("src", "dst", w.alias("w")), "src")
+    chain = LineageChain()
+    dist = chain.cut(graph.vertices.select("id", F.lit(0.0).alias("dist")))
+    for _ in range(depth):
+        cand = (
+            dist.join(e, dist.id == e.src)
+            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("c"))
+            .groupBy("id")
+            .agg(F.max("c").alias("c"))
+        )
+        dist = chain.cut(
+            dist.join(cand, "id", "left").select(
+                "id", F.greatest("dist", F.coalesce("c", F.lit(0.0))).alias("dist")
+            )
+        )
+    e.unpersist()
+    return dist

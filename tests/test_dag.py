@@ -62,3 +62,32 @@ def test_generations_requires_directed(spark):
     g = graph_from_edges(spark, [(1, 2)], directed=False)
     with pytest.raises(ValueError, match="directed"):
         topological_generations(g)
+
+
+def test_dag_longest_path_vs_networkx(spark):
+    import random as _r
+    from linkgraph.operators.dag import dag_longest_path
+
+    rng = _r.Random(9)
+    pairs = sorted({(a, b) for a, b in
+                    ((rng.randrange(25), rng.randrange(25)) for _ in range(90))
+                    if a < b})
+    edges = [(a, b, float(rng.randrange(1, 6))) for a, b in pairs]
+    g = graph_from_edges(spark, edges, directed=True)
+    got = {r["id"]: r["dist"] for r in dag_longest_path(g).collect()}
+    G = nx.DiGraph()
+    G.add_weighted_edges_from(edges)
+    # NetworkX per-vertex longest distance: max over topological preds
+    want = {v: 0.0 for v in G}
+    for v in nx.topological_sort(G):
+        for _, u, d in G.out_edges(v, data=True):
+            want[u] = max(want[u], want[v] + d["weight"])
+    assert got == want
+
+
+def test_dag_longest_path_cycle_raises(spark):
+    from linkgraph.operators.dag import dag_longest_path
+
+    g = graph_from_edges(spark, [(1, 2), (2, 1)], directed=True)
+    with pytest.raises(ValueError, match="cycle"):
+        dag_longest_path(g)
