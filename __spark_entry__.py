@@ -1441,6 +1441,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # quantizer, so the centroid constants are reproducible in SQL;
     # the TRAINED quantizer (distributed Lloyd's) is verified against
     # a numpy replica in tests/test_similarity.py.
+    # --- ANN evaluation: per-query recall of the IVF plan vs exact
+    def _ann_recall(s, d):
+        from linkgraph.operators.similarity import topk_recall
+
+        emb = _read(s, d, "embeddings")
+        qs_ = emb.filter("vec_id < 5")
+        return topk_recall(
+            ivf_cosine_topk(emb, qs_, k=5, n_cells=8, nprobe=2),
+            cosine_topk(emb, qs_, k=5),
+        ).select("query_id", "k_exact", "hits", F.round("recall", 6).alias("recall"))
+
+    q["ann_recall_ivf"] = _ann_recall
+
     q["ivf_cosine_topk"] = lambda s, d: ivf_cosine_topk(
         _read(s, d, "embeddings"),
         _read(s, d, "embeddings").filter("vec_id < 5"),
@@ -3146,6 +3159,32 @@ FROM customer
         "pagerank_converged": _pagerank_converged_sql(50),
         "ann_cosine_topk": _ann_topk_sql(5),
         "ivf_cosine_topk": _ivf_topk_sql(5),
+        "ann_recall_ivf": f"""
+WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1),
+dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                sum(a.x * b.x) AS dot
+         FROM ex a JOIN ex b ON a.i = b.i
+         WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id
+         GROUP BY 1, 2),
+sims AS (SELECT query_id, neighbor_id, dot / (qn.nrm * cn.nrm) AS sim
+         FROM dots JOIN norms qn ON dots.query_id = qn.vec_id
+                   JOIN norms cn ON dots.neighbor_id = cn.vec_id),
+exact AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM sims) WHERE rank <= 5),
+approx AS (SELECT query_id, neighbor_id FROM ({_ivf_topk_sql(5)}) t)
+SELECT e.query_id, count(*) AS k_exact,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS hits,
+       round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 6) AS recall
+FROM exact e LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY 1""",
         "random_walks_suppdir": _walks_sql(4, 2, 7),
         "node2vec_walks_suppdir": _n2v_sql(3, 0.25, 4.0, 13),
         "webgraph_pagerank": _webgraph_pagerank_sql(),

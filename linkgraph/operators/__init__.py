@@ -52,6 +52,13 @@ from linkgraph.operators.features import (
     aggregate_neighbor_features,
 )
 from linkgraph.operators.events import funnel, retention_cohorts
+from linkgraph.operators.similarity import (
+    ann_cosine_topk,
+    cosine_topk,
+    embedding_near_duplicates,
+    ivf_cosine_topk,
+    topk_recall,
+)
 from linkgraph.operators.terms import group_percentiles, tfidf_top_terms
 from linkgraph.operators.sampling import (
     hash_split,
@@ -129,4 +136,9 @@ __all__ = [
     "attribute_assortativity",
     "powerlaw_alpha",
     "dag_longest_path",
+    "cosine_topk",
+    "ann_cosine_topk",
+    "ivf_cosine_topk",
+    "embedding_near_duplicates",
+    "topk_recall",
 ]

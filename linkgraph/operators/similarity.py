@@ -376,3 +376,40 @@ def embedding_near_duplicates(
         .select("a", "b", F.round(dot / (F.col("na") * F.col("nb")), 6).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+
+
+def topk_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    nbr_col: str = "neighbor_id",
+) -> DataFrame:
+    """ANN evaluation: DataFrame(query_id, k_exact, hits, recall) —
+    per-query recall of an approximate top-k result against the exact
+    one (|approx ∩ exact| / |exact|). The measure-don't-guess step
+    every ANN deployment needs before trading exactness for the
+    bucketed plan: run both on a sampled query set, aggregate recall,
+    then ship the approximate plan with a number attached. Two
+    distincts + one semi-join keyed on (query, neighbor), one groupBy.
+    """
+    a = approx.select(
+        F.col(query_col).alias("query_id"), F.col(nbr_col).alias("neighbor_id")
+    ).distinct()
+    e = exact.select(
+        F.col(query_col).alias("query_id"), F.col(nbr_col).alias("neighbor_id")
+    ).distinct()
+    ke = e.groupBy("query_id").agg(F.count("*").alias("k_exact"))
+    hits = (
+        e.join(a, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    return (
+        ke.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "k_exact",
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+            (F.coalesce("hits", F.lit(0)) / F.col("k_exact")).alias("recall"),
+        )
+    )

@@ -165,3 +165,20 @@ def test_kmeans_centroids_vs_numpy_lloyds(spark):
                 assert cells[i] == cells[j]
             else:
                 assert cells[i] != cells[j]
+
+
+def test_topk_recall(spark):
+    from linkgraph.operators.similarity import topk_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 12), (1, 99), (2, 33), (2, 34)],
+        "query_id long, neighbor_id long",
+    )
+    got = {r["query_id"]: (r["k_exact"], r["hits"], r["recall"])
+           for r in topk_recall(approx, exact).collect()}
+    assert got[1] == (3, 2, 2 / 3)
+    assert got[2] == (2, 0, 0.0)
