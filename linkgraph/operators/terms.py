@@ -59,11 +59,21 @@ def tfidf_top_terms(
             )
         ).alias("tfidf"),
     )
-    w = Window.partitionBy("group").orderBy(
+    # two-level top-k: a naive Window.partitionBy(group) funnels a
+    # group's ENTIRE vocabulary through one task — salt first, take k
+    # per (group, salt), then rank the ≤ 16k survivors per group
+    salt = (F.xxhash64("term") % 16).alias("_s")
+    w_local = Window.partitionBy("group", "_s").orderBy(
         F.desc("tfidf"), F.asc("term")
     )
+    pre = (
+        scored.withColumn("_s", salt)
+        .withColumn("_r", F.row_number().over(w_local))
+        .filter(F.col("_r") <= k)
+    )
+    w = Window.partitionBy("group").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
-        scored.withColumn("pos", F.row_number().over(w))
+        pre.withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= k)
         .select("group", "term", "tf", "df_groups", "tfidf", "pos")
     )
