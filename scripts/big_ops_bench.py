@@ -251,6 +251,29 @@ def main() -> None:
             "vertices_per_sec": round(2_000_000 / wall, 1),
         }
 
+    # TF-IDF over the 2M page texts grouped by domain: a ~10^9-row
+    # term explode into a map-side-combined (group, term) groupBy and
+    # the salted two-level top-k — the whole-corpus vocabulary never
+    # funnels through one task
+    from linkgraph.functions.extract import host_col, normalize_url_col
+    from linkgraph.operators.terms import tfidf_top_terms
+
+    if want("tfidf_pages"):
+        pages4 = spark.read.parquet(PAGES_BIG).select(
+            host_col(normalize_url_col(F.col("url"))).alias("source"), F.col("text")
+        )
+        n_docs4 = pages4.count()
+        t0 = time.time()
+        top = tfidf_top_terms(pages4, "source", "text", k=10)
+        n_rows = top.count()
+        wall = time.time() - t0
+        results["tfidf_pages"] = {
+            "sec": round(wall, 1),
+            "docs": n_docs4,
+            "rows": n_rows,
+            "docs_per_sec": round(n_docs4 / wall, 1),
+        }
+
     # best-over-runs: hypervisor-neighbor jitter swings identical runs
     # up to 4x here; keep each operator's fastest observed wall
     best_path = os.path.join(REPO, "BENCH", "scratch", "bigops_best.json")
@@ -319,6 +342,10 @@ Notes:
 - negatives_zipf draws 15 counter-hash candidates per vertex on the
   2M-vertex Zipf(1.2) graph, resolves them through the dense-index
   equi-join, anti-joins the 40M real edges and keeps 5 per vertex.
+- tfidf_pages explodes the 2M page texts into ~10^9 term rows grouped
+  by domain: the (group, term) counts combine map-side, and the
+  per-domain top-10 runs as the salted two-level top-k — no
+  whole-vocabulary single-task window.
 
 Generated by scripts/big_ops_bench.py.
 """
