@@ -1094,6 +1094,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .agg(F.count("*").alias("n_docs"))
     )
 
+    # --- degree-structure curves on the sparse co-occurrence graph:
+    # rich-club φ(k) (histogram-tail math, O(max_degree) frames) and
+    # the knn(k) degree-connectivity curve
+    from linkgraph.operators.linkpred import (
+        degree_connectivity,
+        rich_club_coefficients,
+    )
+
+    q["rich_club_comod3"] = lambda s, d: rich_club_coefficients(
+        _co_mod3(s, d)
+    ).select("k", "n_k", "e_k", F.round("phi", 9).alias("phi"))
+    q["degree_connectivity_comod3"] = lambda s, d: degree_connectivity(
+        _co_mod3(s, d)
+    ).select("k", F.round("knn", 9).alias("knn"))
+
     # --- mixing statistics: categorical label homophily on the
     # order-flow graph, and the in-degree power-law tail exponent
     from linkgraph.operators.linkpred import attribute_assortativity, powerlaw_alpha
@@ -2804,6 +2819,39 @@ SELECT lang,
        count(*) AS n_docs
 FROM b GROUP BY 1, 2
 """,
+        "rich_club_comod3": f"""
+WITH e0 AS (SELECT * FROM ({SUPP_CO}) WHERE CAST(weight AS BIGINT) % 3 = 0),
+canon AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst),
+deg AS MATERIALIZED (SELECT id, count(*) AS d FROM (
+  SELECT a AS id FROM canon UNION ALL SELECT b FROM canon) GROUP BY 1),
+em AS (SELECT least(da.d, db.d) AS m
+       FROM canon c JOIN deg da ON c.a = da.id JOIN deg db ON c.b = db.id),
+ehist AS MATERIALIZED (SELECT m, count(*) AS ec FROM em GROUP BY 1),
+dhist AS MATERIALIZED (SELECT d, count(*) AS nc FROM deg GROUP BY 1),
+ks AS (SELECT unnest(generate_series(0,
+        CAST((SELECT max(d) FROM deg) AS BIGINT) - 1)) AS k),
+ek AS (SELECT ks.k, coalesce(sum(ehist.ec), 0) AS e_k
+       FROM ks LEFT JOIN ehist ON ehist.m > ks.k GROUP BY 1),
+nk AS (SELECT ks.k, coalesce(sum(dhist.nc), 0) AS n_k
+       FROM ks LEFT JOIN dhist ON dhist.d > ks.k GROUP BY 1)
+SELECT ek.k, CAST(n_k AS BIGINT) AS n_k, CAST(e_k AS BIGINT) AS e_k,
+       round(2.0 * e_k / (n_k * (n_k - 1)), 9) AS phi
+FROM ek JOIN nk ON ek.k = nk.k WHERE n_k >= 2""",
+        "degree_connectivity_comod3": f"""
+WITH e0 AS (SELECT * FROM ({SUPP_CO}) WHERE CAST(weight AS BIGINT) % 3 = 0),
+canon AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst),
+deg AS MATERIALIZED (SELECT id, count(*) AS d FROM (
+  SELECT a AS id FROM canon UNION ALL SELECT b FROM canon) GROUP BY 1),
+pairs AS (SELECT a AS u, b AS v FROM canon
+          UNION ALL SELECT b, a FROM canon),
+pn AS (SELECT p.u AS id, avg(dv.d) AS navg
+       FROM pairs p JOIN deg dv ON p.v = dv.id GROUP BY 1)
+SELECT deg.d AS k, round(avg(pn.navg), 9) AS knn
+FROM pn JOIN deg ON pn.id = deg.id GROUP BY 1""",
         "attr_assortativity_nations": f"""
 WITH e AS MATERIALIZED ({CUST_SUPP}),
 lab AS MATERIALIZED (

@@ -12,10 +12,12 @@ from linkgraph.operators.linkpred import (
     attribute_assortativity,
     average_neighbor_degree,
     cocitation_counts,
+    degree_connectivity,
     graph_summary,
     link_prediction_scores,
     powerlaw_alpha,
     reciprocity,
+    rich_club_coefficients,
 )
 from linkgraph.operators.bowtie import bowtie_decomposition, reachable_set
 from linkgraph.operators.spectral import (
@@ -141,4 +143,6 @@ __all__ = [
     "ivf_cosine_topk",
     "embedding_near_duplicates",
     "topk_recall",
+    "rich_club_coefficients",
+    "degree_connectivity",
 ]

@@ -385,3 +385,77 @@ def powerlaw_alpha(graph: LinkGraph, dmin: int = 2, degree: str = "in") -> DataF
             F.lit(1.0) + F.count("*") / F.sum(F.log(F.col("d") / F.lit(dmin - 0.5))),
         ).alias("alpha"),
     )
+
+
+def rich_club_coefficients(graph: LinkGraph) -> DataFrame:
+    """DataFrame(k, n_k, e_k, phi): the rich-club coefficient
+    φ(k) = 2·E_k / (N_k·(N_k−1)) for every degree threshold k in
+    [0, max_degree), where N_k/E_k count the vertices of degree > k
+    and the edges among them — exactly
+    ``networkx.rich_club_coefficient(normalized=False)`` over the
+    simple undirected projection; rows only where N_k ≥ 2 (φ is
+    undefined below that).
+
+    Degree-histogram math, never per-k subgraphs: E_k is the
+    above-k tail of the histogram of per-edge MIN endpoint degree,
+    N_k the tail of the degree histogram. Every frame past the two
+    degree joins is O(max_degree) rows regardless of graph size, so
+    the k-sweep costs nothing at 10^12 edges.
+    """
+    spark = graph.edges.sparkSession
+    canon, deg = _simple_projection(graph)
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("_db"))
+    em = canon.join(da, "a").join(db, "b").select(
+        F.least("_da", "_db").alias("m")
+    )
+    ehist = em.groupBy("m").agg(F.count("*").alias("ec"))
+    dhist = deg.groupBy(F.col("deg").alias("d")).agg(F.count("*").alias("nc"))
+    row = deg.agg(F.max("deg").alias("md")).collect()[0]
+    if row["md"] is None:
+        return spark.createDataFrame([], "k long, n_k long, e_k long, phi double")
+    ks = spark.range(0, int(row["md"])).select(F.col("id").alias("k"))
+    ek = (
+        ks.join(ehist, ehist.m > ks.k, "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("ec"), F.lit(0)).alias("e_k"))
+    )
+    nk = (
+        ks.join(dhist, dhist.d > ks.k, "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("nc"), F.lit(0)).alias("n_k"))
+    )
+    return (
+        ek.join(nk, "k")
+        .filter(F.col("n_k") >= 2)
+        .select(
+            "k",
+            "n_k",
+            "e_k",
+            (2.0 * F.col("e_k") / (F.col("n_k") * (F.col("n_k") - 1))).alias("phi"),
+        )
+    )
+
+
+def degree_connectivity(graph: LinkGraph) -> DataFrame:
+    """DataFrame(k, knn): average nearest-neighbor degree of the
+    degree-k vertices — ``networkx.average_degree_connectivity``
+    (unweighted) over the simple undirected projection; the knn(k)
+    curve whose slope is the assortativity story of a web graph. One
+    degree agg, one edge⋈degree join, two groupBys.
+    """
+    canon, deg = _simple_projection(graph)
+    pairs = canon.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        canon.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("_dv"))
+    per_node = (
+        pairs.join(dv, "v")
+        .groupBy(F.col("u").alias("id"))
+        .agg(F.avg("_dv").alias("_navg"))
+    )
+    return (
+        per_node.join(deg, "id")
+        .groupBy(F.col("deg").alias("k"))
+        .agg(F.avg("_navg").alias("knn"))
+    )

@@ -276,3 +276,38 @@ def test_powerlaw_alpha(spark):
     # empty tail -> NULL alpha
     row2 = powerlaw_alpha(g, dmin=100).collect()[0]
     assert row2["n_tail"] == 0 and row2["alpha"] is None
+
+
+def test_rich_club_vs_networkx(spark):
+    from linkgraph.operators.linkpred import rich_club_coefficients
+
+    rng = random.Random(12)
+    edges = sorted({(min(a, b), max(a, b)) for a, b in
+                    ((rng.randrange(18), rng.randrange(18)) for _ in range(60))
+                    if a != b})
+    g = graph_from_edges(spark, edges, directed=False)
+    got = {r["k"]: (r["n_k"], r["e_k"], r["phi"])
+           for r in rich_club_coefficients(g).collect()}
+    want = nx.rich_club_coefficient(nx.Graph(edges), normalized=False)
+    # engine emits only N_k >= 2 rows; nx raises/propagates beyond that
+    for k, phi in want.items():
+        if k in got:
+            assert abs(got[k][2] - phi) < 1e-12, (k, got[k], phi)
+    assert got, "expected at least the k=0 row"
+    assert set(got) <= set(want)
+
+
+def test_degree_connectivity_vs_networkx(spark):
+    from linkgraph.operators.linkpred import degree_connectivity
+
+    rng = random.Random(33)
+    edges = sorted({(min(a, b), max(a, b)) for a, b in
+                    ((rng.randrange(16), rng.randrange(16)) for _ in range(45))
+                    if a != b})
+    g = graph_from_edges(spark, edges, directed=False)
+    got = {r["k"]: r["knn"] for r in degree_connectivity(g).collect()}
+    want = nx.average_degree_connectivity(nx.Graph(edges))
+    want = {k: v for k, v in want.items() if k > 0}
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-12, (k, got[k], v)
