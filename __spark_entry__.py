@@ -347,6 +347,38 @@ x{i} AS MATERIALIZED (SELECT id, u / (SELECT sqrt(sum(u * u)) FROM u{i}) AS x
     return pre + "".join(its) + f"\nSELECT id, round(x, 8) AS centrality FROM x{k}"
 
 
+def _ppr_batch_sql(k: int = 4, alpha: float = 0.85) -> str:
+    """Unrolled k-step batched sparse personalized PageRank over
+    supp_dir, seeds = the 3 smallest vertex ids (operators/pagerank.
+    personalized_pagerank_batch semantics: x0 = δ_seed, per-seed
+    dangling mass folds onto the seed)."""
+    pre = f"""
+WITH e AS MATERIALIZED (SELECT src, dst, 1.0 AS w FROM ({SUPP_DIR})),
+outs AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
+trans AS MATERIALIZED (
+  SELECT e.src, e.dst, e.w / o.ow AS p FROM e JOIN outs o ON e.src = o.src),
+verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+seeds AS MATERIALIZED (SELECT id AS seed FROM verts ORDER BY id LIMIT 3),
+s0 AS (SELECT seed, seed AS id, 1.0 AS r FROM seeds)"""
+    its = []
+    for i in range(1, k + 1):
+        its.append(f""",
+s{i} AS MATERIALIZED (
+  SELECT seed, id, sum(r) AS r FROM (
+    SELECT s.seed, t.dst AS id, {alpha} * s.r * t.p AS r
+    FROM s{i-1} s JOIN trans t ON s.id = t.src
+    UNION ALL
+    SELECT s.seed, s.seed AS id, {alpha} * sum(s.r) AS r
+    FROM s{i-1} s WHERE s.id NOT IN (SELECT src FROM trans) GROUP BY s.seed
+    UNION ALL
+    SELECT seed, seed AS id, {1.0 - alpha} AS r FROM seeds
+  ) GROUP BY 1, 2)"""
+        )
+    return pre + "".join(its) + (
+        f'\nSELECT seed, id, round(r, 8) AS "rank" FROM s{k}'
+    )
+
+
 def _salsa_sql(k: int = 5) -> str:
     """Unrolled k-iteration SALSA (degree-normalized alternating walk,
     per-step L1 normalization — operators/spectral.salsa) over the
@@ -1626,6 +1658,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("authority", 8).alias("authority"),
         )
     )
+    # --- batched sparse personalized PageRank ("related pages"): 3
+    # seeds advanced together over one stationary transition operand
+    def _ppr_batch(s, d):
+        from linkgraph.operators.pagerank import personalized_pagerank_batch
+
+        g = _supp_dir(s, d)
+        seeds = (
+            g.vertices.orderBy("id").limit(3).select(F.col("id").alias("seed"))
+        )
+        return personalized_pagerank_batch(g, seeds, k=4).select(
+            "seed", "id", F.round("rank", 8).alias("rank")
+        )
+
+    q["ppr_batch_suppdir"] = _ppr_batch
+
     q["salsa5_cust_supp"] = lambda s, d: (
         salsa_fixed_iterations(_cust_supp(s, d), k=5).select(
             "id",
@@ -2331,6 +2378,7 @@ FROM v LEFT JOIN mutual m ON v.id = m.v GROUP BY v.id
         "pagerank5_personalized": _ppr_sql(5),
         "hits5_cust_supp": _hits_sql(5),
         "salsa5_cust_supp": _salsa_sql(5),
+        "ppr_batch_suppdir": _ppr_batch_sql(4),
         "eigenvector5_suppco": _eigen_sql(5),
         "katz5_suppdir": _katz_sql(5),
         "avg_nbr_degree_suppdir": f"""

@@ -40,7 +40,11 @@ from linkgraph.operators.layout import (
 )
 from linkgraph.operators.lpa import label_propagation, modularity
 from linkgraph.operators.mst import minimum_spanning_forest
-from linkgraph.operators.pagerank import pagerank, trustrank
+from linkgraph.operators.pagerank import (
+    pagerank,
+    personalized_pagerank_batch,
+    trustrank,
+)
 from linkgraph.operators.traversal import (
     bfs_levels,
     dfs_preorder,
@@ -145,4 +149,5 @@ __all__ = [
     "topk_recall",
     "rich_club_coefficients",
     "degree_connectivity",
+    "personalized_pagerank_batch",
 ]

@@ -302,3 +302,76 @@ def trustrank(
         graph, alpha=alpha, tol=tol, max_iter=max_iter,
         personalization=p, **kwargs,
     )
+
+
+def personalized_pagerank_batch(
+    graph: LinkGraph,
+    seeds: DataFrame,
+    k: int = 4,
+    alpha: float = 0.85,
+    weighted: bool = True,
+    weight_expr: Column | str | None = None,
+) -> DataFrame:
+    """Batched sparse personalized PageRank — the "related pages"
+    primitive: DataFrame(seed, id, rank) with one PPR vector per seed,
+    all seeds advanced together through ``k`` power-iteration steps of
+    x' = α·(Pᵀx + dangling(x)·δ_seed) + (1−α)·δ_seed from x₀ = δ_seed.
+    As k→∞ each vector converges to
+    ``pagerank(personalization={seed: 1})``'s fixpoint (init-
+    independent); the fixed-k form is the SQL-oracle-comparable one.
+
+    SPARSE by construction: the state carries only (seed, id) pairs
+    with nonzero mass, i.e. each seed's ≤k-hop out-neighborhood —
+    never |seeds|·V rows — so a 1000-seed batch on a web graph costs
+    ~1000 bounded neighborhood expansions sharing ONE stationary
+    src-partitioned transition operand. Per iteration: one
+    co-partitioned state⋈trans join + one (seed, id) groupBy; the
+    per-seed dangling mass folds back onto the seed row (NetworkX's
+    personalized dangling redistribution for a δ teleport vector).
+    ``seeds`` is DataFrame(seed) (a column of vertex ids).
+    """
+    from linkgraph.plans.iterate import LineageChain
+    from linkgraph.plans.partitioning import stationary
+
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    w = _weight_col(weighted, weight_expr)
+    e = graph.sym_edges.select("src", "dst", w.alias("w"))
+    out_sums = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    trans = stationary(
+        e.join(out_sums, "src").select(
+            "src", "dst", (F.col("w") / F.col("out_w")).alias("p")
+        ),
+        "src",
+    )
+    srcs = trans.select("src").distinct()
+    chain = LineageChain()
+    state = chain.cut(
+        seeds.select(F.col("seed"), F.col("seed").alias("id"), F.lit(1.0).alias("rank"))
+    )
+    teleport = seeds.select(
+        F.col("seed"), F.col("seed").alias("id"), F.lit(1.0 - alpha).alias("r")
+    )
+    for _ in range(k):
+        contrib = (
+            state.join(trans, state.id == trans.src)
+            .select(
+                "seed",
+                F.col("dst").alias("id"),
+                (F.lit(alpha) * F.col("rank") * F.col("p")).alias("r"),
+            )
+        )
+        dangling = (
+            state.join(srcs, state.id == srcs.src, "left_anti")
+            .groupBy("seed")
+            .agg((F.lit(alpha) * F.sum("rank")).alias("r"))
+            .select("seed", F.col("seed").alias("id"), "r")
+        )
+        state = chain.cut(
+            contrib.unionAll(dangling)
+            .unionAll(teleport)
+            .groupBy("seed", "id")
+            .agg(F.sum("r").alias("rank"))
+        )
+    trans.unpersist()
+    return state

@@ -1,3 +1,5 @@
+import random
+
 import numpy as np
 import pytest
 
@@ -217,3 +219,52 @@ def test_trustrank_empty_seeds_raises(spark, star_hub):
     seeds = spark.createDataFrame([], "id long")
     with pytest.raises(ValueError, match="non-empty seed"):
         trustrank(star_hub, seeds)
+
+
+def test_ppr_batch_converges_to_networkx_personalized(spark):
+    from linkgraph.operators.pagerank import personalized_pagerank_batch
+
+    rng = random.Random(77)
+    edges = sorted({(rng.randrange(15), rng.randrange(15)) for _ in range(45)})
+    edges = [(a, b) for a, b in edges if a != b]
+    g = graph_from_edges(spark, edges, directed=True)
+    seeds_df = spark.createDataFrame([(0,), (3,)], "seed long")
+    # alpha 0.5, k 40: geometric tail 0.5^40 ~ 1e-12 of the fixpoint
+    out = personalized_pagerank_batch(g, seeds_df, k=40, alpha=0.5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["seed"], {})[r["id"]] = r["rank"]
+    verts = sorted({x for e in edges for x in e})
+    we = [(a, b, 1.0) for a, b in edges]
+    for seed in (0, 3):
+        want = pagerank_oracle(we, verts, alpha=0.5, tol=1e-14,
+                               max_iter=500, personalization={seed: 1.0})
+        for v, x in want.items():
+            assert abs(got[seed].get(v, 0.0) - x) < 1e-9, (seed, v)
+
+
+def test_ppr_batch_dangling_folds_to_seed(spark):
+    from linkgraph.operators.pagerank import personalized_pagerank_batch
+
+    # 0 -> 1, 1 dangling: mass cycles back to the seed
+    g = graph_from_edges(spark, [(0, 1)], directed=True)
+    seeds_df = spark.createDataFrame([(0,)], "seed long")
+    got = {r["id"]: r["rank"]
+           for r in personalized_pagerank_batch(g, seeds_df, k=30,
+                                                alpha=0.5).collect()}
+    want = pagerank_oracle([(0, 1, 1.0)], [0, 1], alpha=0.5, tol=1e-14,
+                           max_iter=500, personalization={0: 1.0})
+    for v, x in want.items():
+        assert abs(got[v] - x) < 1e-9
+
+
+def test_ppr_batch_mass_is_sparse_and_conserved(spark):
+    from linkgraph.operators.pagerank import personalized_pagerank_batch
+
+    # chain 0->1->2->3->4: at k=2 only the 2-hop neighborhood has mass
+    g = graph_from_edges(spark, [(i, i + 1) for i in range(5)], directed=True)
+    seeds_df = spark.createDataFrame([(0,)], "seed long")
+    rows = personalized_pagerank_batch(g, seeds_df, k=2, alpha=0.85).collect()
+    ids = {r["id"] for r in rows}
+    assert ids == {0, 1, 2}
+    assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-12
