@@ -274,6 +274,32 @@ def main() -> None:
             "docs_per_sec": round(n_docs4 / wall, 1),
         }
 
+    # batched sparse PPR: 1000 hash-picked seeds advanced together
+    # over the Zipf graph's single stationary transition operand —
+    # state carries only nonzero (seed, id) mass
+    from linkgraph.operators.pagerank import personalized_pagerank_batch
+
+    if want("ppr_batch_zipf"):
+        zg3 = random_edges(
+            spark, 2_000_000, 40_000_000, seed=5, zipf_s=1.2, partitions=64
+        )
+        gp = LinkGraph(zg3.select("src", "dst"), directed=True)
+        seeds_df = (
+            gp.vertices.filter(F.abs(F.xxhash64("id")) % 2000 == 0)
+            .select(F.col("id").alias("seed"))
+        )
+        n_seeds = seeds_df.count()
+        t0 = time.time()
+        out = personalized_pagerank_batch(gp, seeds_df, k=2, alpha=0.85)
+        n_mass = out.count()
+        wall = time.time() - t0
+        results["ppr_batch_zipf"] = {
+            "sec": round(wall, 1),
+            "seeds": n_seeds,
+            "mass_rows": n_mass,
+            "seeds_per_sec": round(n_seeds / wall, 1),
+        }
+
     # best-over-runs: hypervisor-neighbor jitter swings identical runs
     # up to 4x here; keep each operator's fastest observed wall
     best_path = os.path.join(REPO, "BENCH", "scratch", "bigops_best.json")
@@ -346,6 +372,10 @@ Notes:
   by domain: the (group, term) counts combine map-side, and the
   per-domain top-10 runs as the salted two-level top-k — no
   whole-vocabulary single-task window.
+- ppr_batch_zipf advances ~1000 hash-picked seeds together through 2
+  sparse PPR steps on the Zipf graph: one stationary src-partitioned
+  transition operand shared by every seed, state = nonzero (seed, id)
+  pairs only.
 
 Generated by scripts/big_ops_bench.py.
 """
