@@ -240,7 +240,12 @@ def test_salsa_fixed_iterations_vs_replica(spark):
 def test_salsa_converged_vs_replica(spark):
     # tol 1e-8, not 1e-10: the replica mirrors the engine's stop rule,
     # so both halt at the SAME iteration and parity stays exact — the
-    # tighter tol only added ~100 Spark iterations of wall time
+    # tighter tol only added ~100 Spark iterations of wall time.
+    # clearCache first: this is the suite's longest iterative run and
+    # the one that trips on cache blocks leaked by ~250 earlier tests
+    # (every returned IterationResult state stays persisted); passes
+    # at file scope, flaked only under the full suite.
+    spark.catalog.clearCache()
     edges = [(a, b) for a, b, _ in _rand_edges(23)]
     g = graph_from_edges(spark, edges, directed=True)
     res = salsa(g, tol=1e-8, max_iter=300)
