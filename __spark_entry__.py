@@ -1141,6 +1141,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _co_mod3(s, d)
     ).select("k", F.round("knn", 9).alias("knn"))
 
+    # --- per-community quality (conductance family) for the nation
+    # blocks of the order-flow graph — modularity's companion metrics
+    def _community_stats(s, d):
+        from linkgraph.operators.lpa import community_stats
+
+        return community_stats(_cust_supp(s, d), _nation_labels(s, d)).select(
+            "label",
+            "n_nodes",
+            "volume",
+            "internal_edges",
+            "cut_edges",
+            F.round("conductance", 9).alias("conductance"),
+        )
+
+    q["community_stats_nations"] = _community_stats
+
     # --- mixing statistics: categorical label homophily on the
     # order-flow graph, and the in-degree power-law tail exponent
     from linkgraph.operators.linkpred import attribute_assortativity, powerlaw_alpha
@@ -2867,6 +2883,35 @@ SELECT lang,
        count(*) AS n_docs
 FROM b GROUP BY 1, 2
 """,
+        "community_stats_nations": f"""
+WITH e0 AS MATERIALIZED ({CUST_SUPP}),
+sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+lab AS MATERIALIZED (
+  SELECT CAST(c_custkey AS BIGINT) AS id,
+         CAST(c_nationkey + 3000000 AS BIGINT) AS label FROM customer
+  UNION ALL
+  SELECT CAST(s_suppkey + 1000000 AS BIGINT),
+         CAST(s_nationkey + 3000000 AS BIGINT) FROM supplier),
+pe AS (SELECT sl.label AS sl, dl.label AS dl
+       FROM sym JOIN lab sl ON sym.src = sl.id
+                JOIN lab dl ON sym.dst = dl.id),
+per AS MATERIALIZED (
+  SELECT sl AS label, count(*) AS volume,
+         sum(CASE WHEN sl = dl THEN 1 ELSE 0 END) AS internal_edges,
+         sum(CASE WHEN sl <> dl THEN 1 ELSE 0 END) AS cut_edges
+  FROM pe GROUP BY 1),
+sizes AS (SELECT label, count(*) AS n_nodes FROM lab GROUP BY 1),
+tv AS (SELECT sum(volume) AS t FROM per)
+SELECT s.label, s.n_nodes,
+       CAST(coalesce(p.volume, 0) AS BIGINT) AS volume,
+       CAST(coalesce(p.internal_edges, 0) AS BIGINT) AS internal_edges,
+       CAST(coalesce(p.cut_edges, 0) AS BIGINT) AS cut_edges,
+       round(CASE WHEN least(coalesce(p.volume, 0),
+                            (SELECT t FROM tv) - coalesce(p.volume, 0)) > 0
+                  THEN coalesce(p.cut_edges, 0) * 1.0
+                       / least(p.volume, (SELECT t FROM tv) - p.volume)
+                  ELSE 0.0 END, 9) AS conductance
+FROM sizes s LEFT JOIN per p ON s.label = p.label""",
         "rich_club_comod3": f"""
 WITH e0 AS (SELECT * FROM ({SUPP_CO}) WHERE CAST(weight AS BIGINT) % 3 = 0),
 canon AS MATERIALIZED (

@@ -38,7 +38,7 @@ from linkgraph.operators.layout import (
     spiral_layout,
     spring_layout_sampled,
 )
-from linkgraph.operators.lpa import label_propagation, modularity
+from linkgraph.operators.lpa import community_stats, label_propagation, modularity
 from linkgraph.operators.mst import minimum_spanning_forest
 from linkgraph.operators.pagerank import (
     pagerank,
@@ -150,4 +150,5 @@ __all__ = [
     "rich_club_coefficients",
     "degree_connectivity",
     "personalized_pagerank_batch",
+    "community_stats",
 ]

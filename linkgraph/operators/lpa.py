@@ -202,3 +202,62 @@ def communities_canonical(labels: DataFrame) -> DataFrame:
     assignments compare exactly across engines/runs."""
     canon = labels.groupBy("label").agg(F.min("id").alias("community"))
     return labels.join(canon, "label").select("id", "community")
+
+
+def community_stats(graph: LinkGraph, labels: DataFrame) -> DataFrame:
+    """Per-community quality metrics — DataFrame(label, n_nodes,
+    volume, internal_edges, cut_edges, conductance): the standard
+    companions to ``modularity`` for judging a partition (LPA output,
+    host blocks, any DataFrame(id, label)).
+
+    Symmetric-adjacency convention: every undirected edge counts once
+    per direction, so ``volume`` is the degree sum of the community,
+    ``internal_edges``/``cut_edges`` count directed (mirrored) edge
+    rows whose source is in the community, and conductance is the
+    usual φ(S) = cut(S) / min(vol(S), vol(V∖S)) — 0 for a perfectly
+    isolated community, →1 for one that is mostly boundary. Vertices
+    missing from ``labels`` drop with their edges (subgraph-then-
+    measure, matching quotient_graph). Scale shape: two endpoint-
+    keyed joins + one label groupBy; all output frames are
+    |labels|-row.
+    """
+    lab = labels.select("id", "label")
+    e = graph.sym_edges.select("src", "dst")
+    if graph.directed:
+        # conductance/volume are undirected notions: mirror directed
+        # edges so both endpoints carry the edge in their degree
+        e = e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    both = (
+        e.join(lab.select(F.col("id").alias("src"), F.col("label").alias("sl")), "src")
+        .join(lab.select(F.col("id").alias("dst"), F.col("label").alias("dl")), "dst")
+    )
+    per = both.groupBy(F.col("sl").alias("label")).agg(
+        F.count("*").alias("volume"),
+        F.sum(F.when(F.col("sl") == F.col("dl"), 1).otherwise(0)).alias(
+            "internal_edges"
+        ),
+        F.sum(F.when(F.col("sl") != F.col("dl"), 1).otherwise(0)).alias("cut_edges"),
+    )
+    sizes = lab.groupBy("label").agg(F.count("*").alias("n_nodes"))
+    total = per.agg(F.sum("volume").alias("_tv"))
+    return (
+        sizes.join(per, "label", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "label",
+            "n_nodes",
+            F.coalesce("volume", F.lit(0)).alias("volume"),
+            F.coalesce("internal_edges", F.lit(0)).alias("internal_edges"),
+            F.coalesce("cut_edges", F.lit(0)).alias("cut_edges"),
+            F.when(
+                F.least(F.coalesce("volume", F.lit(0)),
+                        F.col("_tv") - F.coalesce("volume", F.lit(0))) > 0,
+                F.coalesce("cut_edges", F.lit(0))
+                / F.least(F.col("volume"), F.col("_tv") - F.col("volume")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("conductance"),
+        )
+    )

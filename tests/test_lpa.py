@@ -155,3 +155,45 @@ def test_modularity_of_lpa_labels(spark):
     want = nx.community.modularity(nx.Graph(edges), list(parts.values()))
     assert abs(got - want) < 1e-12, (got, want)
     assert got > 0.3
+
+
+def test_community_stats(spark):
+    from linkgraph.operators.lpa import community_stats
+
+    # two triangles joined by one bridge: clean conductance fixture
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    g = graph_from_edges(spark, edges, directed=False)
+    labels = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 1), (5, 1), (6, 1)], "id long, label long"
+    )
+    got = {r["label"]: r for r in community_stats(g, labels).collect()}
+    # each triangle: volume = 2*3 internal + 1 bridge end = 7
+    for lbl in (0, 1):
+        r = got[lbl]
+        assert r["n_nodes"] == 3
+        assert r["volume"] == 7
+        assert r["internal_edges"] == 6
+        assert r["cut_edges"] == 1
+        assert abs(r["conductance"] - 1 / 7) < 1e-12
+    # conductance matches networkx on the cut
+    import networkx as nx
+
+    G = nx.Graph(edges)
+    want = nx.conductance(G, {1, 2, 3})
+    assert abs(got[0]["conductance"] - want) < 1e-12
+
+
+def test_community_stats_directed_and_unlabeled(spark):
+    from linkgraph.operators.lpa import community_stats
+
+    # directed edges mirror into the volume; vertex 9 unlabeled -> its
+    # edge drops entirely
+    g = graph_from_edges(spark, [(1, 2), (2, 3), (3, 9)], directed=True)
+    labels = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1)], "id long, label long"
+    )
+    got = {r["label"]: r for r in community_stats(g, labels).collect()}
+    assert got[0]["volume"] == 3 and got[0]["internal_edges"] == 2
+    assert got[0]["cut_edges"] == 1
+    assert got[1]["volume"] == 1 and got[1]["cut_edges"] == 1
+    assert abs(got[1]["conductance"] - 1.0) < 1e-12
