@@ -1282,6 +1282,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["nbr_embeddings_ring"] = _nbr_emb
 
+    # --- 2-hop GraphSAGE stacking: customer balances roll up the
+    # hierarchy DAG — nations aggregate their customers (hop 1),
+    # regions aggregate their nations' hop-1 means (hop 2); the
+    # second layer consumes the first layer's output as features
+    def _nbr_2hop(s, d):
+        from linkgraph.operators.features import aggregate_neighbor_features
+
+        g = LinkGraph(_hierarchy_edges(s, d), directed=True)
+        feats0 = _read(s, d, "customer").select(
+            F.col("c_custkey").cast("long").alias("id"),
+            F.col("c_acctbal").cast("double").alias("bal"),
+        )
+        hop1 = aggregate_neighbor_features(
+            g, feats0, direction="in", aggs=("mean",)
+        ).select("id", F.col("mean_bal").alias("bal1"))
+        hop2 = aggregate_neighbor_features(
+            g, hop1.filter(F.col("bal1").isNotNull()), direction="in",
+            aggs=("mean",),
+        )
+        return hop2.filter(F.col("nbr_count") > 0).select(
+            "id", "nbr_count", F.round("mean_bal1", 6).alias("mean_bal1")
+        )
+
+    q["nbr_features_2hop"] = _nbr_2hop
+
     # --- deterministic negative-edge sampling (GNN/link-pred training
     # pairs): counter-hash draws against the distributed dense index,
     # anti-joined against real edges — same survivors at any
@@ -3044,6 +3069,16 @@ SELECT "group", count(*) AS n,
        round(quantile_cont(qv, 0.9), 6) AS p90,
        round(quantile_cont(qv, 0.99), 6) AS p99
 FROM q GROUP BY 1""",
+        "nbr_features_2hop": f"""
+WITH h AS MATERIALIZED (SELECT src, dst FROM ({HIER})),
+f0 AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+              CAST(c_acctbal AS DOUBLE) AS bal FROM customer),
+hop1 AS MATERIALIZED (
+  SELECT h.dst AS id, avg(f0.bal) AS bal1
+  FROM h JOIN f0 ON h.src = f0.id GROUP BY 1)
+SELECT h.dst AS id, count(*) AS nbr_count,
+       round(avg(h1.bal1), 6) AS mean_bal1
+FROM h JOIN hop1 h1 ON h.src = h1.id GROUP BY 1""",
         "nbr_features_cust_supp": f"""
 WITH e AS MATERIALIZED ({CUST_SUPP}),
 verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
