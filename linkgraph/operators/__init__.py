@@ -78,6 +78,12 @@ from linkgraph.operators.packing import (
 )
 from linkgraph.operators.triangles import clustering_coefficients, triangle_counts
 from linkgraph.operators.walks import node2vec_walks, random_walks
+from linkgraph.operators.greedy import (
+    greedy_coloring,
+    maximal_independent_set,
+    maximal_matching,
+)
+from linkgraph.operators.densest import densest_subgraph
 
 __all__ = [
     "pagerank",
@@ -151,4 +157,8 @@ __all__ = [
     "degree_connectivity",
     "personalized_pagerank_batch",
     "community_stats",
+    "maximal_independent_set",
+    "greedy_coloring",
+    "maximal_matching",
+    "densest_subgraph",
 ]
