@@ -97,6 +97,12 @@ from linkgraph.operators.similarity import (
 )
 from linkgraph.operators.traversal import bfs_levels, reachable_from, shortest_paths
 from linkgraph.operators.truss import k_truss, truss_numbers
+from linkgraph.operators.densest import densest_subgraph
+from linkgraph.operators.greedy import (
+    greedy_coloring,
+    maximal_independent_set,
+    maximal_matching,
+)
 from linkgraph.operators.walks import node2vec_walks, random_walks
 from linkgraph.operators.triangles import clustering_coefficients, triangle_counts
 from linkgraph.sources.edges import tpch_edges, tpch_supplier_graph
@@ -262,6 +268,120 @@ FROM documents WHERE doc_id % 7 = 0
 
 def _md5int(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _mis_sql(rounds: int = 8) -> str:
+    """Unrolled parallel local-minimum MIS rounds over the symmetrized
+    hierarchy forest — identical to the engine's greedy.py rule, which
+    equals the sequential greedy scan in (md5 priority, id) order.
+    Rounds beyond convergence produce empty candidate sets (no-ops);
+    the sf0.01 graph converges in 2."""
+    p = _md5int("CAST(id AS VARCHAR) || ':0'")
+    pre = f"""
+WITH base AS MATERIALIZED (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({HIER}) WHERE src <> dst GROUP BY 1, 2),
+e AS MATERIALIZED (SELECT a AS src, b AS dst FROM base
+                   UNION ALL SELECT b, a FROM base),
+v0 AS MATERIALIZED (
+  SELECT id, {p} AS p FROM (SELECT DISTINCT src AS id FROM e))"""
+    its = []
+    for i in range(1, rounds + 1):
+        its.append(f""",
+cand{i} AS MATERIALIZED (
+  SELECT v.id FROM v{i-1} v
+  WHERE NOT EXISTS (
+    SELECT 1 FROM e JOIN v{i-1} u ON e.dst = u.id
+    WHERE e.src = v.id AND (u.p < v.p OR (u.p = v.p AND u.id < v.id)))),
+v{i} AS MATERIALIZED (
+  SELECT v.id, v.p FROM v{i-1} v
+  WHERE NOT EXISTS (SELECT 1 FROM cand{i} c WHERE c.id = v.id)
+    AND NOT EXISTS (SELECT 1 FROM e JOIN cand{i} c ON e.src = c.id
+                    WHERE e.dst = v.id))""")
+    union = "\nUNION ALL ".join(f"SELECT id FROM cand{i}" for i in range(1, rounds + 1))
+    return pre + "".join(its) + "\n" + union
+
+
+def _coloring_sql(rounds: int = 8) -> str:
+    """Unrolled Jones-Plassmann rounds over the symmetrized hierarchy
+    forest: a vertex whose smaller-key neighbours are all colored takes
+    the minimum color excluded by its colored neighbours — the exact
+    sequential greedy coloring. sf0.01 converges in 5 rounds."""
+    p = _md5int("CAST(id AS VARCHAR) || ':0'")
+    pre = f"""
+WITH base AS MATERIALIZED (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({HIER}) WHERE src <> dst GROUP BY 1, 2),
+e AS MATERIALIZED (SELECT a AS src, b AS dst FROM base
+                   UNION ALL SELECT b, a FROM base),
+v0 AS MATERIALIZED (
+  SELECT id, {p} AS p FROM (SELECT DISTINCT src AS id FROM e)),
+col0 AS MATERIALIZED (
+  SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS color WHERE 1 = 0)"""
+    its = []
+    for i in range(1, rounds + 1):
+        its.append(f""",
+ready{i} AS MATERIALIZED (
+  SELECT v.id FROM v{i-1} v
+  WHERE NOT EXISTS (
+    SELECT 1 FROM e JOIN v{i-1} u ON e.dst = u.id
+    WHERE e.src = v.id AND (u.p, u.id) < (v.p, v.id))),
+used{i} AS MATERIALIZED (
+  SELECT DISTINCT r.id, c.color
+  FROM ready{i} r JOIN e ON e.src = r.id JOIN col{i-1} c ON e.dst = c.id),
+cc{i} AS MATERIALIZED (
+  SELECT r.id, unnest(range(0, coalesce(n.nc, 0) + 1)) AS g
+  FROM ready{i} r LEFT JOIN (SELECT id, count(*) AS nc FROM used{i} GROUP BY 1) n
+    ON r.id = n.id),
+newly{i} AS MATERIALIZED (
+  SELECT cc.id, min(cc.g) AS color FROM cc{i} cc
+  WHERE NOT EXISTS (SELECT 1 FROM used{i} u WHERE u.id = cc.id AND u.color = cc.g)
+  GROUP BY 1),
+col{i} AS MATERIALIZED (
+  SELECT id, color FROM col{i-1} UNION ALL SELECT id, color FROM newly{i}),
+v{i} AS MATERIALIZED (
+  SELECT v.id, v.p FROM v{i-1} v
+  WHERE NOT EXISTS (SELECT 1 FROM newly{i} n WHERE n.id = v.id))""")
+    return (
+        pre + "".join(its)
+        + f"\nSELECT id, CAST(color AS BIGINT) AS color FROM col{rounds}"
+    )
+
+
+def _matching_sql(rounds: int = 10) -> str:
+    """Unrolled local-minimum matching rounds over the canonical
+    supplier co-occurrence edges: an edge that is the minimum-key
+    incident edge of BOTH endpoints matches — the exact sequential
+    greedy matching in (md5 key, src, dst) order. sf0.01 converges in
+    6 rounds."""
+    q = _md5int("CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR) || ':0'")
+    pre = f"""
+WITH und0 AS MATERIALIZED (
+  SELECT a AS src, b AS dst, {q} AS q FROM (
+    SELECT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM ({SUPP_CO}) WHERE src <> dst GROUP BY 1, 2))"""
+    its = []
+    for i in range(1, rounds + 1):
+        its.append(f""",
+vmin{i} AS MATERIALIZED (
+  SELECT v, min({{'q': q, 's': src, 'd': dst}}) AS m FROM (
+    SELECT src AS v, q, src, dst FROM und{i-1}
+    UNION ALL SELECT dst, q, src, dst FROM und{i-1}) GROUP BY 1),
+cand{i} AS MATERIALIZED (
+  SELECT u.src, u.dst FROM und{i-1} u
+  JOIN vmin{i} ms ON ms.v = u.src JOIN vmin{i} md ON md.v = u.dst
+  WHERE {{'q': u.q, 's': u.src, 'd': u.dst}} = ms.m
+    AND {{'q': u.q, 's': u.src, 'd': u.dst}} = md.m),
+mv{i} AS MATERIALIZED (
+  SELECT src AS id FROM cand{i} UNION SELECT dst FROM cand{i}),
+und{i} AS MATERIALIZED (
+  SELECT u.src, u.dst, u.q FROM und{i-1} u
+  WHERE NOT EXISTS (SELECT 1 FROM mv{i} m WHERE m.id = u.src)
+    AND NOT EXISTS (SELECT 1 FROM mv{i} m WHERE m.id = u.dst))""")
+    union = "\nUNION ALL ".join(
+        f"SELECT src, dst FROM cand{i}" for i in range(1, rounds + 1)
+    )
+    return pre + "".join(its) + "\n" + union
 
 
 TOKENS = "regexp_extract_all(lower({t}), '[a-z0-9]+')"
@@ -1557,6 +1677,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["core_numbers_cliques"] = lambda s, d: core_numbers(_clique_graph(s, d))
     q["k_core4_cliques"] = lambda s, d: k_core(_clique_graph(s, d), 4).edges
+    # greedy symmetry-breaking trio: round-parallel == sequential
+    # greedy in (md5 priority, id) order, so value-exact vs the
+    # unrolled DuckDB rounds
+    q["mis_hierarchy"] = lambda s, d: maximal_independent_set(
+        LinkGraph(_hierarchy_edges(s, d), directed=False)
+    )
+    q["greedy_coloring_hierarchy"] = lambda s, d: greedy_coloring(
+        LinkGraph(_hierarchy_edges(s, d), directed=False)
+    )
+    q["maximal_matching_suppco"] = lambda s, d: maximal_matching(_supp_co(s, d))
+    # densest subgraph of the clique bed is the nation clique at
+    # density (n-1)/2 — a closed-form fact the full peel must hit
+    q["densest_subgraph_cliques"] = lambda s, d: densest_subgraph(_clique_graph(s, d))
     # truss peeling on the same closed-form bed: the nation K25's
     # edges have support 23 (truss 25), the region K5's support 3
     # (truss 5), customer leaf edges support 0 (truss 2) — the full
@@ -3302,6 +3435,16 @@ SELECT a.id, b.id, 1.0 FROM
   (SELECT CAST(r_regionkey + 4000000 AS BIGINT) AS id FROM region) a
   JOIN (SELECT CAST(r_regionkey + 4000000 AS BIGINT) AS id FROM region) b
   ON a.id < b.id
+""",
+        "mis_hierarchy": _mis_sql(),
+        "greedy_coloring_hierarchy": _coloring_sql(),
+        "maximal_matching_suppco": _matching_sql(),
+        # closed form: the peel's best-density snapshot on the clique
+        # bed is the nation clique, density (n-1)/2 exactly
+        "densest_subgraph_cliques": """
+SELECT CAST(n_nationkey + 3000000 AS BIGINT) AS id,
+       CAST((SELECT count(*) FROM nation) - 1 AS DOUBLE) / 2.0 AS density
+FROM nation
 """,
         # the 5-truss of the clique bed = both cliques, no leaves
         # (K25 support 23 >= 3, K5 support 3 >= 3, leaves support 0)
