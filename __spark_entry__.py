@@ -1329,7 +1329,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- corpus term statistics: smoothed TF-IDF top terms per
     # language, and exact per-language quality-score percentiles (the
     # filter-threshold calibration step)
-    from linkgraph.operators.terms import group_percentiles, tfidf_top_terms
+    from linkgraph.operators.terms import (
+        entropy_signals,
+        group_percentiles,
+        tfidf_top_terms,
+    )
 
     q["tfidf_top_terms_docs"] = lambda s, d: tfidf_top_terms(
         _read(s, d, "documents"), "lang", "text", k=10
@@ -1349,6 +1353,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.round("p90", 6).alias("p90"),
         F.round("p99", 6).alias("p99"),
     )
+    # perplexity-proxy quality signals: per-doc word/char-bigram
+    # Shannon entropies over the dup-augmented corpus
+    q["entropy_signals"] = lambda s, d: entropy_signals(_docs(s, d))
 
     # --- GraphSAGE-style neighborhood feature aggregation: supplier
     # vertices aggregate their ordering customers' balances — one
@@ -3202,6 +3209,31 @@ SELECT "group", count(*) AS n,
        round(quantile_cont(qv, 0.9), 6) AS p90,
        round(quantile_cont(qv, 0.99), 6) AS p99
 FROM q GROUP BY 1""",
+        "entropy_signals": f"""
+WITH docs AS MATERIALIZED ({DOCS}),
+toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+         FROM docs),
+cnt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+n AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY 1),
+went AS (SELECT c.doc_id, max(n.n) AS n_tokens,
+                sum(-(c.c / CAST(n.n AS DOUBLE)) * log2(c.c / CAST(n.n AS DOUBLE)))
+                  AS we
+         FROM cnt c JOIN n ON c.doc_id = n.doc_id GROUP BY 1),
+bg AS (SELECT doc_id, substr(text, CAST(g AS BIGINT), 2) AS bgr
+       FROM (SELECT doc_id, text, unnest(range(1, length(text))) AS g FROM docs)),
+bcnt AS (SELECT doc_id, bgr, count(*) AS c FROM bg GROUP BY 1, 2),
+bn AS (SELECT doc_id, sum(c) AS n FROM bcnt GROUP BY 1),
+bent AS (SELECT c.doc_id,
+                sum(-(c.c / CAST(n.n AS DOUBLE)) * log2(c.c / CAST(n.n AS DOUBLE)))
+                  AS be
+         FROM bcnt c JOIN bn n ON c.doc_id = n.doc_id GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(w.n_tokens, 0) AS BIGINT) AS n_tokens,
+       coalesce(w.we, 0.0) AS word_entropy,
+       coalesce(b.be, 0.0) AS bigram_entropy
+FROM docs d LEFT JOIN went w ON d.doc_id = w.doc_id
+            LEFT JOIN bent b ON d.doc_id = b.doc_id
+""",
         "nbr_features_2hop": f"""
 WITH h AS MATERIALIZED (SELECT src, dst FROM ({HIER})),
 f0 AS (SELECT CAST(c_custkey AS BIGINT) AS id,

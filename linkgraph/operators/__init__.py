@@ -65,7 +65,11 @@ from linkgraph.operators.similarity import (
     ivf_cosine_topk,
     topk_recall,
 )
-from linkgraph.operators.terms import group_percentiles, tfidf_top_terms
+from linkgraph.operators.terms import (
+    entropy_signals,
+    group_percentiles,
+    tfidf_top_terms,
+)
 from linkgraph.operators.sampling import (
     hash_split,
     negative_edges,
@@ -143,6 +147,7 @@ __all__ = [
     "aggregate_neighbor_embeddings",
     "tfidf_top_terms",
     "group_percentiles",
+    "entropy_signals",
     "funnel",
     "retention_cohorts",
     "attribute_assortativity",

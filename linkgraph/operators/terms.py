@@ -79,6 +79,68 @@ def tfidf_top_terms(
     )
 
 
+def entropy_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """DataFrame(doc_id, n_tokens, word_entropy, bigram_entropy):
+    per-document Shannon entropies — the cheap perplexity proxy a
+    corpus pipeline uses to flag degenerate text (low entropy =
+    repetitive/templated, suspiciously high = random noise) before
+    paying for model-based scoring.
+
+    word_entropy is over the portable tokenizer's unigram
+    distribution; bigram_entropy over raw character bigrams (captures
+    within-word degeneracy that token stats miss). Both are plain
+    explode + two aggregations — no Python, shuffles keyed on doc_id
+    (uniform), per-doc term counts bounded by doc length. Documents
+    with no tokens (or fewer than 2 chars) get 0.0, matching the
+    single-symbol case exactly: -(1/1)·log2(1) = 0."""
+    base = df.select(F.col(id_col).alias("doc_id"))
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(F.col(text_col))).alias("tok"),
+    )
+    cnt = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    n = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    frac = F.col("c") / F.col("n")
+    went = (
+        cnt.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_tokens"),
+            F.sum(-frac * F.log2(frac)).alias("word_entropy"),
+        )
+    )
+    bg = (
+        df.filter(F.length(text_col) >= 2)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.length(text_col).cast("long") - 1)
+            ).alias("p"),
+            F.col(text_col).alias("_t"),
+        )
+        .select("doc_id", F.col("_t").substr(F.col("p"), F.lit(2)).alias("bgr"))
+    )
+    bcnt = bg.groupBy("doc_id", "bgr").agg(F.count("*").alias("c"))
+    bn = bcnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    bent = (
+        bcnt.join(bn, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum(-frac * F.log2(frac)).alias("bigram_entropy"))
+    )
+    return (
+        base.join(went, "doc_id", "left")
+        .join(bent, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("word_entropy", F.lit(0.0)).alias("word_entropy"),
+            F.coalesce("bigram_entropy", F.lit(0.0)).alias("bigram_entropy"),
+        )
+    )
+
+
 def group_percentiles(
     df: DataFrame,
     group_col: str,

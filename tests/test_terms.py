@@ -64,3 +64,42 @@ def test_group_percentiles_exact(spark):
     assert abs(got["g1"]["p50"] - 50.5) < 1e-9
     assert abs(got["g1"]["p90"] - 90.1) < 1e-9
     assert abs(got["g2"]["p50"] - 6.0) < 1e-9
+
+
+def _entropy(counts):
+    n = sum(counts)
+    return -sum((c / n) * math.log2(c / n) for c in counts) if n else 0.0
+
+
+def test_entropy_signals_matches_replica(spark):
+    import re
+    from collections import Counter
+
+    from linkgraph.operators.terms import entropy_signals
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "aaaa aaaa aaaa"),          # degenerate: near-zero entropies
+        (3, "zq"),                      # single bigram, one token
+        (4, ""),                        # empty: zeros
+        (5, "one"),                     # single token: word entropy 0
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in entropy_signals(df).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    for doc_id, text in docs:
+        toks = re.findall(r"[a-z0-9]+", text.lower())
+        bgs = [text[i : i + 2] for i in range(len(text) - 1)]
+        r = got[doc_id]
+        assert r["n_tokens"] == len(toks)
+        assert math.isclose(
+            r["word_entropy"], _entropy(Counter(toks).values()) if toks else 0.0,
+            abs_tol=1e-12,
+        )
+        assert math.isclose(
+            r["bigram_entropy"], _entropy(Counter(bgs).values()) if bgs else 0.0,
+            abs_tol=1e-12,
+        )
+    # orderings: varied text above degenerate above empty
+    assert got[1]["word_entropy"] > got[2]["word_entropy"] >= 0.0
+    assert got[4]["word_entropy"] == got[4]["bigram_entropy"] == 0.0
