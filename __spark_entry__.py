@@ -98,6 +98,7 @@ from linkgraph.operators.similarity import (
 from linkgraph.operators.traversal import bfs_levels, reachable_from, shortest_paths
 from linkgraph.operators.truss import k_truss, truss_numbers
 from linkgraph.operators.densest import densest_subgraph
+from linkgraph.operators.wl import wl_signatures
 from linkgraph.operators.greedy import (
     greedy_coloring,
     maximal_independent_set,
@@ -346,6 +347,34 @@ v{i} AS MATERIALIZED (
         pre + "".join(its)
         + f"\nSELECT id, CAST(color AS BIGINT) AS color FROM col{rounds}"
     )
+
+
+def _wl_sql(rounds: int = 3) -> str:
+    """Unrolled 1-WL color refinement over the symmetrized hierarchy
+    forest — same md5 label chain as operators/wl.py: round 0 hashes
+    the degree, round t hashes (label, ','-joined ascending neighbour
+    labels)."""
+    pre = f"""
+WITH base AS MATERIALIZED (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({HIER}) WHERE src <> dst GROUP BY 1, 2),
+e AS MATERIALIZED (SELECT a AS src, b AS dst FROM base
+                   UNION ALL SELECT b, a FROM base),
+deg AS (SELECT src AS id, count(*) AS d FROM e GROUP BY 1),
+l0 AS MATERIALIZED (
+  SELECT v.id, {_md5int("'d:' || CAST(coalesce(deg.d, 0) AS VARCHAR)")} AS wl
+  FROM (SELECT DISTINCT src AS id FROM e) v LEFT JOIN deg ON v.id = deg.id)"""
+    its = []
+    for t in range(1, rounds + 1):
+        h = _md5int("CAST(v.wl AS VARCHAR) || ':' || coalesce(n.ns, '')")
+        its.append(f""",
+nl{t} AS MATERIALIZED (
+  SELECT e.src AS id, string_agg(CAST(u.wl AS VARCHAR), ',' ORDER BY u.wl) AS ns
+  FROM e JOIN l{t-1} u ON e.dst = u.id GROUP BY 1),
+l{t} AS MATERIALIZED (
+  SELECT v.id, {h} AS wl
+  FROM l{t-1} v LEFT JOIN nl{t} n ON v.id = n.id)""")
+    return pre + "".join(its) + f"\nSELECT id, wl FROM l{rounds}"
 
 
 def _matching_sql(rounds: int = 10) -> str:
@@ -1694,6 +1723,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         LinkGraph(_hierarchy_edges(s, d), directed=False)
     )
     q["maximal_matching_suppco"] = lambda s, d: maximal_matching(_supp_co(s, d))
+    # 1-WL color refinement: per-vertex structural signatures after 3
+    # rounds — the structure-dedup / isomorphism-rejection primitive
+    q["wl_signatures_hierarchy"] = lambda s, d: wl_signatures(
+        LinkGraph(_hierarchy_edges(s, d), directed=False), rounds=3
+    )
     # densest subgraph of the clique bed is the nation clique at
     # density (n-1)/2 — a closed-form fact the full peel must hit
     q["densest_subgraph_cliques"] = lambda s, d: densest_subgraph(_clique_graph(s, d))
@@ -3469,6 +3503,7 @@ SELECT a.id, b.id, 1.0 FROM
   ON a.id < b.id
 """,
         "mis_hierarchy": _mis_sql(),
+        "wl_signatures_hierarchy": _wl_sql(),
         "greedy_coloring_hierarchy": _coloring_sql(),
         "maximal_matching_suppco": _matching_sql(),
         # closed form: the peel's best-density snapshot on the clique

@@ -88,6 +88,7 @@ from linkgraph.operators.greedy import (
     maximal_matching,
 )
 from linkgraph.operators.densest import densest_subgraph
+from linkgraph.operators.wl import wl_graph_fingerprint, wl_signatures
 
 __all__ = [
     "pagerank",
@@ -166,4 +167,6 @@ __all__ = [
     "greedy_coloring",
     "maximal_matching",
     "densest_subgraph",
+    "wl_signatures",
+    "wl_graph_fingerprint",
 ]

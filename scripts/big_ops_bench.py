@@ -300,6 +300,66 @@ def main() -> None:
             "seeds_per_sec": round(n_seeds / wall, 1),
         }
 
+    # greedy symmetry-breaking on the hub-heavy Zipf graph: the
+    # local-minimum rule is degree-agnostic (per-round cost is one
+    # map-side-combinable neighbor-min agg + anti-joins), so hub
+    # vertices never concentrate a task — rounds stay O(log n)
+    from linkgraph.operators.greedy import maximal_independent_set, maximal_matching
+
+    if want("mis_zipf"):
+        zg4 = random_edges(
+            spark, 2_000_000, 40_000_000, seed=5, zipf_s=1.2, partitions=64
+        )
+        gm = LinkGraph(zg4.select("src", "dst"), directed=False)
+        t0 = time.time()
+        n_mis = maximal_independent_set(gm).count()
+        wall = time.time() - t0
+        results["mis_zipf"] = {
+            "sec": round(wall, 1),
+            "graph": "40M zipf(1.2) edges / 2M vertices",
+            "mis_size": n_mis,
+            "edges_per_sec": round(40_000_000 / wall, 1),
+        }
+
+    if want("matching_zipf"):
+        zg5 = random_edges(
+            spark, 2_000_000, 40_000_000, seed=5, zipf_s=1.2, partitions=64
+        )
+        gx = LinkGraph(zg5.select("src", "dst"), directed=False)
+        t0 = time.time()
+        n_match = maximal_matching(gx).count()
+        wall = time.time() - t0
+        results["matching_zipf"] = {
+            "sec": round(wall, 1),
+            "graph": "40M zipf(1.2) edges / 2M vertices",
+            "matched_pairs": n_match,
+            "edges_per_sec": round(40_000_000 / wall, 1),
+        }
+
+    # densest subgraph: the peel drops every vertex under the density
+    # threshold per round, so the Zipf head (the dense core) is what
+    # survives — eps=0.5 keeps rounds logarithmic at this scale
+    from linkgraph.operators.densest import densest_subgraph
+
+    if want("densest_zipf"):
+        zg6 = random_edges(
+            spark, 2_000_000, 40_000_000, seed=5, zipf_s=1.2, partitions=64
+        )
+        gd = LinkGraph(zg6.select("src", "dst"), directed=False)
+        t0 = time.time()
+        dsub = densest_subgraph(gd, epsilon=0.5)
+        row_d = dsub.agg(
+            F.count("*").alias("v"), F.max("density").alias("rho")
+        ).collect()[0]
+        wall = time.time() - t0
+        results["densest_zipf"] = {
+            "sec": round(wall, 1),
+            "graph": "40M zipf(1.2) edges / 2M vertices",
+            "core_vertices": int(row_d["v"]),
+            "density": round(float(row_d["rho"]), 2),
+            "edges_per_sec": round(40_000_000 / wall, 1),
+        }
+
     # best-over-runs: hypervisor-neighbor jitter swings identical runs
     # up to 4x here; keep each operator's fastest observed wall
     best_path = os.path.join(REPO, "BENCH", "scratch", "bigops_best.json")
@@ -376,6 +436,13 @@ Notes:
   sparse PPR steps on the Zipf graph: one stationary src-partitioned
   transition operand shared by every seed, state = nonzero (seed, id)
   pairs only.
+- mis_zipf / matching_zipf run the deterministic local-minimum rounds
+  on the Zipf(1.2) graph: the per-round neighbor-min (incident-min)
+  aggregation combines map-side, so the Zipf head never concentrates
+  one task, and the pool empties in O(log n) rounds.
+- densest_zipf peels every vertex under 2(1+eps)·density per round
+  (eps=0.5): the surviving snapshot is the Zipf head's dense core,
+  found in logarithmically many degree-agg rounds.
 
 Generated by scripts/big_ops_bench.py.
 """
