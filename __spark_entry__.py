@@ -104,6 +104,8 @@ from linkgraph.operators.greedy import (
     maximal_independent_set,
     maximal_matching,
 )
+from linkgraph.operators.anf import neighborhood_function
+from linkgraph.operators.motifs import butterfly_count, dyad_census, triad_motifs
 from linkgraph.operators.walks import node2vec_walks, random_walks
 from linkgraph.operators.triangles import clustering_coefficients, triangle_counts
 from linkgraph.sources.edges import tpch_edges, tpch_supplier_graph
@@ -1923,6 +1925,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_feature_bytes"] = lambda s, d: _feature_bytes(s, d)
     q["multimodal_resize"] = lambda s, d: _resize(s, d)
 
+    # --- approximate neighborhood function (ANF / HyperBall family):
+    # per-vertex FM sketches OR-merged along out-edges — the scale
+    # path for effective-diameter where exact APSP is O(V·E). The
+    # md5-derived sketch bits replay exactly in SQL; the integer
+    # digests (sum_rho, sum_pow) pin every sketch register per level.
+    q["anf_hierarchy"] = lambda s, d: (
+        neighborhood_function(
+            LinkGraph(_hierarchy_edges(s, d), directed=True),
+            max_h=4,
+            n_sketches=4,
+            seed=0,
+        ).stats.select("h", "vertices", "sum_rho", "sum_pow")
+    )
+
+    # --- bipartite butterflies (4-cycles) on the customer→supplier
+    # two-mode graph: one wedge self-join anchored on the supplier
+    # side + one count agg; butterflies = Σ_pairs C(co, 2)
+    q["butterflies_cust_supp"] = lambda s, d: butterfly_count(
+        _cust_supp(s, d).edges, anchor="right"
+    )
+
+    # --- dyad census + directed triangle motifs (reciprocity and
+    # feed-forward/feedback structure of the directed supplier graph)
+    q["dyad_census_suppdir"] = lambda s, d: dyad_census(_supp_dir(s, d))
+    q["triad_motifs_suppdir"] = lambda s, d: triad_motifs(_supp_dir(s, d))
+
+    # --- spam mass (Gyöngyi et al.): the PageRank fraction NOT
+    # reachable from trusted seeds — (pr − trustrank·scale)/pr per
+    # host, composed from the two already-oracle-exact host scores
+    q["webgraph_spam_mass"] = _webgraph_spam_mass
+
     return q
 
 
@@ -2205,6 +2238,20 @@ def _webgraph_host_trustrank(s, d):
     ).select("host", F.round("rank", 8).alias("trust"))
 
 
+def _webgraph_spam_mass(s, d):
+    """Relative spam mass per host (Gyöngyi/Garcia-Molina/Pedersen):
+    1 − trustrank/pagerank — the fraction of a host's rank NOT
+    accounted for by trusted-seed teleportation. Both inputs are the
+    engine's already-oracle-exact host scores (same rounding), so the
+    ratio is deterministic on both sides."""
+    pr = _webgraph_host_pagerank(s, d)
+    tr = _webgraph_host_trustrank(s, d)
+    return pr.join(tr, "host").select(
+        "host",
+        F.round((F.col("rank") - F.col("trust")) / F.col("rank"), 6).alias("spam_mass"),
+    )
+
+
 def _corpus_filter(s, d):
     """Training-ready corpus: docs that (a) are the canonical survivor
     of their near-dup cluster, (b) have predicted language == the
@@ -2445,6 +2492,98 @@ def _host_trustrank_sql(alpha: float = 0.85) -> str:
         r"CAST(regexp_extract(v.id, '^d(\d+)\.', 1) AS INT) % 7 = 0",
         alpha,
     )
+
+
+def _anf_sql(h_rounds: int = 4, r: int = 4, seed: int = 0) -> str:
+    """Unrolled ANF (Flajolet–Martin neighborhood sketches) over the
+    directed hierarchy forest: identical md5-derived bit registers,
+    identical per-round bit_or merge, identical integer digests —
+    rounds past the fixpoint are no-ops, exactly like the engine's
+    replicated converged rows."""
+
+    def hj(j: int) -> str:
+        return (
+            "CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || "
+            f"':{j}:{seed}'), 1, 15)) AS BIGINT)"
+        )
+
+    bits = ", ".join(
+        f"(1::BIGINT << least(59, bit_count(({hj(j)} & -{hj(j)}) - 1))) AS s{j}"
+        for j in range(r)
+    )
+    rho = " + ".join(f"bit_count(((~s{j}) & (s{j} + 1)) - 1)" for j in range(r))
+    pw = " + ".join(
+        f"(1::BIGINT << bit_count(((~s{j}) & (s{j} + 1)) - 1))" for j in range(r)
+    )
+    pre = f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM ({HIER}) WHERE src <> dst),
+verts AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+v0 AS MATERIALIZED (SELECT id, {bits} FROM verts)"""
+    its = []
+    for i in range(1, h_rounds + 1):
+        gors = ", ".join(f"bit_or(u.s{j}) AS g{j}" for j in range(r))
+        merge = ", ".join(f"v.s{j} | coalesce(g.g{j}, 0) AS s{j}" for j in range(r))
+        its.append(f""",
+g{i} AS (SELECT e.src AS id, {gors} FROM e JOIN v{i-1} u ON e.dst = u.id GROUP BY 1),
+v{i} AS MATERIALIZED (
+  SELECT v.id, {merge} FROM v{i-1} v LEFT JOIN g{i} g ON v.id = g.id)""")
+    levels = "\nUNION ALL\n".join(
+        f"""SELECT {k} AS h, CAST(count(*) AS BIGINT) AS vertices,
+       CAST(sum({rho}) AS BIGINT) AS sum_rho,
+       CAST(sum({pw}) AS BIGINT) AS sum_pow FROM v{k}"""
+        for k in range(h_rounds + 1)
+    )
+    return pre + "".join(its) + "\n" + levels
+
+
+BUTTERFLIES_SQL = f"""
+WITH e AS MATERIALIZED (SELECT DISTINCT src AS l, dst AS r FROM ({CUST_SUPP})),
+co AS (SELECT e1.l AS o1, e2.l AS o2, count(*) AS co
+       FROM e e1 JOIN e e2 ON e1.r = e2.r AND e1.l < e2.l
+       GROUP BY 1, 2)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS edges,
+       CAST(coalesce(sum(co), 0) AS BIGINT) AS wedges,
+       CAST(coalesce(sum(co * (co - 1) // 2), 0) AS BIGINT) AS butterflies
+FROM co
+"""
+
+DYAD_SQL = f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM ({SUPP_DIR}) WHERE src <> dst),
+v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+p AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
+m AS (SELECT count(*) AS m FROM e e1
+      JOIN e e2 ON e1.src = e2.dst AND e1.dst = e2.src
+      WHERE e1.src < e1.dst)
+SELECT CAST((SELECT m FROM m) AS BIGINT) AS mutual,
+       CAST((SELECT count(*) FROM p) - (SELECT m FROM m) AS BIGINT) AS asymmetric,
+       CAST((SELECT count(*) FROM v) * ((SELECT count(*) FROM v) - 1) // 2
+            - (SELECT count(*) FROM p) AS BIGINT) AS nulls
+"""
+
+TRIAD_SQL = f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM ({SUPP_DIR}) WHERE src <> dst),
+t AS (SELECT count(*) AS t FROM e ab JOIN e bc
+        ON ab.dst = bc.src AND ab.src <> bc.dst
+      WHERE EXISTS (SELECT 1 FROM e ac
+                    WHERE ac.src = ab.src AND ac.dst = bc.dst)),
+c AS (SELECT count(*) AS c FROM e ab JOIN e bc
+        ON ab.dst = bc.src AND ab.src <> bc.dst
+      WHERE ab.src < ab.dst AND ab.src < bc.dst
+        AND EXISTS (SELECT 1 FROM e ca
+                    WHERE ca.src = bc.dst AND ca.dst = ab.src))
+SELECT CAST((SELECT t FROM t) AS BIGINT) AS transitive,
+       CAST((SELECT c FROM c) AS BIGINT) AS cyclic
+"""
+
+
+def _spam_mass_sql() -> str:
+    return f"""
+SELECT p.host, round((p.rank - t.trust) / p.rank, 6) AS spam_mass
+FROM ({_host_pagerank_sql()}) p JOIN ({_host_trustrank_sql()}) t ON p.host = t.host
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3616,4 +3755,9 @@ SELECT media_id, width, height,
        CAST(ceil(nb * 1.0 / k) AS BIGINT) AS out_bytes
 FROM k
 """,
+        "anf_hierarchy": _anf_sql(),
+        "butterflies_cust_supp": BUTTERFLIES_SQL,
+        "dyad_census_suppdir": DYAD_SQL,
+        "triad_motifs_suppdir": TRIAD_SQL,
+        "webgraph_spam_mass": _spam_mass_sql(),
     }

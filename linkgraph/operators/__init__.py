@@ -89,6 +89,11 @@ from linkgraph.operators.greedy import (
 )
 from linkgraph.operators.densest import densest_subgraph
 from linkgraph.operators.wl import wl_graph_fingerprint, wl_signatures
+from linkgraph.operators.anf import (
+    effective_diameter,
+    neighborhood_function,
+)
+from linkgraph.operators.motifs import butterfly_count, dyad_census, triad_motifs
 
 __all__ = [
     "pagerank",
