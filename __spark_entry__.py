@@ -106,6 +106,8 @@ from linkgraph.operators.greedy import (
 )
 from linkgraph.operators.anf import neighborhood_function
 from linkgraph.operators.motifs import butterfly_count, dyad_census, triad_motifs
+from linkgraph.operators.temporal import earliest_arrival
+from linkgraph.operators.terms import pmi_collocations
 from linkgraph.operators.walks import node2vec_walks, random_walks
 from linkgraph.operators.triangles import clustering_coefficients, triangle_counts
 from linkgraph.sources.edges import tpch_edges, tpch_supplier_graph
@@ -1956,6 +1958,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # host, composed from the two already-oracle-exact host scores
     q["webgraph_spam_mass"] = _webgraph_spam_mass
 
+    # --- time-respecting reachability (contact tracing over the
+    # transaction temporal multigraph: order dates travel cust→supp,
+    # ship dates travel supp→cust; each hop's timestamp must not
+    # precede the arrival). Static BFS over-counts; this is the
+    # temporal fixpoint — earliest arrival day per vertex.
+    q["temporal_reachability"] = lambda s, d: (
+        earliest_arrival(
+            _temporal_edges(s, d),
+            s.createDataFrame([(1,)], "id long"),
+            start=0,
+            max_rounds=64,
+        ).select("id", F.col("arrival").cast("long").alias("arrival"))
+    )
+
+    # --- PMI collocations (tokenizer-merge / multi-word-expression
+    # mining): adjacent-pair pointwise mutual information from corpus
+    # counts, pairs built in-row (no positional self-join)
+    q["collocations_docs"] = lambda s, d: pmi_collocations(
+        _read(s, d, "documents"), min_count=5
+    )
+
     return q
 
 
@@ -2236,6 +2259,28 @@ def _webgraph_host_trustrank(s, d):
     return trust.join(
         hosts.select("host", F.xxhash64("host").alias("id")), "id"
     ).select("host", F.round("rank", 8).alias("trust"))
+
+
+def _temporal_edges(s, d) -> DataFrame:
+    """Temporal transaction multigraph, timestamps as epoch days:
+    customer →(order date)→ supplier and supplier →(ship date)→
+    customer, one edge per distinct (endpoint pair, day)."""
+    ol = _read(s, d, "orders").join(
+        _read(s, d, "lineitem"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    day = lambda c: F.datediff(F.to_date(c), F.to_date(F.lit("1970-01-01"))).cast("long")
+    fwd = ol.select(
+        F.col("o_custkey").cast("long").alias("src"),
+        (F.col("l_suppkey").cast("long") + SUPP).alias("dst"),
+        day("o_orderdate").alias("ts"),
+    )
+    bwd = ol.select(
+        (F.col("l_suppkey").cast("long") + SUPP).alias("src"),
+        F.col("o_custkey").cast("long").alias("dst"),
+        day("l_shipdate").alias("ts"),
+    )
+    return fwd.unionAll(bwd).distinct()
 
 
 def _webgraph_spam_mass(s, d):
@@ -2576,6 +2621,60 @@ c AS (SELECT count(*) AS c FROM e ab JOIN e bc
                     WHERE ca.src = bc.dst AND ca.dst = ab.src))
 SELECT CAST((SELECT t FROM t) AS BIGINT) AS transitive,
        CAST((SELECT c FROM c) AS BIGINT) AS cyclic
+"""
+
+
+TEMP_EDGES_SQL = """
+SELECT DISTINCT src, dst, ts FROM (
+  SELECT CAST(o_custkey AS BIGINT) AS src,
+         CAST(l_suppkey + 1000000 AS BIGINT) AS dst,
+         CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS ts
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  UNION ALL
+  SELECT CAST(l_suppkey + 1000000 AS BIGINT), CAST(o_custkey AS BIGINT),
+         CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT)
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)
+"""
+
+
+def _temporal_sql(rounds: int = 12, source: int = 1) -> str:
+    """Unrolled earliest-arrival relaxation: each level merges the
+    previous arrivals with one time-respecting hop and takes the min.
+    Rounds past the temporal diameter are no-ops (min of a fixpoint),
+    mirroring the engine's early-stop exactly."""
+    pre = f"""
+WITH e AS MATERIALIZED ({TEMP_EDGES_SQL}),
+a0 AS MATERIALIZED (SELECT CAST({source} AS BIGINT) AS id, CAST(0 AS BIGINT) AS arrival)"""
+    its = []
+    for i in range(1, rounds + 1):
+        its.append(f""",
+a{i} AS MATERIALIZED (
+  SELECT id, min(arrival) AS arrival FROM (
+    SELECT id, arrival FROM a{i-1}
+    UNION ALL
+    SELECT e.dst AS id, e.ts AS arrival
+    FROM e JOIN a{i-1} a ON e.src = a.id AND e.ts >= a.arrival
+  ) GROUP BY id)""")
+    return pre + "".join(its) + f"\nSELECT id, arrival FROM a{rounds}"
+
+
+COLLOCATIONS_SQL = """
+WITH toks AS MATERIALIZED (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+uni AS MATERIALIZED (
+  SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+tot AS (SELECT sum(c) AS n_tokens FROM uni),
+big AS MATERIALIZED (
+  SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS pair_count
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)
+  GROUP BY 1, 2),
+nb AS (SELECT sum(pair_count) AS n_bigrams FROM big)
+SELECT b.w1, b.w2, CAST(b.pair_count AS BIGINT) AS pair_count,
+       round(ln((b.pair_count * 1.0 * (SELECT n_tokens FROM tot) * (SELECT n_tokens FROM tot))
+                / ((SELECT n_bigrams FROM nb) * 1.0 * u1.c * u2.c)), 6) AS pmi
+FROM big b JOIN uni u1 ON b.w1 = u1.w JOIN uni u2 ON b.w2 = u2.w
+WHERE b.pair_count >= 5
 """
 
 
@@ -3756,6 +3855,8 @@ SELECT media_id, width, height,
 FROM k
 """,
         "anf_hierarchy": _anf_sql(),
+        "temporal_reachability": _temporal_sql(),
+        "collocations_docs": COLLOCATIONS_SQL,
         "butterflies_cust_supp": BUTTERFLIES_SQL,
         "dyad_census_suppdir": DYAD_SQL,
         "triad_motifs_suppdir": TRIAD_SQL,

@@ -94,6 +94,7 @@ from linkgraph.operators.anf import (
     neighborhood_function,
 )
 from linkgraph.operators.motifs import butterfly_count, dyad_census, triad_motifs
+from linkgraph.operators.temporal import earliest_arrival
 
 __all__ = [
     "pagerank",

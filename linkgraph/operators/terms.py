@@ -161,3 +161,59 @@ def group_percentiles(
         for p in percentiles
     ]
     return df.groupBy(F.col(group_col).alias("group")).agg(*exprs)
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """DataFrame(w1, w2, pair_count, pmi): pointwise mutual
+    information of adjacent token pairs across the corpus — the
+    collocation-detection primitive (tokenizer-merge candidates,
+    multi-word-expression mining) of a training-data pipeline.
+
+    pmi = ln(P(w1,w2) / (P(w1)·P(w2))) with P from corpus counts
+    (pairs over total bigrams, unigrams over total tokens). Bigrams
+    never cross document boundaries. Only pairs with
+    ``pair_count >= min_count`` are kept — rare-pair PMI is noise and
+    the threshold also bounds the output. Plan: one tokenize +
+    in-row zip (no self-join for adjacency), two map-side-combined
+    count aggregations, one broadcastable scalar row of totals.
+    """
+    toks = df.select(tokens_col(F.col(text_col)).alias("t"))
+    # adjacent pairs built inside the row: no positional self-join
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, size(t) - 1), (x, i) -> struct(x AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    uni = toks.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count("*").alias("c")
+    )
+    totals = uni.agg(F.sum("c").alias("n_tokens"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("pair_count"))
+    n_bigrams = bi.agg(F.sum("pair_count").alias("n_bigrams"))
+    c1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    c2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bi.filter(F.col("pair_count") >= min_count)
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(n_bigrams))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            F.round(
+                F.log(
+                    (F.col("pair_count") * 1.0 * F.col("n_tokens") * F.col("n_tokens"))
+                    / (F.col("n_bigrams") * 1.0 * F.col("c1") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
