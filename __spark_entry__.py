@@ -106,6 +106,7 @@ from linkgraph.operators.greedy import (
 )
 from linkgraph.operators.anf import neighborhood_function
 from linkgraph.operators.motifs import butterfly_count, dyad_census, triad_motifs
+from linkgraph.operators.louvain import louvain_local_moves
 from linkgraph.operators.temporal import earliest_arrival
 from linkgraph.operators.terms import pmi_collocations
 from linkgraph.operators.walks import node2vec_walks, random_walks
@@ -1972,6 +1973,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("id", F.col("arrival").cast("long").alias("arrival"))
     )
 
+    # --- Louvain phase-1 (synchronous modularity-gain local moves,
+    # integer weights → float-order-independent scores, so the
+    # 3-round unrolled SQL replays the argmax exactly)
+    q["louvain_hierarchy"] = lambda s, d: louvain_local_moves(
+        LinkGraph(_hierarchy_edges(s, d), directed=False), rounds=4
+    )
+
     # --- PMI collocations (tokenizer-merge / multi-word-expression
     # mining): adjacent-pair pointwise mutual information from corpus
     # counts, pairs built in-row (no positional self-join)
@@ -2657,6 +2665,58 @@ a{i} AS MATERIALIZED (
     FROM e JOIN a{i-1} a ON e.src = a.id AND e.ts >= a.arrival
   ) GROUP BY id)""")
     return pre + "".join(its) + f"\nSELECT id, arrival FROM a{rounds}"
+
+
+def _louvain_sql(rounds: int = 4) -> str:
+    """Unrolled semi-synchronous Louvain local-move rounds over the
+    symmetrized hierarchy forest — identical candidate set, gain
+    expression, parity alternation, strict-improvement move rule and
+    (score DESC, community ASC) tiebreak as operators/louvain.py.
+    Weight-1 edges keep every score an exact integer divided once by
+    2m, so the argmax is float-order-independent on both engines."""
+    pre = f"""
+WITH base AS MATERIALIZED (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({HIER}) WHERE src <> dst GROUP BY 1, 2),
+e AS MATERIALIZED (SELECT a AS src, b AS dst FROM base
+                   UNION ALL SELECT b, a FROM base),
+deg AS MATERIALIZED (SELECT src AS id, CAST(count(*) AS DOUBLE) AS k
+                     FROM e GROUP BY 1),
+m2 AS (SELECT sum(k) AS m2 FROM deg),
+verts AS (SELECT src AS id FROM ({HIER}) UNION SELECT dst FROM ({HIER})),
+c0 AS MATERIALIZED (
+  SELECT v.id, v.id AS community, coalesce(d.k, 0.0) AS k
+  FROM verts v LEFT JOIN deg d ON v.id = d.id)"""
+    its = []
+    for i in range(1, rounds + 1):
+        its.append(f""",
+tot{i} AS MATERIALIZED (SELECT community, sum(k) AS tot FROM c{i-1} GROUP BY 1),
+wvc{i} AS (SELECT e.src AS vid, s.community, CAST(count(*) AS DOUBLE) AS wvc
+           FROM e JOIN c{i-1} s ON e.dst = s.id GROUP BY 1, 2),
+cand{i} AS MATERIALIZED (
+  SELECT vid, community, max(wvc) AS wvc FROM (
+    SELECT vid, community, wvc FROM wvc{i}
+    UNION ALL SELECT id, community, 0.0 FROM c{i-1}) GROUP BY 1, 2),
+sc{i} AS MATERIALIZED (
+  SELECT cd.vid, cd.community, s.community AS cur, s.k,
+         cd.wvc - s.k * (t.tot - CASE WHEN cd.community = s.community
+                                      THEN s.k ELSE 0.0 END)
+                  / (SELECT m2 FROM m2) AS score
+  FROM cand{i} cd JOIN c{i-1} s ON cd.vid = s.id
+       JOIN tot{i} t ON cd.community = t.community),
+best{i} AS (SELECT vid, community, score, cur, k,
+            row_number() OVER (PARTITION BY vid
+                               ORDER BY score DESC, community ASC) AS rn
+            FROM sc{i}),
+stay{i} AS (SELECT vid, score AS stay_score FROM sc{i} WHERE community = cur),
+c{i} AS MATERIALIZED (
+  SELECT b.vid AS id,
+         CASE WHEN ((b.vid % 2) + 2) % 2 = {i % 2}
+                   AND b.score > s.stay_score
+              THEN b.community ELSE b.cur END AS community,
+         b.k
+  FROM best{i} b JOIN stay{i} s ON b.vid = s.vid WHERE b.rn = 1)""")
+    return pre + "".join(its) + f"\nSELECT id, community FROM c{rounds}"
 
 
 COLLOCATIONS_SQL = """
@@ -3856,6 +3916,7 @@ FROM k
 """,
         "anf_hierarchy": _anf_sql(),
         "temporal_reachability": _temporal_sql(),
+        "louvain_hierarchy": _louvain_sql(),
         "collocations_docs": COLLOCATIONS_SQL,
         "butterflies_cust_supp": BUTTERFLIES_SQL,
         "dyad_census_suppdir": DYAD_SQL,

@@ -360,6 +360,79 @@ def main() -> None:
             "edges_per_sec": round(40_000_000 / wall, 1),
         }
 
+    # ANF: 4 sketch-merge rounds = 4 PageRank-shaped (join + bit_or
+    # agg) passes over the 40M-edge Zipf graph; state is V×8 longs
+    if want("anf_zipf"):
+        from linkgraph.operators.anf import neighborhood_function
+
+        zg7 = random_edges(
+            spark, 2_000_000, 40_000_000, seed=5, zipf_s=1.2, partitions=64
+        )
+        ga = LinkGraph(zg7.select("src", "dst", "weight"), directed=True)
+        t0 = time.time()
+        anf = neighborhood_function(ga, max_h=4, n_sketches=8)
+        last = sorted(anf.stats.collect(), key=lambda r: r.h)[-1]
+        wall = time.time() - t0
+        results["anf_zipf"] = {
+            "sec": round(wall, 1),
+            "graph": "40M zipf(1.2) edges / 2M vertices",
+            "rounds": anf.rounds_run,
+            "est_pairs_h4": round(float(last.est_pairs), 1),
+            "edges_per_sec": round(40_000_000 * anf.rounds_run / wall, 1),
+        }
+
+    # butterflies: wedge join anchored on the light (uniform src)
+    # side — auto anchor selection reads the wedge mass per side and
+    # must reject the Zipf-hub dst side or the join never finishes
+    if want("butterflies_zipf"):
+        from linkgraph.operators.motifs import butterfly_count
+
+        zg8 = random_edges(
+            spark, 2_000_000, 40_000_000, seed=5, zipf_s=1.2, partitions=64
+        )
+        t0 = time.time()
+        row_b = butterfly_count(zg8.select("src", "dst"), anchor="auto").collect()[0]
+        wall = time.time() - t0
+        results["butterflies_zipf"] = {
+            "sec": round(wall, 1),
+            "graph": "40M zipf(1.2) edges / 2M vertices (bipartite view)",
+            "wedges": int(row_b.wedges),
+            "butterflies": int(row_b.butterflies),
+            "edges_per_sec": round(40_000_000 / wall, 1),
+        }
+
+    # temporal reachability: hub-seeded earliest-arrival with
+    # hash-derived day stamps — per round one frontier⋈edges join
+    # filtered by ts >= arrival + one min agg
+    if want("temporal_zipf"):
+        from linkgraph.operators.temporal import earliest_arrival
+
+        zg9 = random_edges(
+            spark, 2_000_000, 40_000_000, seed=5, zipf_s=1.2, partitions=64
+        ).persist()
+        te = zg9.select(
+            "src", "dst", (F.abs(F.xxhash64("src", "dst", F.lit(3))) % 365).alias("ts")
+        )
+        seeds_t = (
+            zg9.groupBy("dst")
+            .count()
+            .orderBy(F.desc("count"), F.asc("dst"))
+            .limit(1000)
+            .select(F.col("dst").alias("id"))
+        )
+        t0 = time.time()
+        arr = earliest_arrival(te, seeds_t, start=0, max_rounds=64)
+        n_reached = arr.count()
+        wall = time.time() - t0
+        results["temporal_zipf"] = {
+            "sec": round(wall, 1),
+            "graph": "40M zipf(1.2) edges / 2M vertices, ts in [0,365)",
+            "seeds": 1000,
+            "reached": n_reached,
+            "edges_per_sec": round(40_000_000 / wall, 1),
+        }
+        zg9.unpersist()
+
     # best-over-runs: hypervisor-neighbor jitter swings identical runs
     # up to 4x here; keep each operator's fastest observed wall
     best_path = os.path.join(REPO, "BENCH", "scratch", "bigops_best.json")
