@@ -59,6 +59,7 @@ def pagerank(
     weighted: bool = True,
     weight_expr: Column | str | None = None,
     personalization: DataFrame | None = None,
+    init_ranks: DataFrame | None = None,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 0,
     truncate_every: int = 3,
@@ -78,6 +79,17 @@ def pagerank(
     ``weight_expr``: optional Column/str evaluated against the edge
     row as the weight (overrides ``weighted``) — the weight-closure
     parameter of the reference API.
+
+    ``init_ranks``: optional DataFrame(id, rank) warm start (NetworkX
+    ``nstart=`` semantics) — the incremental-update path: seed with
+    yesterday's converged scores after a crawl delta and the power
+    iteration re-converges in the few iterations the perturbation
+    needs instead of from-uniform's dozens (tests/test_incremental.py
+    measures the gap). Vertices missing from ``init_ranks`` (newly
+    discovered pages) start at the uniform share; the vector is
+    renormalized to sum 1, so any positive scale works. The fixpoint
+    is start-independent — warm and cold runs agree to solver
+    tolerance.
 
     ``salt_contribs``: 0 = plain groupBy (map-side combine handles
     hubs); int n = explicit n-salt two-level aggregation; "auto" =
@@ -188,8 +200,22 @@ def pagerank(
     verts = truncate_lineage(verts).repartition(n_parts, "id").persist()
     verts.count()
 
-    # uniform start regardless of personalization (NetworkX nstart=None)
-    init = verts.select("id", F.lit(1.0 / n).alias("rank"), "dangling", "tp")
+    if init_ranks is None:
+        # uniform start regardless of personalization (NetworkX nstart=None)
+        init = verts.select("id", F.lit(1.0 / n).alias("rank"), "dangling", "tp")
+    else:
+        ir = init_ranks.select("id", F.col("rank").cast("double").alias("r0"))
+        seeded = verts.join(ir, "id", "left").withColumn(
+            "r0", F.coalesce("r0", F.lit(1.0 / n))
+        )
+        s0 = seeded.agg(F.sum("r0")).collect()[0][0]
+        if s0 is None or not (float(s0) > 0.0) or s0 != s0 or s0 == float("inf"):
+            raise ValueError(
+                f"init_ranks must sum to a positive finite value, got {s0}"
+            )
+        init = seeded.select(
+            "id", (F.col("r0") / F.lit(float(s0))).alias("rank"), "dangling", "tp"
+        )
 
     fixed_iters = tol < 0  # pagerank_fixed_iterations: skip the delta action
 
