@@ -45,7 +45,7 @@ from linkgraph.operators.packing import (
     mixture_weights,
     pack_sequences,
 )
-from linkgraph.operators.sampling import hash_split, stratified_sample
+from linkgraph.operators.sampling import hash_split, stratified_sample, weighted_sample
 from linkgraph.operators.dedup import (
     MERSENNE31,
     contamination,
@@ -1987,6 +1987,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _read(s, d, "documents"), min_count=5
     )
 
+    # --- Efraimidis–Spirakis weighted sampling (inclusion ∝ weight,
+    # deterministic, parallelism-invariant; priorities rounded so the
+    # top-k replays in SQL)
+    q["weighted_sample_docs"] = lambda s, d: weighted_sample(
+        _read(s, d, "documents"), "doc_id", "n_chars", k=100, seed=0
+    ).select("doc_id", "wkey")
+
     return q
 
 
@@ -3918,6 +3925,17 @@ FROM k
         "temporal_reachability": _temporal_sql(),
         "louvain_hierarchy": _louvain_sql(),
         "collocations_docs": COLLOCATIONS_SQL,
+        "weighted_sample_docs": f"""
+WITH pri AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         round(CASE WHEN n_chars > 0
+               THEN pow((CAST({_md5int("CAST(doc_id AS VARCHAR) || ':w:0'")} AS DOUBLE) + 1.0)
+                        / 1152921504606846976.0,
+                        1.0 / CAST(n_chars AS DOUBLE))
+               ELSE 0.0 END, 9) AS wkey
+  FROM documents)
+SELECT doc_id, wkey FROM pri ORDER BY wkey DESC, doc_id ASC LIMIT 100
+""",
         "butterflies_cust_supp": BUTTERFLIES_SQL,
         "dyad_census_suppdir": DYAD_SQL,
         "triad_motifs_suppdir": TRIAD_SQL,

@@ -178,3 +178,39 @@ def negative_edges(
         .filter(F.col("rank") <= per_node)
         .select("src", "dst", "rank")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the k
+    rows with the largest Efraimidis–Spirakis priorities
+    u^(1/w), u = uniform hash of (id, seed) — each row's inclusion
+    probability is proportional to its weight, the standard one-pass
+    distributed weighted reservoir (A-Res, public). Zero/negative
+    weights never win (priority 0).
+
+    Same determinism contract as the other samplers: the survivor
+    set depends only on (id, seed, weights), not parallelism. The
+    top-k is TakeOrdered (per-partition heads + driver merge), never
+    a full sort shuffle. The priority is rounded to 9 decimals with
+    an id tiebreak so the selection replays bit-identically in ANSI
+    SQL (pow last-ulp differences sit ~7 orders below the rounding
+    step). Output: the sampled rows + ``wkey`` (rounded priority)."""
+    u = (
+        md5int_col(
+            F.concat(F.col(id_col).cast("string"), F.lit(f":w:{seed}"))
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(2**60))  # u in (0, 1]: +1 avoids pow(0, ...) = 0 ties
+    w = F.col(weight_col).cast("double")
+    key = F.when(w > 0, F.pow(u, F.lit(1.0) / w)).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("wkey", F.round(key, 9))
+        .orderBy(F.desc("wkey"), F.asc(id_col))
+        .limit(int(k))
+    )

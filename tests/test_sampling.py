@@ -143,3 +143,31 @@ def test_negative_edges_complete_graph_empty(spark):
     edges = [(a, b) for a in range(n) for b in range(n) if a != b]
     g = graph_from_edges(spark, edges, directed=True)
     assert negative_edges(g, per_node=3, seed=5).count() == 0
+
+
+def test_weighted_sample_inclusion_tracks_weight(spark):
+    from linkgraph.operators.sampling import weighted_sample
+
+    # two weight classes: heavy rows 100x the weight of light rows
+    rows = [(i, 1000.0 if i % 2 == 0 else 10.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample(df, "doc_id", "w", k=100, seed=3).collect()
+    heavy = sum(1 for r in got if r.doc_id % 2 == 0)
+    assert len(got) == 100
+    # heavy rows should dominate the sample (p ratio 100:1)
+    assert heavy >= 85
+    # deterministic: identical survivor set on re-run
+    again = weighted_sample(df, "doc_id", "w", k=100, seed=3).collect()
+    assert {r.doc_id for r in got} == {r.doc_id for r in again}
+    # different seed → different (but same-sized) selection
+    other = weighted_sample(df, "doc_id", "w", k=100, seed=4).collect()
+    assert {r.doc_id for r in got} != {r.doc_id for r in other}
+
+
+def test_weighted_sample_zero_weights_lose(spark):
+    from linkgraph.operators.sampling import weighted_sample
+
+    rows = [(i, 0.0 if i < 50 else 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample(df, "doc_id", "w", k=50, seed=0).collect()
+    assert all(r.doc_id >= 50 for r in got)
