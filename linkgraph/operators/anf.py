@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import LinkGraph
-from linkgraph.plans.iterate import LineageChain
+from linkgraph.plans.iterate import LineageChain, PeelCheckpoint
 from linkgraph.plans.partitioning import stationary
 
 PHI = 0.77351  # Flajolet–Martin small-range correction constant
@@ -88,6 +88,9 @@ def neighborhood_function(
     n_sketches: int = 8,
     seed: int = 0,
     direction: str = "out",
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
+    resume: bool = True,
 ) -> ANFResult:
     """Estimate the neighborhood function N(h) = Σ_v |ball(v, h)| for
     h = 0..max_h.
@@ -96,7 +99,13 @@ def neighborhood_function(
     "in" vertices that reach v, "und" ignores orientation. Once the
     sketches reach a fixpoint (diameter exhausted) the remaining rows
     repeat the converged values — N(h) is constant past the diameter —
-    without running further joins."""
+    without running further joins.
+
+    ``checkpoint_dir``/``checkpoint_every``: durable per-round commits
+    (sketch frame + the accumulated per-h digests) via PeelCheckpoint;
+    a restarted call with the same dir resumes at the next radius —
+    including EXTENDING a finished run to a larger ``max_h`` without
+    recomputing the completed rounds."""
     spark = graph.edges.sparkSession
     r = int(n_sketches)
     if direction == "out":
@@ -128,12 +137,24 @@ def neighborhood_function(
         ).alias("est_pairs"),
     ]
 
-    rows = []
-    row0 = state.agg(*stat_cols).collect()[0]
-    rows.append((0, row0.vertices, row0.sum_rho, row0.sum_pow, float(row0.est_pairs)))
+    ckpt = PeelCheckpoint(checkpoint_dir, spark) if checkpoint_dir else None
+    rows: list[tuple] = []
+    start_h = 1
+    if ckpt and resume:
+        meta = ckpt.latest()
+        if meta is not None:
+            state = ckpt.load(meta)["state"]
+            rows = [
+                (int(r[0]), int(r[1]), int(r[2]), int(r[3]), float(r[4]))
+                for r in meta["extra"]["rows"]
+            ]
+            start_h = meta["round"] + 1
+    if not rows:
+        row0 = state.agg(*stat_cols).collect()[0]
+        rows.append((0, row0.vertices, row0.sum_rho, row0.sum_pow, float(row0.est_pairs)))
 
-    rounds_run = 0
-    for h in range(1, max_h + 1):
+    rounds_run = start_h - 1
+    for h in range(start_h, max_h + 1):
         gathered = (
             edges.join(state, edges["dst"] == state["id"])
             .groupBy(edges["src"].alias("gid"))
@@ -163,6 +184,8 @@ def neighborhood_function(
         )
         state = merged.drop("chg")
         rounds_run = h
+        if ckpt and checkpoint_every and h % checkpoint_every == 0:
+            ckpt.commit(h, {"state": state}, extra={"rows": rows})
         if stat_row.changed == 0:
             # past the diameter: N is constant — replicate, don't compute
             for hh in range(h + 1, max_h + 1):

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import LinkGraph
-from linkgraph.plans.iterate import LineageChain
+from linkgraph.plans.iterate import LineageChain, PeelCheckpoint
 from linkgraph.plans.partitioning import stationary
 
 
@@ -48,10 +48,18 @@ def louvain_local_moves(
     rounds: int = 4,
     weighted: bool = False,
     alternate: bool = True,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
+    resume: bool = True,
 ) -> DataFrame:
     """DataFrame(id, community) after ``rounds`` local-move rounds
     from singleton communities, undirected semantics (directions
-    ignored, self-loops dropped; parallel edges sum)."""
+    ignored, self-loops dropped; parallel edges sum).
+
+    ``checkpoint_dir``/``checkpoint_every``: durable per-round state
+    commits via PeelCheckpoint; a restart with the same dir resumes
+    at the next round (round index — and therefore the parity class —
+    is preserved across the restart)."""
     w = F.col("weight").cast("double") if weighted else F.lit(1.0)
     half = (
         graph.edges.select(
@@ -87,7 +95,16 @@ def louvain_local_moves(
     )
     state = chain.cut(state)
 
-    for r in range(1, rounds + 1):
+    spark = graph.edges.sparkSession
+    ckpt = PeelCheckpoint(checkpoint_dir, spark) if checkpoint_dir else None
+    start_r = 1
+    if ckpt and resume:
+        meta = ckpt.latest()
+        if meta is not None:
+            state = ckpt.load(meta)["state"]
+            start_r = meta["round"] + 1
+
+    for r in range(start_r, rounds + 1):
         tot = state.groupBy("community").agg(F.sum("k").alias("tot"))
         # w_{v,c}: weight from v to each neighboring community
         nbr_comm = (
@@ -158,6 +175,8 @@ def louvain_local_moves(
                 "id", "community", F.coalesce("k", F.lit(0.0)).alias("k")
             )
         )
+        if ckpt and checkpoint_every and r % checkpoint_every == 0:
+            ckpt.commit(r, {"state": state})
 
     sym.unpersist()
     deg.unpersist()

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from linkgraph.plans.iterate import ConvergenceError, LineageChain
+from linkgraph.plans.iterate import ConvergenceError, LineageChain, PeelCheckpoint
 from linkgraph.plans.partitioning import stationary
 
 
@@ -32,6 +32,9 @@ def earliest_arrival(
     start: int = 0,
     max_rounds: int = 64,
     on_exhaustion: str = "raise",
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
+    resume: bool = True,
 ) -> DataFrame:
     """DataFrame(id, arrival): earliest time-respecting arrival from
     any source, reached vertices only.
@@ -43,7 +46,9 @@ def earliest_arrival(
     ``ts >= start`` are usable from it). Deterministic: min is
     order-free. Converged result is a fixpoint — running more rounds
     changes nothing, which is what makes the unrolled SQL oracle
-    value-comparable."""
+    value-comparable. ``checkpoint_dir``/``checkpoint_every``: durable
+    per-round (state, frontier) commits via PeelCheckpoint; a restart
+    with the same dir resumes at the next round."""
     e = edges.select("src", "dst", F.col("ts").cast("long").alias("ts"))
     e = stationary(e, key="src")
     chain_state = LineageChain()
@@ -53,8 +58,18 @@ def earliest_arrival(
     state = chain_state.cut(state)
     frontier = state
 
+    spark = edges.sparkSession
+    ckpt = PeelCheckpoint(checkpoint_dir, spark) if checkpoint_dir else None
+    start_round = 0
+    if ckpt and resume:
+        meta = ckpt.latest()
+        if meta is not None:
+            frames = ckpt.load(meta)
+            state, frontier = frames["state"], frames["frontier"]
+            start_round = meta["round"] + 1
+
     converged = False
-    for _ in range(max_rounds):
+    for round_i in range(start_round, max_rounds):
         cand = (
             e.join(frontier, e["src"] == frontier["id"])
             .filter(F.col("ts") >= F.col("arrival"))
@@ -77,6 +92,8 @@ def earliest_arrival(
             merged.filter(F.coalesce("improved", F.lit(False))).select("id", "arrival")
         )
         state = merged.select("id", "arrival")
+        if ckpt and checkpoint_every and (round_i + 1) % checkpoint_every == 0:
+            ckpt.commit(round_i, {"state": state, "frontier": frontier})
         if frontier.limit(1).count() == 0:
             converged = True
             break

@@ -98,3 +98,72 @@ def test_peel_checkpoint_gc_keeps_latest_only(spark, tmp_path):
     core_numbers(g, checkpoint_dir=d, checkpoint_every=1, resume=False)
     metas = [f for f in os.listdir(d) if f.endswith(".meta.json")]
     assert len(metas) == 1  # only the newest round's commit survives
+
+
+def test_anf_resume_extends_horizon(spark, tmp_path):
+    from linkgraph.operators.anf import neighborhood_function
+
+    g = graph_from_edges(spark, [(i, i + 1) for i in range(1, 7)])
+    want = sorted(
+        tuple(r)
+        for r in neighborhood_function(g, max_h=5, n_sketches=4).stats.collect()
+    )
+    d = str(tmp_path / "anf")
+    neighborhood_function(
+        g, max_h=2, n_sketches=4, checkpoint_dir=d, checkpoint_every=1
+    )
+    assert _latest_meta(d)["round"] == 2
+    got = sorted(
+        tuple(r)
+        for r in neighborhood_function(
+            g, max_h=5, n_sketches=4, checkpoint_dir=d, checkpoint_every=1
+        ).stats.collect()
+    )
+    assert got == want
+    assert _latest_meta(d)["round"] >= 3  # continued, not restarted
+
+
+def test_temporal_resume_after_kill(spark, tmp_path):
+    from linkgraph.operators.temporal import earliest_arrival
+
+    edges = [(i, i + 1, i) for i in range(1, 8)]
+    e = spark.createDataFrame(edges, "src long, dst long, ts long")
+    src = spark.createDataFrame([(1,)], "id long")
+    want = {(r.id, r.arrival) for r in earliest_arrival(e, src).collect()}
+    d = str(tmp_path / "temporal")
+    with pytest.raises(ConvergenceError):
+        earliest_arrival(
+            e, src, max_rounds=2, checkpoint_dir=d, checkpoint_every=1
+        )
+    assert _latest_meta(d)["round"] == 1
+    got = {
+        (r.id, r.arrival)
+        for r in earliest_arrival(
+            e, src, checkpoint_dir=d, checkpoint_every=1
+        ).collect()
+    }
+    assert got == want
+    assert _latest_meta(d)["round"] >= 2
+
+
+def test_louvain_resume_preserves_parity(spark, tmp_path):
+    from linkgraph.operators.louvain import louvain_local_moves
+
+    edges = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    edges += [(10 + i, 10 + j) for i in range(5) for j in range(i + 1, 5)]
+    edges += [(4, 10)]
+    g = graph_from_edges(spark, edges, directed=False)
+    want = {
+        (r.id, r.community) for r in louvain_local_moves(g, rounds=4).collect()
+    }
+    d = str(tmp_path / "louvain")
+    louvain_local_moves(g, rounds=2, checkpoint_dir=d, checkpoint_every=1)
+    assert _latest_meta(d)["round"] == 2
+    got = {
+        (r.id, r.community)
+        for r in louvain_local_moves(
+            g, rounds=4, checkpoint_dir=d, checkpoint_every=1
+        ).collect()
+    }
+    assert got == want
+    assert _latest_meta(d)["round"] == 4
