@@ -108,3 +108,46 @@ def running_user_counts(events: DataFrame, timeout_minutes: int = 30) -> DataFra
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def streaming_dedup(docs: DataFrame) -> DataFrame:
+    """First-occurrence-only streaming dedup: a document passes iff
+    its normalized-text fingerprint has not been seen in any earlier
+    micro-batch — the online mirror of the batch ``dedup_exact``
+    (same md5-60-bit fingerprint), via applyInPandasWithState keyed
+    BY the fingerprint so state is one boolean per distinct content
+    and the shuffle keys on the fingerprint (uniform), never the doc
+    id. Within a batch the smallest doc_id wins (deterministic).
+    Output: (fingerprint, doc_id) survivors, append mode."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.functions.text import doc_fingerprint_col
+
+    keyed = docs.select(
+        doc_fingerprint_col(F.col("text")).alias("fingerprint"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+    )
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        (fp,) = key
+        if state.exists:
+            # content already emitted in an earlier batch: drop all
+            for _ in pdf_iter:
+                pass
+            return
+        best = None
+        for pdf in pdf_iter:
+            m = int(pdf["doc_id"].min())
+            best = m if best is None else min(best, m)
+        state.update((True,))
+        yield pd.DataFrame({"fingerprint": [fp], "doc_id": [best]})
+
+    return keyed.groupBy("fingerprint").applyInPandasWithState(
+        update,
+        outputStructType="fingerprint long, doc_id long",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

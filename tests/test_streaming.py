@@ -90,3 +90,59 @@ def test_running_user_counts_stateful(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["user_id"]: r["n_events"] for r in spark.table("user_counts").collect()}
     assert got == {0: 10, 1: 10, 2: 10}
+
+
+def test_streaming_dedup_first_occurrence_wins(spark, tmp_path):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from linkgraph.streaming.ingest import streaming_dedup
+
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "ckpt_dedup")
+
+    schema = "doc_id long, text string"
+    # batch 1: docs 1-3, with 1 and 3 identical content
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma"), (3, "alpha  beta ")], schema
+    ).write.parquet(f"{src}/b1")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        streaming_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    first = {r.doc_id for r in spark.read.parquet(out).collect()}
+    # within-batch dup: smallest id wins
+    assert first == {1, 2}
+
+    # batch 2: doc 4 repeats batch-1 content (dropped), doc 5 is new
+    spark.createDataFrame(
+        [(4, "gamma"), (5, "delta")], schema
+    ).write.parquet(f"{src}/b2")
+    q2 = (
+        streaming_dedup(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    final = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert final == {1, 2, 5}
