@@ -1987,6 +1987,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _read(s, d, "documents"), min_count=5
     )
 
+    # --- SCC condensation DAG (the macro-structure readout: collapse
+    # each strongly connected component to one vertex; inter-block
+    # edge weights count the original edges). Composition of the
+    # engine's SCC and quotient_graph.
+    def _scc_condensation(s, d):
+        from linkgraph.graph import quotient_graph
+
+        # the bow-tie graph has deliberate macro-structure (supp_dir
+        # is one giant SCC — its condensation is empty)
+        g = _bowtie_graph(s, d)
+        labels = strongly_connected_components(g).select(
+            "id", F.col("component").alias("label")
+        )
+        return quotient_graph(g, labels).edges.select(
+            "src", "dst", F.col("weight").cast("long").alias("weight")
+        )
+
+    q["scc_condensation_bowtie"] = _scc_condensation
+
     # --- Efraimidis–Spirakis weighted sampling (inclusion ∝ weight,
     # deterministic, parallelism-invariant; priorities rounded so the
     # top-k replays in SQL)
@@ -2742,6 +2761,46 @@ SELECT b.w1, b.w2, CAST(b.pair_count AS BIGINT) AS pair_count,
                 / ((SELECT n_bigrams FROM nb) * 1.0 * u1.c * u2.c)), 6) AS pmi
 FROM big b JOIN uni u1 ON b.w1 = u1.w JOIN uni u2 ON b.w2 = u2.w
 WHERE b.pair_count >= 5
+"""
+
+
+BOWTIE_ED_SQL = f"""
+SELECT src, dst FROM ({SUPP_CO}) WHERE src % 10 < 4 AND dst % 10 < 4
+UNION ALL SELECT dst, src FROM ({SUPP_CO}) WHERE src % 10 < 4 AND dst % 10 < 4
+UNION ALL SELECT src, dst FROM ({SUPP_CO}) WHERE src % 10 IN (4,5) AND dst % 10 < 4
+UNION ALL SELECT dst, src FROM ({SUPP_CO}) WHERE src % 10 < 4 AND dst % 10 IN (4,5)
+UNION ALL SELECT src, dst FROM ({SUPP_CO}) WHERE src % 10 < 4 AND dst % 10 IN (6,7)
+UNION ALL SELECT dst, src FROM ({SUPP_CO}) WHERE src % 10 IN (6,7) AND dst % 10 < 4
+UNION ALL SELECT src, dst FROM ({SUPP_CO}) WHERE src % 10 IN (4,5) AND dst % 10 = 8
+UNION ALL SELECT dst, src FROM ({SUPP_CO}) WHERE src % 10 = 8 AND dst % 10 IN (4,5)
+UNION ALL SELECT src, dst FROM ({SUPP_CO}) WHERE src % 10 = 8 AND dst % 10 = 8
+UNION ALL SELECT src, dst FROM ({SUPP_CO}) WHERE src % 10 = 9 AND dst % 10 = 9
+"""
+
+SCC_CONDENSATION_SQL = f"""
+WITH ed AS MATERIALIZED ({BOWTIE_ED_SQL}),
+verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM ed UNION SELECT dst FROM ed),
+reach AS MATERIALIZED (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT src, dst FROM ed
+    UNION
+    SELECT r.a, e2.dst FROM r JOIN ed e2 ON r.b = e2.src
+  ) SELECT a, b FROM r
+),
+scc AS MATERIALIZED (
+  SELECT v.id, least(v.id, coalesce(min(m.u), v.id)) AS component
+  FROM verts v LEFT JOIN (
+    SELECT r1.a AS v, r1.b AS u FROM reach r1
+    JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+  ) m ON v.id = m.v GROUP BY v.id
+)
+SELECT sl.component AS src, dl.component AS dst,
+       CAST(count(*) AS BIGINT) AS weight
+FROM ed e
+JOIN scc sl ON e.src = sl.id
+JOIN scc dl ON e.dst = dl.id
+WHERE sl.component <> dl.component
+GROUP BY 1, 2
 """
 
 
@@ -3924,6 +3983,7 @@ FROM k
         "anf_hierarchy": _anf_sql(),
         "temporal_reachability": _temporal_sql(),
         "louvain_hierarchy": _louvain_sql(),
+        "scc_condensation_bowtie": SCC_CONDENSATION_SQL,
         "collocations_docs": COLLOCATIONS_SQL,
         "weighted_sample_docs": f"""
 WITH pri AS (
