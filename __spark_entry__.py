@@ -1987,6 +1987,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _read(s, d, "documents"), min_count=5
     )
 
+    # --- cross-document duplicated-span REMOVAL (the Lee-et-al.
+    # suffix-array dedup action at k-gram granularity): excise every
+    # token covered by a gram that occurs in another document
+    def _span_removal(s, d):
+        from linkgraph.operators.dedup import remove_duplicated_spans
+
+        return remove_duplicated_spans(_docs(s, d), k=8).select(
+            "id", "n_tokens", "n_removed", "clean_text"
+        )
+
+    q["dedup_span_removal"] = _span_removal
+
     # --- SCC condensation DAG (the macro-structure readout: collapse
     # each strongly connected component to one vertex; inter-block
     # edge weights count the original edges). Composition of the
@@ -2761,6 +2773,38 @@ SELECT b.w1, b.w2, CAST(b.pair_count AS BIGINT) AS pair_count,
                 / ((SELECT n_bigrams FROM nb) * 1.0 * u1.c * u2.c)), 6) AS pmi
 FROM big b JOIN uni u1 ON b.w1 = u1.w JOIN uni u2 ON b.w2 = u2.w
 WHERE b.pair_count >= 5
+"""
+
+
+def _span_removal_sql(k: int = 8) -> str:
+    """Mirror of dedup.remove_duplicated_spans: DuckDB list lambdas
+    are 1-based where Spark's are 0-based — the start positions are
+    normalized to 0-based on both sides."""
+    return f"""
+WITH docs AS ({DOCS}),
+toks AS MATERIALIZED (
+  SELECT doc_id AS id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM docs),
+grams AS MATERIALIZED (
+  SELECT id, i - 1 AS s, array_to_string(t[i:i+{k - 1}], ' ') AS gram
+  FROM (SELECT id, t, unnest(generate_series(1, len(t) - {k - 1})) AS i
+        FROM toks WHERE len(t) >= {k})),
+dup AS MATERIALIZED (
+  SELECT gram FROM (SELECT DISTINCT id, gram FROM grams)
+  GROUP BY gram HAVING count(*) >= 2),
+starts AS MATERIALIZED (
+  SELECT id, list_sort(list(DISTINCT s)) AS ss
+  FROM grams WHERE gram IN (SELECT gram FROM dup) GROUP BY id),
+rebuilt AS (
+  SELECT tk.id, tk.t, coalesce(st.ss, []) AS ss,
+         list_filter(tk.t, (w, i) ->
+           len(list_filter(coalesce(st.ss, []),
+                           s -> s <= i - 1 AND i - 1 < s + {k})) = 0) AS kept
+  FROM toks tk LEFT JOIN starts st ON tk.id = st.id)
+SELECT id, CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(t) - len(kept) AS BIGINT) AS n_removed,
+       coalesce(array_to_string(kept, ' '), '') AS clean_text
+FROM rebuilt
 """
 
 
@@ -3984,6 +4028,7 @@ FROM k
         "temporal_reachability": _temporal_sql(),
         "louvain_hierarchy": _louvain_sql(),
         "scc_condensation_bowtie": SCC_CONDENSATION_SQL,
+        "dedup_span_removal": _span_removal_sql(),
         "collocations_docs": COLLOCATIONS_SQL,
         "weighted_sample_docs": f"""
 WITH pri AS (

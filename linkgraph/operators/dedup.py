@@ -447,3 +447,68 @@ def winnowing_fingerprints(
     return sel.select(
         "id", F.col("s.h").alias("fp"), (-F.col("s.np")).alias("pos")
     ).distinct()
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Cross-document duplicated-span REMOVAL (the action behind
+    ``duplicated_ngram_stats``'s signal — suffix-array-style training
+    dedup at k-gram granularity, Lee et al.): excise every token
+    covered by a token k-gram that also occurs in ANOTHER document,
+    and re-join the survivors. Output: (id, n_tokens, n_removed,
+    clean_text).
+
+    Plan: one map-side gram explode, one gram-keyed count (uniform
+    key; map-side combined), one semi-join back to per-doc start
+    lists, then a pure Catalyst lambda rebuild (exists over the
+    per-doc start array) — no Python, no pairwise expansion; a doc's
+    cost is linear in its token count regardless of how many corpus
+    documents share its spans."""
+    toks = tokens_col(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("t"))
+    grams = base.select(
+        "id",
+        F.posexplode(
+            F.when(
+                F.size("t") >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (k - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, k)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("s", "gram"),
+    )
+    dup = (
+        grams.select("id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    starts = (
+        grams.join(dup, "gram", "left_semi")
+        .select("id", "s")
+        .distinct()
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("s")).alias("ss"))
+    )
+    joined = base.join(starts, "id", "left").withColumn(
+        "ss", F.coalesce("ss", F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.transform(F.col("t"), lambda w, i: F.struct(w.alias("w"), i.alias("i"))),
+        lambda x: ~F.exists(
+            F.col("ss"), lambda s: (s <= x["i"]) & (x["i"] < s + k)
+        ),
+    )
+    return joined.select(
+        "id",
+        F.size("t").cast("long").alias("n_tokens"),
+        (F.size("t") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(F.transform(kept, lambda x: x["w"]), " ").alias("clean_text"),
+    )

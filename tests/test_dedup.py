@@ -275,3 +275,25 @@ def test_winnowing_matches_python_replica(spark):
     # the guarantee: docs 1 and 2 share a long match -> shared fingerprint
     shared = {f for f, _ in got[1]} & {f for f, _ in got[2]}
     assert shared
+
+
+def test_remove_duplicated_spans(spark):
+    from linkgraph.operators.dedup import remove_duplicated_spans
+
+    docs = [
+        (1, "a b c d e f g h i j k l m"),
+        (2, "a b c d e f g h x y z"),          # shares the a..h 8-gram with 1
+        (3, "totally unique words here nothing shared at all ok"),
+        (4, "short doc"),                        # < k tokens: untouched
+        (5, "p p p p p p p p p p"),              # within-doc repeat only: kept
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.id: (r.n_tokens, r.n_removed, r.clean_text)
+           for r in remove_duplicated_spans(df, k=8).collect()}
+    assert got[1] == (13, 8, "i j k l m")
+    assert got[2] == (11, 8, "x y z")
+    assert got[3][1] == 0 and got[3][2].startswith("totally unique")
+    assert got[4] == (2, 0, "short doc")
+    # duplication must be CROSS-document: a doc repeating its own gram
+    # keeps it
+    assert got[5][1] == 0
