@@ -1987,6 +1987,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _read(s, d, "documents"), min_count=5
     )
 
+    # --- language-ID evaluation: confusion matrix of the engine's
+    # n-gram/stopword lang classifier against the table's labels —
+    # the calibration readout a pipeline checks before trusting the
+    # classifier as a filter
+    q["langid_confusion"] = lambda s, d: (
+        _read(s, d, "documents")
+        .select("lang", lang_id_col(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
     # --- cross-document duplicated-span REMOVAL (the Lee-et-al.
     # suffix-array dedup action at k-gram granularity): excise every
     # token covered by a gram that occurs in another document
@@ -3834,6 +3845,19 @@ SELECT doc_id,
        WHEN hits_de >= hits_fr THEN 'de' ELSE 'fr' END AS lang_pred,
   {fp} AS fingerprint
 FROM m
+""",
+        "langid_confusion": f"""
+WITH base AS (SELECT lang, {toks} AS t FROM documents),
+m AS (SELECT lang,
+        len(list_filter(t, x -> list_contains({stop_en}, x))) AS hits_en,
+        len(list_filter(t, x -> list_contains({stop_de}, x))) AS hits_de,
+        len(list_filter(t, x -> list_contains({stop_fr}, x))) AS hits_fr
+      FROM base),
+p AS (SELECT lang,
+        CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr THEN 'en'
+             WHEN hits_de >= hits_fr THEN 'de' ELSE 'fr' END AS lang_pred
+      FROM m)
+SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2
 """,
         "cosine_topk": """
 WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
