@@ -255,3 +255,44 @@ def test_quotient_graph(spark):
     q2 = quotient_graph(g, labels, self_loops=True)
     got2 = {(r["src"], r["dst"]): r["weight"] for r in q2.edges.collect()}
     assert got2[(10, 10)] == 1.0
+
+
+def test_stationary_operand_skips_per_round_exchange(spark):
+    """The engine's core plan property: an edge operand cached via
+    plans.partitioning.stationary publishes HashPartitioning(key), so
+    the per-round state⋈edges join re-shuffles ONLY the state side.
+    Broadcast is disabled so the join must satisfy a hash
+    distribution; the dst-keyed Exchange must appear in the raw
+    frame's plan and must NOT appear above the stationary frame's
+    InMemoryTableScan (the only dst Exchange allowed is the one-time
+    repartition INSIDE the cache build)."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.plans.partitioning import stationary
+
+    e = spark.range(0, 10_000).select(
+        (F.col("id") % 500).alias("src"),
+        (F.col("id") % 777).alias("dst"),
+    )
+    state = spark.range(0, 777).select(
+        F.col("id"), (F.col("id") * 2).alias("s0")
+    )
+
+    def join_plan(ed):
+        j = ed.join(state, ed["dst"] == state["id"]).select(ed["src"], state["s0"])
+        return j._jdf.queryExecution().executedPlan().toString()
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    st = stationary(e, key="dst", rows=20_000_000)  # rows hint: real-sized
+    try:
+        st.count()  # materialize: the partitioning becomes visible
+        p_raw = join_plan(e)
+        assert "hashpartitioning(dst" in p_raw  # raw operand re-shuffles
+        p_st = join_plan(st)
+        above_cache = p_st.split("InMemoryRelation")[0]
+        assert "InMemoryTableScan" in p_st
+        assert "hashpartitioning(dst" not in above_cache
+    finally:
+        st.unpersist()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
