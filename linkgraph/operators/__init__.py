@@ -95,7 +95,7 @@ from linkgraph.operators.anf import (
 )
 from linkgraph.operators.motifs import butterfly_count, dyad_census, triad_motifs
 from linkgraph.operators.temporal import earliest_arrival
-from linkgraph.operators.louvain import louvain_local_moves
+from linkgraph.operators.louvain import louvain, louvain_local_moves
 
 __all__ = [
     "pagerank",

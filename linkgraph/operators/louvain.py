@@ -51,6 +51,7 @@ def louvain_local_moves(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 0,
     resume: bool = True,
+    self_loops: bool = False,
 ) -> DataFrame:
     """DataFrame(id, community) after ``rounds`` local-move rounds
     from singleton communities, undirected semantics (directions
@@ -59,7 +60,13 @@ def louvain_local_moves(
     ``checkpoint_dir``/``checkpoint_every``: durable per-round state
     commits via PeelCheckpoint; a restart with the same dir resumes
     at the next round (round index — and therefore the parity class —
-    is preserved across the restart)."""
+    is preserved across the restart).
+
+    ``self_loops``: when True, a self-loop's weight counts TWICE into
+    its vertex's degree k_v (the Louvain convention — required for the
+    collapsed levels of the ladder, where a block's internal weight
+    rides as a self-loop) while never appearing as a move candidate.
+    Level-1 graphs without self-loops are unaffected."""
     w = F.col("weight").cast("double") if weighted else F.lit(1.0)
     half = (
         graph.edges.select(
@@ -78,6 +85,17 @@ def louvain_local_moves(
     sym = stationary(sym, key="dst")
 
     deg = sym.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("k"))
+    if self_loops:
+        loops = (
+            graph.edges.filter(F.col("src") == F.col("dst"))
+            .groupBy(F.col("src").alias("id"))
+            .agg((F.lit(2.0) * F.sum(w)).alias("k"))
+        )
+        deg = (
+            deg.unionByName(loops)
+            .groupBy("id")
+            .agg(F.sum("k").alias("k"))
+        )
     deg = deg.persist()
     m2 = deg.agg(F.sum("k")).collect()[0][0]
     if not m2:
@@ -181,3 +199,44 @@ def louvain_local_moves(
     sym.unpersist()
     deg.unpersist()
     return state.select("id", "community")
+
+
+def louvain(
+    graph: LinkGraph,
+    levels: int = 2,
+    rounds: int = 4,
+    weighted: bool = False,
+) -> DataFrame:
+    """The full Louvain ladder: alternate local-move rounds with a
+    community collapse (``quotient_graph`` with self-loops carrying
+    each block's internal weight) and map the coarse labels back to
+    the original vertices. Collapsed levels always run weighted with
+    self-loop-aware degrees — the Louvain phase-2 convention.
+    Returns DataFrame(id, community) over the ORIGINAL vertex ids."""
+    from linkgraph.graph import quotient_graph
+
+    mapping: DataFrame | None = None
+    cur = graph
+    for level in range(levels):
+        comm = louvain_local_moves(
+            cur,
+            rounds=rounds,
+            weighted=(weighted if level == 0 else True),
+            self_loops=(level > 0),
+        )
+        if mapping is None:
+            mapping = comm
+        else:
+            relabel = comm.select(
+                F.col("id").alias("community"), F.col("community").alias("_new")
+            )
+            mapping = mapping.join(relabel, "community").select(
+                "id", F.col("_new").alias("community")
+            )
+        if level < levels - 1:
+            labels = comm.select("id", F.col("community").alias("label"))
+            cur = LinkGraph(
+                quotient_graph(cur, labels, self_loops=True).edges,
+                directed=False,
+            )
+    return mapping

@@ -107,3 +107,45 @@ def test_weighted_moves_follow_heavy_edges(spark):
         for r in louvain_local_moves(g, rounds=4, weighted=True).collect()
     }
     assert got[1] == got[2]
+
+
+def test_louvain_ladder_improves_or_matches_level1(spark):
+    import networkx as nx
+    from collections import defaultdict
+
+    from linkgraph.operators.louvain import louvain
+
+    G = nx.planted_partition_graph(4, 12, 0.7, 0.03, seed=5)
+    g = graph_from_edges(spark, list(G.edges()), directed=False)
+    lvl1 = {r.id: r.community for r in louvain(g, levels=1, rounds=4).collect()}
+    lvl2 = {r.id: r.community for r in louvain(g, levels=2, rounds=4).collect()}
+    assert set(lvl1) == set(lvl2) == set(G.nodes())
+
+    def q(comm):
+        parts = defaultdict(set)
+        for v, c in comm.items():
+            parts[c].add(v)
+        return nx.community.modularity(G, parts.values())
+
+    assert q(lvl2) >= q(lvl1) - 1e-9
+    # the collapse must actually coarsen: fewer or equal communities
+    assert len(set(lvl2.values())) <= len(set(lvl1.values()))
+
+
+def test_louvain_ladder_two_cliques(spark):
+    from linkgraph.operators.louvain import louvain
+
+    edges = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    edges += [(10 + i, 10 + j) for i in range(5) for j in range(i + 1, 5)]
+    edges += [(4, 10)]
+    g = graph_from_edges(spark, edges, directed=False)
+    got = {r.id: r.community for r in louvain(g, levels=2, rounds=4).collect()}
+    from collections import defaultdict
+
+    groups = defaultdict(set)
+    for v, c in got.items():
+        groups[c].add(v)
+    assert sorted(map(sorted, groups.values())) == [
+        [0, 1, 2, 3, 4],
+        [10, 11, 12, 13, 14],
+    ]
