@@ -74,6 +74,7 @@ from linkgraph.operators.sampling import (
     hash_split,
     negative_edges,
     stratified_sample,
+    weighted_sample,
 )
 from linkgraph.operators.packing import (
     chunk_documents,
@@ -176,4 +177,13 @@ __all__ = [
     "densest_subgraph",
     "wl_signatures",
     "wl_graph_fingerprint",
+    "neighborhood_function",
+    "effective_diameter",
+    "butterfly_count",
+    "dyad_census",
+    "triad_motifs",
+    "earliest_arrival",
+    "louvain",
+    "louvain_local_moves",
+    "weighted_sample",
 ]
