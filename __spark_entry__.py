@@ -1987,6 +1987,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _read(s, d, "documents"), min_count=5
     )
 
+    # --- k-means cell census: one distributed Lloyd update from the
+    # seeded quantizer (assign → per-cell mean rounded to 9 →
+    # reassign) and the resulting cell sizes — the clustering
+    # calibration readout before trusting IVF cells. Rounding the
+    # distances and means makes the argmin replay in SQL despite
+    # sum-order float drift.
+    q["kmeans_cells_embeddings"] = _kmeans_cells
+
     # --- language-ID evaluation: confusion matrix of the engine's
     # n-gram/stopword lang classifier against the table's labels —
     # the calibration readout a pipeline checks before trusting the
@@ -2316,6 +2324,97 @@ def _webgraph_host_trustrank(s, d):
     return trust.join(
         hosts.select("host", F.xxhash64("host").alias("id")), "id"
     ).select("host", F.round("rank", 8).alias("trust"))
+
+
+def _kmeans_cells(s, d):
+    """One rounded Lloyd iteration over the embeddings: assign to the
+    seeded unit centroids by (rounded) euclidean distance, recompute
+    per-cell means (rounded to 9), reassign, count. Empty cells keep
+    their seeded centroid. Distances round to 9 decimals BEFORE the
+    argmin so both engines order identically despite last-ulp
+    sum-order drift."""
+    import numpy as np
+
+    from linkgraph.operators.similarity import _as_double, seeded_centroids
+
+    dim, k = 64, 8
+    cents0 = seeded_centroids(dim, k, 7)
+    emb = _read(s, d, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+
+    def assign_col(cents):
+        dists = []
+        for c in cents:
+            cl = F.array(*[F.lit(float(x)) for x in c])
+            d2 = F.aggregate(
+                F.zip_with(F.col("v"), cl, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            dists.append(F.round(d2, 9))
+        arr = F.array(*dists)
+        best = F.array_max(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda i: F.struct(
+                    (-F.element_at(arr, i + 1)).alias("negd"), (-i).alias("negc")
+                ),
+            )
+        )
+        return (-best["negc"]).cast("int")
+
+    a1 = emb.withColumn("cell", assign_col(cents0))
+    stats = (
+        a1.select("cell", F.posexplode("v").alias("i", "x"))
+        .groupBy("cell", "i")
+        .agg(F.round(F.sum("x") / F.count("*"), 9).alias("m"))
+        .collect()
+    )
+    cents1 = cents0.astype(float).copy()
+    for r in stats:
+        cents1[r["cell"], r["i"]] = r["m"]
+    a2 = emb.withColumn("cell", assign_col(cents1))
+    return a2.groupBy("cell").agg(F.count("*").alias("n"))
+
+
+def _kmeans_cells_sql(dim: int = 64, k: int = 8, seed: int = 7) -> str:
+    from linkgraph.operators.similarity import seeded_centroids
+
+    cents = seeded_centroids(dim, k, seed)
+    vals = ",\n".join(
+        f"({c}, {i + 1}, {float(cents[c][i])!r})"
+        for c in range(k)
+        for i in range(dim)
+    )
+    return f"""
+WITH ex AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+cents(c, i, v) AS (VALUES
+{vals}),
+d1 AS (SELECT e.vec_id, ct.c, round(sum((e.x - ct.v) * (e.x - ct.v)), 9) AS d
+       FROM ex e JOIN cents ct ON e.i = ct.i GROUP BY 1, 2),
+a1 AS MATERIALIZED (
+  SELECT vec_id, c AS cell FROM (
+    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d ASC, c ASC) AS rn FROM d1)
+  WHERE rn = 1),
+m1 AS MATERIALIZED (
+  SELECT a.cell, e.i, round(sum(e.x) / count(*), 9) AS m
+  FROM ex e JOIN a1 a ON e.vec_id = a.vec_id GROUP BY 1, 2),
+c1 AS MATERIALIZED (
+  SELECT ct.c, ct.i, coalesce(m.m, ct.v) AS v
+  FROM cents ct LEFT JOIN m1 m ON ct.c = m.cell AND ct.i = m.i),
+d2 AS (SELECT e.vec_id, ct.c, round(sum((e.x - ct.v) * (e.x - ct.v)), 9) AS d
+       FROM ex e JOIN c1 ct ON e.i = ct.i GROUP BY 1, 2),
+a2 AS (SELECT vec_id, c AS cell FROM (
+    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d ASC, c ASC) AS rn FROM d2)
+  WHERE rn = 1)
+SELECT CAST(cell AS INT) AS cell, CAST(count(*) AS BIGINT) AS n
+FROM a2 GROUP BY 1
+"""
 
 
 def _temporal_edges(s, d) -> DataFrame:
@@ -3846,6 +3945,7 @@ SELECT doc_id,
   {fp} AS fingerprint
 FROM m
 """,
+        "kmeans_cells_embeddings": _kmeans_cells_sql(),
         "langid_confusion": f"""
 WITH base AS (SELECT lang, {toks} AS t FROM documents),
 m AS (SELECT lang,
