@@ -433,6 +433,28 @@ def main() -> None:
         }
         zg9.unpersist()
 
+    # Louvain local moves: 4 semi-synchronous gain rounds — per round
+    # one stationary edges⋈state join + one community-total agg + one
+    # argmax, the LPA shuffle shape with a gain expression
+    if want("louvain_zipf"):
+        from linkgraph.operators.louvain import louvain_local_moves
+
+        zg10 = random_edges(
+            spark, 2_000_000, 40_000_000, seed=5, zipf_s=1.2, partitions=64
+        )
+        gl = LinkGraph(zg10.select("src", "dst", "weight"), directed=False)
+        t0 = time.time()
+        comm = louvain_local_moves(gl, rounds=4)
+        n_comm = comm.select("community").distinct().count()
+        wall = time.time() - t0
+        results["louvain_zipf"] = {
+            "sec": round(wall, 1),
+            "graph": "40M zipf(1.2) edges / 2M vertices",
+            "rounds": 4,
+            "communities": n_comm,
+            "edges_per_sec": round(40_000_000 * 4 / wall, 1),
+        }
+
     # best-over-runs: hypervisor-neighbor jitter swings identical runs
     # up to 4x here; keep each operator's fastest observed wall
     best_path = os.path.join(REPO, "BENCH", "scratch", "bigops_best.json")
