@@ -110,6 +110,7 @@ from linkgraph.operators.louvain import louvain_local_moves
 from linkgraph.operators.temporal import earliest_arrival
 from linkgraph.operators.terms import pmi_collocations
 from linkgraph.operators.walks import node2vec_walks, random_walks
+from linkgraph.operators.cliques import four_clique_counts
 from linkgraph.operators.triangles import clustering_coefficients, triangle_counts
 from linkgraph.sources.edges import tpch_edges, tpch_supplier_graph
 
@@ -1718,6 +1719,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["core_numbers_cliques"] = lambda s, d: core_numbers(_clique_graph(s, d))
     q["k_core4_cliques"] = lambda s, d: k_core(_clique_graph(s, d), 4).edges
+    # 4-clique census on the clique bed: the oriented-DAG enumeration
+    # runs the full distributed 3-join; the oracle enumerates quads
+    # generically (ordered corners + 3 EXISTS), no closed form
+    q["four_cliques_cliques"] = lambda s, d: four_clique_counts(_clique_graph(s, d))
     # greedy symmetry-breaking trio: round-parallel == sequential
     # greedy in (md5 priority, id) order, so value-exact vs the
     # unrolled DuckDB rounds
@@ -4020,6 +4025,45 @@ SELECT CAST(n_nationkey + 3000000 AS BIGINT),
 UNION ALL
 SELECT CAST(r_regionkey + 4000000 AS BIGINT),
        (SELECT count(*) FROM region) - 1 FROM region
+""",
+        # generic 4-clique enumeration over the clique-bed edges:
+        # ordered corners w<x<y<z from a common least corner + 3
+        # EXISTS closures — mirrors the engine's oriented-DAG census
+        # semantically, not its plan
+        "four_cliques_cliques": """
+WITH c AS (
+  SELECT CAST(a.n_nationkey + 3000000 AS BIGINT) AS a,
+         CAST(b.n_nationkey + 3000000 AS BIGINT) AS b
+  FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+  UNION ALL
+  SELECT CAST(a.r_regionkey + 4000000 AS BIGINT),
+         CAST(b.r_regionkey + 4000000 AS BIGINT)
+  FROM region a JOIN region b ON a.r_regionkey < b.r_regionkey
+  UNION ALL
+  SELECT CAST(c_custkey AS BIGINT), CAST(c_nationkey + 3000000 AS BIGINT)
+  FROM customer
+),
+quads AS (
+  SELECT c1.a AS w, c1.b AS x, c2.b AS y, c3.b AS z
+  FROM c c1
+  JOIN c c2 ON c2.a = c1.a AND c2.b > c1.b
+  JOIN c c3 ON c3.a = c1.a AND c3.b > c2.b
+  WHERE EXISTS (SELECT 1 FROM c e WHERE e.a = c1.b AND e.b = c2.b)
+    AND EXISTS (SELECT 1 FROM c e WHERE e.a = c1.b AND e.b = c3.b)
+    AND EXISTS (SELECT 1 FROM c e WHERE e.a = c2.b AND e.b = c3.b)
+),
+corners AS (
+  SELECT w AS id FROM quads UNION ALL SELECT x FROM quads
+  UNION ALL SELECT y FROM quads UNION ALL SELECT z FROM quads
+),
+verts AS (
+  SELECT CAST(c_custkey AS BIGINT) AS id FROM customer
+  UNION ALL SELECT CAST(n_nationkey + 3000000 AS BIGINT) FROM nation
+  UNION ALL SELECT CAST(r_regionkey + 4000000 AS BIGINT) FROM region
+)
+SELECT verts.id, coalesce(t.n, 0) AS four_cliques
+FROM verts LEFT JOIN (SELECT id, count(*) AS n FROM corners GROUP BY 1) t
+ON verts.id = t.id
 """,
         # the 4-core of the clique construction = both cliques, leaves
         # peeled (nations keep degree 24 ≥ 4, regions 4 ≥ 4)

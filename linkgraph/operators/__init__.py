@@ -81,6 +81,11 @@ from linkgraph.operators.packing import (
     mixture_weights,
     pack_sequences,
 )
+from linkgraph.operators.cliques import (
+    four_clique_counts,
+    four_clique_list,
+    total_four_cliques,
+)
 from linkgraph.operators.triangles import clustering_coefficients, triangle_counts
 from linkgraph.operators.walks import node2vec_walks, random_walks
 from linkgraph.operators.greedy import (
@@ -105,6 +110,9 @@ __all__ = [
     "label_propagation",
     "triangle_counts",
     "clustering_coefficients",
+    "four_clique_counts",
+    "four_clique_list",
+    "total_four_cliques",
     "bfs_levels",
     "reachable_from",
     "shortest_paths",
