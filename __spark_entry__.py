@@ -111,6 +111,7 @@ from linkgraph.operators.temporal import earliest_arrival
 from linkgraph.operators.terms import pmi_collocations
 from linkgraph.operators.walks import node2vec_walks, random_walks
 from linkgraph.operators.cliques import four_clique_counts
+from linkgraph.operators.mirrors import mirror_pairs
 from linkgraph.operators.triangles import clustering_coefficients, triangle_counts
 from linkgraph.sources.edges import tpch_edges, tpch_supplier_graph
 
@@ -1774,6 +1775,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["webgraph_host_pagerank"] = _webgraph_host_pagerank
     q["webgraph_host_trustrank"] = _webgraph_host_trustrank
+    # mirror-host detection (Bharat-Broder): host pairs whose distinct
+    # outlink sets have Jaccard >= 0.4. Exact mode here (the labeled
+    # oracle mode); the LSH band-bucketed scale path is pytest-checked
+    # as a subset with perfect recall on identical sets
+    q["webgraph_mirror_hosts"] = lambda s, d: mirror_pairs(
+        _host_edges(s), "src_host", "dst_host", threshold=0.4, mode="exact"
+    )
 
     # --- harmonic centrality (disconnect-robust closeness; same
     # batched multi-source machinery, NetworkX-verified in
@@ -4156,6 +4164,23 @@ FROM ({_host_edges_sql()})
 """,
         "webgraph_host_pagerank": _host_pagerank_sql(),
         "webgraph_host_trustrank": _host_trustrank_sql(),
+        # exact outlink-set Jaccard over the host graph — mirrors
+        # operators/mirrors.mirror_pairs(mode='exact'): distinct
+        # out-neighbors, self-links dropped, both sides >= 2 outlinks
+        "webgraph_mirror_hosts": f"""
+WITH he AS ({_host_edges_sql()}),
+s AS (SELECT DISTINCT src AS id, dst AS out FROM he WHERE src <> dst),
+sz AS (SELECT id, count(*) AS n FROM s GROUP BY 1 HAVING count(*) >= 2),
+com AS (
+  SELECT sa.id AS a, sb.id AS b, count(*) AS common
+  FROM s sa JOIN s sb ON sa.out = sb.out AND sa.id < sb.id
+  GROUP BY 1, 2
+)
+SELECT a, b, common,
+       round(common / (na.n + nb.n - common), 6) AS jaccard
+FROM com JOIN sz na ON com.a = na.id JOIN sz nb ON com.b = nb.id
+WHERE common / (na.n + nb.n - common) >= 0.4
+""",
         "multigraph_edge_ids": """
 SELECT CAST(o_custkey AS BIGINT) AS src,
        CAST(l_suppkey + 1000000 AS BIGINT) AS dst,

@@ -86,6 +86,7 @@ from linkgraph.operators.cliques import (
     four_clique_list,
     total_four_cliques,
 )
+from linkgraph.operators.mirrors import mirror_pairs, outlink_minhash, outlink_sets
 from linkgraph.operators.triangles import clustering_coefficients, triangle_counts
 from linkgraph.operators.walks import node2vec_walks, random_walks
 from linkgraph.operators.greedy import (
@@ -113,6 +114,9 @@ __all__ = [
     "four_clique_counts",
     "four_clique_list",
     "total_four_cliques",
+    "mirror_pairs",
+    "outlink_minhash",
+    "outlink_sets",
     "bfs_levels",
     "reachable_from",
     "shortest_paths",
