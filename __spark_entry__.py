@@ -2057,6 +2057,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _read(s, d, "documents"), "doc_id", "n_chars", k=100, seed=0
     ).select("doc_id", "wkey")
 
+    # --- OPIC crawl priority (Abiteboul et al. WWW'03): cash/history
+    # rounds over the supplier-direct graph; the oracle unrolls the
+    # same synchronous update (uniform dangling route) in SQL.
+    def _opic5(s, d):
+        from linkgraph.operators.crawl import opic
+
+        return opic(_supp_dir(s, d), rounds=5).select(
+            "id",
+            F.round("cash", 8).alias("cash"),
+            F.round("history", 8).alias("history"),
+            F.round("priority", 8).alias("priority"),
+        )
+
+    q["opic5_suppdir"] = _opic5
+
+    # --- crawl-snapshot delta: two deterministic crawls of the SAME
+    # url space (seeds 42/43 → identical pages, different link sets),
+    # edge sets classified added/removed/changed/kept and rolled up
+    # per source host. Oracle replays both snapshots through the
+    # pinned pure-Python extractor and the same full-outer join.
+    def _crawl_delta_hosts(s, d):
+        from linkgraph.operators.crawl import edge_delta
+
+        delta = edge_delta(_url_edges(s, 42), _url_edges(s, 43))
+        return delta.groupBy(
+            F.regexp_extract("src", r"https?://([^/]+)", 1).alias("host"),
+            "status",
+        ).agg(
+            F.count("*").alias("n_edges"),
+            F.round(
+                F.sum(
+                    F.abs(
+                        F.coalesce("new_weight", F.lit(0.0))
+                        - F.coalesce("old_weight", F.lit(0.0))
+                    )
+                ),
+                6,
+            ).alias("weight_churn"),
+        )
+
+    q["crawl_delta_hosts"] = _crawl_delta_hosts
+
+    # --- champion-list inverted index over the documents corpus
+    def _inverted_index(s, d):
+        from linkgraph.operators.terms import build_inverted_index
+
+        return build_inverted_index(
+            _read(s, d, "documents"), min_df=2, max_postings=20
+        )
+
+    q["inverted_index_docs"] = _inverted_index
+
     return q
 
 
@@ -2232,6 +2284,24 @@ def _sessionize(s, d):
 WEB_N_PAGES = 500
 WEB_N_DOMAINS = 40
 WEB_PR_ITERS = 10
+
+
+def _url_edges(s, seed: int) -> DataFrame:
+    """Normalized url-level edges (src, dst, weight=multiplicity) of
+    one synthetic crawl snapshot — the seed selects the snapshot."""
+    from linkgraph.functions.extract import extract_links_udf, normalize_url_col
+    from linkgraph.sources.pages import pages_dataframe
+
+    pages = pages_dataframe(s, WEB_N_PAGES, n_domains=WEB_N_DOMAINS, seed=seed)
+    links = pages.select(
+        normalize_url_col(F.col("url")).alias("src"),
+        F.explode(extract_links_udf(F.col("html"))).alias("href"),
+    )
+    return (
+        links.select("src", normalize_url_col(F.col("href")).alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
 
 
 def _webgraph_pagerank(s, d):
@@ -2513,7 +2583,7 @@ def _norm_url(u: str) -> str:
     return u
 
 
-def _webgraph_oracle_edges() -> list[tuple[str, str, int]]:
+def _webgraph_oracle_edges(seed: int = 42) -> list[tuple[str, str, int]]:
     """(src_url, dst_url, multiplicity) via the pinned pure-Python
     extractors — no Spark involved."""
     import collections
@@ -2521,7 +2591,7 @@ def _webgraph_oracle_edges() -> list[tuple[str, str, int]]:
     from linkgraph.functions.extract import pinned_extract_links
     from linkgraph.sources.pages import generate_pages_local
 
-    pdf = generate_pages_local(WEB_N_PAGES, WEB_N_DOMAINS)
+    pdf = generate_pages_local(WEB_N_PAGES, WEB_N_DOMAINS, seed=seed)
     weights: collections.Counter = collections.Counter()
     for _, row in pdf.iterrows():
         src = _norm_url(row["url"])
@@ -2621,11 +2691,42 @@ r{i} AS MATERIALIZED (SELECT v.id,
     )
 
 
-def _webgraph_values_sql() -> str:
+def _webgraph_values_sql(seed: int = 42) -> str:
     vals = ",\n".join(
-        f"('{a}', '{b}', {w}.0)" for a, b, w in _webgraph_oracle_edges()
+        f"('{a}', '{b}', {w}.0)" for a, b, w in _webgraph_oracle_edges(seed)
     )
     return f"SELECT * FROM (VALUES\n{vals}) AS t(src, dst, weight)"
+
+
+def _unrolled_opic_sql(edges_sql: str, key_alias: str, iters: int) -> str:
+    """Unrolled synchronous OPIC (operators/crawl.py): cash distributes
+    out-weight-proportionally, dangling cash routes through the virtual
+    page (uniform), history banks the cash spent each round."""
+    pre = f"""
+WITH edges AS MATERIALIZED (SELECT src, dst, 1.0 AS weight FROM ({edges_sql})),
+verts AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM verts),
+outw AS MATERIALIZED (SELECT src AS id, sum(weight) AS w FROM edges GROUP BY 1),
+s0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS cash, 0.0 AS hist FROM verts)"""
+    its = []
+    for i in range(1, iters + 1):
+        its.append(f""",
+d{i} AS (SELECT coalesce(sum(cash), 0.0) AS dm FROM s{i-1}
+         WHERE id NOT IN (SELECT id FROM outw)),
+c{i} AS (SELECT e.dst AS id, sum(s.cash * e.weight / o.w) AS r
+         FROM s{i-1} s JOIN edges e ON s.id = e.src JOIN outw o ON o.id = e.src
+         GROUP BY 1),
+s{i} AS MATERIALIZED (SELECT v.id,
+         coalesce(c.r, 0.0) + (SELECT dm FROM d{i}) / (SELECT n FROM nn) AS cash,
+         p.hist + p.cash AS hist
+         FROM verts v LEFT JOIN c{i} c ON v.id = c.id JOIN s{i-1} p ON p.id = v.id)""")
+    return (
+        pre
+        + "".join(its)
+        + f"""
+SELECT id AS {key_alias}, round(cash, 8) AS cash, round(hist, 8) AS history,
+       round((hist + cash) / {iters + 1}.0, 8) AS priority FROM s{iters}"""
+    )
 
 
 def _webgraph_pagerank_sql(alpha: float = 0.85) -> str:
@@ -4155,6 +4256,29 @@ SELECT e.query_id, count(*) AS k_exact,
 FROM exact e LEFT JOIN approx a
   ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
 GROUP BY 1""",
+        "opic5_suppdir": _unrolled_opic_sql(SUPP_DIR, "id", 5),
+        "crawl_delta_hosts": f"""
+WITH a AS MATERIALIZED ({_webgraph_values_sql(42)}),
+b AS MATERIALIZED ({_webgraph_values_sql(43)}),
+d AS (SELECT coalesce(a.src, b.src) AS src, a.weight AS ow, b.weight AS nw
+      FROM a FULL OUTER JOIN b ON a.src = b.src AND a.dst = b.dst),
+c AS (SELECT src, ow, nw,
+      CASE WHEN ow IS NULL THEN 'added' WHEN nw IS NULL THEN 'removed'
+           WHEN ow <> nw THEN 'changed' ELSE 'kept' END AS status FROM d)
+SELECT regexp_extract(src, 'https?://([^/]+)', 1) AS host, status,
+       count(*) AS n_edges,
+       round(sum(abs(coalesce(nw, 0.0) - coalesce(ow, 0.0))), 6) AS weight_churn
+FROM c GROUP BY 1, 2""",
+        "inverted_index_docs": """
+WITH toks AS (SELECT doc_id,
+              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+              FROM documents),
+ft AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE length(term) >= 2 GROUP BY 1, 2)
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+       array_to_string(list_transform(list_slice(list_sort(list(doc_id)), 1, 20),
+                                      x -> CAST(x AS VARCHAR)), ',') AS postings
+FROM ft GROUP BY 1 HAVING count(*) >= 2""",
         "random_walks_suppdir": _walks_sql(4, 2, 7),
         "node2vec_walks_suppdir": _n2v_sql(3, 0.25, 4.0, 13),
         "webgraph_pagerank": _webgraph_pagerank_sql(),

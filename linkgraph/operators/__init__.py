@@ -66,10 +66,12 @@ from linkgraph.operators.similarity import (
     topk_recall,
 )
 from linkgraph.operators.terms import (
+    build_inverted_index,
     entropy_signals,
     group_percentiles,
     tfidf_top_terms,
 )
+from linkgraph.operators.crawl import edge_delta, opic
 from linkgraph.operators.sampling import (
     hash_split,
     negative_edges,
@@ -198,4 +200,7 @@ __all__ = [
     "louvain",
     "louvain_local_moves",
     "weighted_sample",
+    "opic",
+    "edge_delta",
+    "build_inverted_index",
 ]

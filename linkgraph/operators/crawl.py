@@ -1,0 +1,173 @@
+"""Crawl-scheduling primitives: OPIC page importance and snapshot
+edge deltas.
+
+``opic`` is On-line Page Importance Computation (Abiteboul, Preda,
+Cobena, WWW'03 — public paper): every page holds *cash*; each round
+it distributes its cash across its out-links and banks what it spent
+into *history*. The running importance estimate
+``(history + cash) / (rounds + 1)`` converges to the undamped random-
+walk stationary distribution, but — unlike PageRank — the partial
+sums are meaningful after ANY number of rounds, which is why crawlers
+use it to prioritize fetch frontiers while the crawl is still
+running. This implementation is the synchronous variant with the
+virtual-page route for dangling cash (a page with no out-links sends
+its cash to the virtual page, which redistributes it uniformly —
+exactly the dangling-mass treatment of pagerank.py, so the operator
+inherits the same scale analysis: stationary src-partitioned
+transition operand built once, one co-partitioned join + one
+map-side-combined dst sum per round, O(V·P) shuffled rows, never
+O(E)).
+
+``edge_delta`` classifies the edge set of two crawl snapshots —
+added / removed / changed (multiplicity moved) / kept — with one
+full-outer join on the edge key. It is the input-differencing step of
+incremental rank maintenance: feed ``pagerank(init_ranks=yesterday)``
+(operators/pagerank.py warm start) with the new snapshot and the
+delta report tells you how much perturbation to expect.
+
+Reference scope: networkx-rust has no crawl surface; these serve the
+web-pipeline inventory (SURVEY §2.8b) like TrustRank/spam-mass do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+from linkgraph.plans.iterate import LineageChain
+from linkgraph.plans.partitioning import shuffle_width
+
+
+def opic(
+    graph: LinkGraph,
+    rounds: int = 10,
+    weighted: bool = True,
+    weight_expr: Column | str | None = None,
+) -> DataFrame:
+    """DataFrame(id, cash, history, priority) after ``rounds``
+    synchronous OPIC rounds.
+
+    Invariants (tested): Σ cash = 1 after every round, Σ history =
+    rounds, so Σ priority = 1 — the estimate is a distribution at
+    every prefix of the crawl, which is the property OPIC buys over
+    running a truncated power iteration.
+    """
+    from linkgraph.operators.pagerank import _weight_col
+
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    spark = graph.edges.sparkSession
+    edges = graph.sym_edges
+    vertices = graph.vertices.select("id")
+    n = vertices.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], "id long, cash double, history double, priority double"
+        )
+    m = edges.count()
+    n_parts = max(1, min(shuffle_width(spark), (m + 1_999_999) // 2_000_000))
+
+    w = _weight_col(weighted, weight_expr)
+    out_sums = edges.groupBy("src").agg(F.sum(w).alias("out_w"))
+    # the stationary operand: P(u→v), hash-partitioned by src once —
+    # the per-round cash⋈trans join co-partitions, only the V-row
+    # cash frame ever moves (pagerank.py's plan, same reasoning).
+    trans = (
+        edges.join(out_sums, "src")
+        .select("src", "dst", (w / F.col("out_w")).alias("p"))
+        .repartition(n_parts, "src")
+        .persist()
+    )
+    trans.count()
+
+    dangling_ids = vertices.join(
+        out_sums.select(F.col("src").alias("id")), "id", "left_anti"
+    )
+    verts = (
+        vertices.join(dangling_ids, "id", "left_anti")
+        .withColumn("dangling", F.lit(False))
+        .unionByName(dangling_ids.withColumn("dangling", F.lit(True)))
+        .repartition(n_parts, "id")
+        .persist()
+    )
+    verts.count()
+
+    chain = LineageChain()
+    state = verts.select(
+        "id", F.lit(1.0 / n).alias("cash"), F.lit(0.0).alias("history"), "dangling"
+    )
+    for _ in range(rounds):
+        # dangling cash as an in-plan 1-row broadcast, no collect
+        dm = state.filter("dangling").agg(
+            F.coalesce(F.sum("cash"), F.lit(0.0)).alias("dm")
+        )
+        recv = (
+            state.select("id", "cash")
+            .join(trans, state["id"] == trans["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("cash") * F.col("p")).alias("recv"))
+        )
+        state = (
+            state.join(recv, state["id"] == recv["dst"], "left")
+            .crossJoin(F.broadcast(dm))
+            .select(
+                state["id"],
+                (F.coalesce(F.col("recv"), F.lit(0.0)) + F.col("dm") / n).alias(
+                    "cash"
+                ),
+                (F.col("history") + F.col("cash")).alias("history"),
+                state["dangling"],
+            )
+        )
+        state = chain.cut(state)
+
+    out = state.select(
+        "id",
+        "cash",
+        "history",
+        ((F.col("history") + F.col("cash")) / F.lit(float(rounds + 1))).alias(
+            "priority"
+        ),
+    )
+    trans.unpersist()
+    verts.unpersist()
+    return out
+
+
+def edge_delta(
+    old: DataFrame,
+    new: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """DataFrame(src, dst, old_weight, new_weight, status) — every
+    edge of either snapshot classified added / removed / changed /
+    kept. One full-outer equi-join on the edge key: both sides
+    shuffle on (src, dst) (uniform — a hub's in-links spread over
+    many src values), nothing collects.
+    """
+    o = old.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("double").alias("_ow"),
+    )
+    nw = new.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("double").alias("_nw"),
+    )
+    status = (
+        F.when(F.col("_ow").isNull(), F.lit("added"))
+        .when(F.col("_nw").isNull(), F.lit("removed"))
+        .when(F.col("_ow") != F.col("_nw"), F.lit("changed"))
+        .otherwise(F.lit("kept"))
+    )
+    return o.join(nw, ["src", "dst"], "full_outer").select(
+        "src",
+        "dst",
+        F.col("_ow").alias("old_weight"),
+        F.col("_nw").alias("new_weight"),
+        status.alias("status"),
+    )

@@ -163,6 +163,64 @@ def group_percentiles(
     return df.groupBy(F.col(group_col).alias("group")).agg(*exprs)
 
 
+def build_inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_term_len: int = 2,
+    min_df: int = 1,
+    max_postings: int = 20,
+) -> DataFrame:
+    """DataFrame(term, df, cf, postings): the champion-list inverted
+    index of a corpus — per term its document frequency (exact),
+    collection frequency (exact), and the first ``max_postings``
+    doc ids ascending as a comma-joined string (the bounded posting
+    prefix search engines keep hot; full postings live in the
+    (doc_id, term, tf) frame this derives from).
+
+    Scale shape: the tokenize/explode fans out map-side; the per-doc
+    tf groupBy and the per-term aggregation both map-side combine.
+    The posting-list truncation is the hub hazard — a stopword term
+    appears in EVERY document, and collecting its full posting list
+    into one aggregation cell is O(corpus). So the prefix is built
+    two-level, like tfidf's salted top-k: smallest ``max_postings``
+    ids per (term, salt) first, then the ≤ 16·max_postings survivors
+    merge per term — every cell stays O(max_postings), whatever the
+    term's df.
+    """
+    if max_postings <= 0:
+        raise ValueError("max_postings must be positive")
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(F.col(text_col))).alias("term"),
+    ).filter(F.length("term") >= min_term_len)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    per_term = tf.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+    k = int(max_postings)
+    lvl1 = (
+        tf.withColumn("_s", F.xxhash64("doc_id") % 16)
+        .groupBy("term", "_s")
+        .agg(F.slice(F.sort_array(F.collect_list("doc_id")), 1, k).alias("ids"))
+    )
+    lvl2 = lvl1.groupBy("term").agg(
+        F.slice(F.sort_array(F.flatten(F.collect_list("ids"))), 1, k).alias("ids")
+    )
+    return (
+        per_term.join(lvl2, "term")
+        .filter(F.col("df") >= min_df)
+        .select(
+            "term",
+            "df",
+            "cf",
+            F.array_join(
+                F.transform(F.col("ids"), lambda x: x.cast("string")), ","
+            ).alias("postings"),
+        )
+    )
+
+
 def pmi_collocations(
     df: DataFrame,
     text_col: str = "text",

@@ -1,0 +1,107 @@
+"""OPIC crawl priority, snapshot edge deltas, inverted index."""
+
+import pytest
+
+from conftest import graph_from_edges
+from linkgraph.operators.crawl import edge_delta, opic
+from linkgraph.operators.terms import build_inverted_index
+
+
+def _opic_replica(edges, rounds):
+    """Pure-Python synchronous OPIC with the uniform dangling route."""
+    verts = sorted({u for u, v in edges} | {v for u, v in edges})
+    n = len(verts)
+    out = {}
+    for u, v in edges:
+        out.setdefault(u, []).append(v)
+    cash = {v: 1.0 / n for v in verts}
+    hist = {v: 0.0 for v in verts}
+    for _ in range(rounds):
+        dm = sum(c for v, c in cash.items() if v not in out)
+        nxt = {v: dm / n for v in verts}
+        for u, targets in out.items():
+            for t in targets:
+                nxt[t] += cash[u] / len(targets)
+        for v in verts:
+            hist[v] += cash[v]
+        cash = nxt
+    return cash, hist
+
+
+def test_opic_matches_replica_and_conserves_cash(spark):
+    # 5 has no out-links: the dangling (virtual-page) route is live
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 1), (4, 5), (2, 5)]
+    g = graph_from_edges(spark, edges)
+    rounds = 4
+    got = {r.id: r for r in opic(g, rounds=rounds).collect()}
+    cash, hist = _opic_replica(edges, rounds)
+    assert set(got) == set(cash)
+    for v in cash:
+        assert got[v].cash == pytest.approx(cash[v], abs=1e-12)
+        assert got[v].history == pytest.approx(hist[v], abs=1e-12)
+        assert got[v].priority == pytest.approx(
+            (hist[v] + cash[v]) / (rounds + 1), abs=1e-12
+        )
+    assert sum(r.cash for r in got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert sum(r.history for r in got.values()) == pytest.approx(rounds, abs=1e-9)
+    assert sum(r.priority for r in got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_opic_priority_approaches_undamped_stationary(spark):
+    # on a strongly connected graph OPIC's estimate converges to the
+    # undamped random-walk stationary distribution: for a directed
+    # 3-cycle that is uniform
+    g = graph_from_edges(spark, [(1, 2), (2, 3), (3, 1)])
+    rows = opic(g, rounds=30).collect()
+    for r in rows:
+        assert r.priority == pytest.approx(1.0 / 3, abs=1e-6)
+
+
+def test_opic_rejects_bad_rounds(spark):
+    g = graph_from_edges(spark, [(1, 2)])
+    with pytest.raises(ValueError):
+        opic(g, rounds=0)
+
+
+def test_edge_delta_classification(spark):
+    old = spark.createDataFrame(
+        [(1, 2, 1.0), (1, 3, 2.0), (2, 3, 1.0)], "src long, dst long, weight double"
+    )
+    new = spark.createDataFrame(
+        [(1, 2, 1.0), (1, 3, 5.0), (3, 4, 1.0)], "src long, dst long, weight double"
+    )
+    got = {(r.src, r.dst): r.status for r in edge_delta(old, new).collect()}
+    assert got == {
+        (1, 2): "kept",
+        (1, 3): "changed",
+        (2, 3): "removed",
+        (3, 4): "added",
+    }
+
+
+def test_inverted_index_exact_and_truncated(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark graph spark"),
+            (2, "graph engine"),
+            (3, "spark engine engine"),
+            (4, "a graph"),  # "a" dropped by min_term_len
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.term: r
+        for r in build_inverted_index(docs, min_df=1, max_postings=2).collect()
+    }
+    assert rows["spark"].df == 2 and rows["spark"].cf == 3
+    assert rows["spark"].postings == "1,3"
+    assert rows["graph"].df == 3 and rows["graph"].cf == 3
+    # truncation keeps the SMALLEST doc ids
+    assert rows["graph"].postings == "1,2"
+    assert rows["engine"].df == 2 and rows["engine"].cf == 3
+    assert "a" not in rows
+    # min_df filters
+    only = build_inverted_index(docs, min_df=3, max_postings=2).collect()
+    assert {r.term for r in only} == {"graph"}
+    with pytest.raises(ValueError):
+        build_inverted_index(docs, max_postings=0)

@@ -106,7 +106,9 @@ def test_streaming_dedup_first_occurrence_wins(spark, tmp_path):
     # batch 1: docs 1-3, with 1 and 3 identical content
     spark.createDataFrame(
         [(1, "alpha beta"), (2, "gamma"), (3, "alpha  beta ")], schema
-    ).write.parquet(f"{src}/b1")
+    ).coalesce(1).write.parquet(f"{src}/b1")  # ONE file: with
+    # maxFilesPerTrigger=1 a multi-file write splits the batch and
+    # "within-batch smallest id wins" stops being well-defined
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -129,7 +131,7 @@ def test_streaming_dedup_first_occurrence_wins(spark, tmp_path):
     # batch 2: doc 4 repeats batch-1 content (dropped), doc 5 is new
     spark.createDataFrame(
         [(4, "gamma"), (5, "delta")], schema
-    ).write.parquet(f"{src}/b2")
+    ).coalesce(1).write.parquet(f"{src}/b2")
     q2 = (
         streaming_dedup(
             spark.readStream.schema(schema)
