@@ -2109,6 +2109,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["inverted_index_docs"] = _inverted_index
 
+    # --- redirect/canonical-alias chain resolution by pointer
+    # doubling: supplier-id chains (1→2→…→100, terminal at multiples
+    # of 100 — length ≤ 99 whatever the SF) plus the 5-region cycle.
+    # The oracle unrolls the same doubling 8 rounds (2^8 ≥ 99) in SQL.
+    def _alias_chains(s, d):
+        from linkgraph.operators.crawl import resolve_aliases
+
+        sup = _read(s, d, "supplier").select(
+            F.col("s_suppkey").cast("long").alias("src"),
+            (F.col("s_suppkey").cast("long") + 1).alias("dst"),
+        ).filter(F.col("s_suppkey") % 100 != 0)
+        reg = _read(s, d, "region").select(
+            (F.col("r_regionkey").cast("long") + 5_000_000).alias("src"),
+            ((F.col("r_regionkey").cast("long") + 1) % 5 + 5_000_000).alias("dst"),
+        )
+        return resolve_aliases(sup.unionAll(reg))
+
+    q["alias_chains_suppliers"] = _alias_chains
+
+    # --- incremental WCC (additions-only crawl delta): warm-start the
+    # min-label propagation from the PRE-delta components, then add
+    # region→region bridge edges that merge the per-region hierarchy
+    # components. The fixpoint is start-independent, so the oracle is
+    # simply the min-label WCC of the post-delta graph.
+    def _wcc_incremental(s, d):
+        base = LinkGraph(_hierarchy_edges(s, d), directed=True)
+        cold = weakly_connected_components(base).state
+        bridges = _read(s, d, "region").select(
+            (F.col("r_regionkey").cast("long") + REG).alias("src"),
+            ((F.col("r_regionkey").cast("long") + 1) % 5 + REG).alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+        delta = LinkGraph(
+            base.edges.unionAll(bridges), directed=True
+        )
+        return weakly_connected_components(delta, init_labels=cold).state
+
+    q["wcc_incremental"] = _wcc_incremental
+
     return q
 
 
@@ -2726,6 +2765,40 @@ s{i} AS MATERIALIZED (SELECT v.id,
         + f"""
 SELECT id AS {key_alias}, round(cash, 8) AS cash, round(hist, 8) AS history,
        round((hist + cash) / {iters + 1}.0, 8) AS priority FROM s{iters}"""
+    )
+
+
+def _alias_doubling_sql(rounds: int) -> str:
+    """Unrolled pointer doubling over the supplier-chain + region-cycle
+    alias table (operators/crawl.resolve_aliases): ``rounds`` = 8
+    covers chains of 2^8 = 256 > the 99-link supplier chains at any
+    SF; rows still undone after that are the region cycle."""
+    pre = """
+WITH al AS MATERIALIZED (
+  SELECT CAST(s_suppkey AS BIGINT) AS id, CAST(s_suppkey + 1 AS BIGINT) AS ptr
+  FROM supplier WHERE s_suppkey % 100 <> 0
+  UNION ALL
+  SELECT CAST(r_regionkey + 5000000 AS BIGINT),
+         CAST((r_regionkey + 1) % 5 + 5000000 AS BIGINT) FROM region),
+t0 AS MATERIALIZED (
+  SELECT a.id, a.ptr, CAST(1 AS BIGINT) AS hops, (b.id IS NULL) AS done
+  FROM al a LEFT JOIN al b ON a.ptr = b.id)"""
+    its = []
+    for i in range(1, rounds + 1):
+        its.append(f""",
+t{i} AS MATERIALIZED (
+  SELECT s.id,
+         CASE WHEN s.done OR n.ptr IS NULL THEN s.ptr ELSE n.ptr END AS ptr,
+         CASE WHEN s.done OR n.ptr IS NULL THEN s.hops ELSE s.hops + n.hops END AS hops,
+         (s.done OR coalesce(n.done, TRUE)) AS done
+  FROM t{i-1} s LEFT JOIN t{i-1} n ON s.ptr = n.id)""")
+    return (
+        pre
+        + "".join(its)
+        + f"""
+SELECT id, CASE WHEN done THEN ptr END AS target,
+       CASE WHEN done THEN hops END AS hops,
+       CASE WHEN done THEN 'resolved' ELSE 'cycle' END AS status FROM t{rounds}"""
     )
 
 
@@ -4257,6 +4330,22 @@ FROM exact e LEFT JOIN approx a
   ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
 GROUP BY 1""",
         "opic5_suppdir": _unrolled_opic_sql(SUPP_DIR, "id", 5),
+        "alias_chains_suppliers": _alias_doubling_sql(8),
+        "wcc_incremental": f"""
+WITH RECURSIVE e AS (
+  SELECT src, dst FROM ({HIER})
+  UNION ALL
+  SELECT CAST(r_regionkey + 4000000 AS BIGINT),
+         CAST((r_regionkey + 1) % 5 + 4000000 AS BIGINT) FROM region),
+sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+v AS (SELECT DISTINCT src AS id FROM sym),
+reach(id, r) AS (
+  SELECT id, id FROM v
+  UNION
+  SELECT reach.id, s.dst FROM reach JOIN sym s ON reach.r = s.src
+)
+SELECT id, min(r) AS component FROM reach GROUP BY id
+""",
         "crawl_delta_hosts": f"""
 WITH a AS MATERIALIZED ({_webgraph_values_sql(42)}),
 b AS MATERIALIZED ({_webgraph_values_sql(43)}),

@@ -71,7 +71,7 @@ from linkgraph.operators.terms import (
     group_percentiles,
     tfidf_top_terms,
 )
-from linkgraph.operators.crawl import edge_delta, opic
+from linkgraph.operators.crawl import edge_delta, opic, resolve_aliases
 from linkgraph.operators.sampling import (
     hash_split,
     negative_edges,
@@ -202,5 +202,6 @@ __all__ = [
     "weighted_sample",
     "opic",
     "edge_delta",
+    "resolve_aliases",
     "build_inverted_index",
 ]

@@ -89,6 +89,7 @@ def weakly_connected_components(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 0,
     jump: bool = False,
+    init_labels: DataFrame | None = None,
 ) -> IterationResult:
     """DataFrame(id, component); component = min vertex id in it.
     Directed edges treated weakly (both directions), matching the
@@ -97,7 +98,18 @@ def weakly_connected_components(
     ``jump=True`` enables pointer jumping: O(log diameter) rounds at
     one extra self-join per round — use it when components may be
     deep (long chains); web graphs' shallow diameter makes the plain
-    step cheaper per round."""
+    step cheaper per round.
+
+    ``init_labels``: optional DataFrame(id, component) from a previous
+    run — the incremental path for an ADDITIONS-ONLY graph delta (new
+    pages/links after a crawl). Adding edges only merges components,
+    and every old label is the min vertex id of a subset of the new
+    component, so min-propagation from the old labels reaches the
+    same fixpoint as from scratch in the few rounds the merges need
+    instead of the full diameter. Vertices absent from ``init_labels``
+    (newly discovered) seed with their own id. INVALID after edge
+    REMOVALS (components can split; old labels may name vertices no
+    longer in the component) — rerun cold for deletion deltas."""
     und = graph.to_directed() if not graph.directed else graph
     e = und.edges.select("src", "dst")
     # stationary operand: each label round joins on src without
@@ -107,6 +119,14 @@ def weakly_connected_components(
         "src",
     )
     init = graph.vertices.select("id", F.col("id").alias("label"))
+    if init_labels is not None:
+        prev = init_labels.select(
+            "id", F.col("component").cast("long").alias("_warm")
+        )
+        init = (
+            init.join(prev, "id", "left")
+            .select("id", F.coalesce("_warm", F.col("label")).alias("label"))
+        )
     res = iterate(
         init,
         _min_label_step(sym, jump=jump),

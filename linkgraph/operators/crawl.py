@@ -135,6 +135,93 @@ def opic(
     return out
 
 
+def resolve_aliases(
+    aliases: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 48,
+) -> DataFrame:
+    """Resolve redirect/canonical-alias chains to their terminal
+    target by pointer doubling: DataFrame(id, target, hops, status)
+    with status 'resolved' (chain ends at a url with no outgoing
+    alias) or 'cycle' (redirect loop — real crawl data, reported, not
+    raised).
+
+    ``aliases`` is a functional graph: at most one outgoing alias per
+    src (HTTP redirect / rel=canonical); duplicate (src, dst) rows
+    collapse, but two DIFFERENT targets for one src raise — that is
+    corrupt input, and picking one silently would be wrong.
+
+    Each round every unresolved pointer jumps to its pointer's
+    pointer and accumulates hops (ptr ← ptr(ptr), d ← d + d(ptr)), so
+    a length-L chain resolves in ceil(log2 L) rounds — 48 rounds
+    covers chains of 2^48 links, i.e. any non-cycle. The per-round
+    plan is one self-equi-join on the pointer column plus one count;
+    state never exceeds one row per aliased url. Rows still pointing
+    at an aliased url when the doubling stops moving are on (or feed
+    into) a cycle.
+    """
+    a = (
+        aliases.select(
+            F.col(src_col).alias("id"), F.col(dst_col).alias("ptr")
+        ).distinct()
+    )
+    dup = a.groupBy("id").agg(F.count("*").alias("n")).filter("n > 1")
+    bad = dup.limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"resolve_aliases needs a functional graph: src {bad[0]['id']} has "
+            f"{bad[0]['n']} distinct targets"
+        )
+    chain = LineageChain()
+    # done(v) = ptr(v) is terminal (has no outgoing alias itself)
+    state = chain.cut(
+        a.join(a.select(F.col("id").alias("_t")), a.ptr == F.col("_t"), "left")
+        .select("id", "ptr", F.lit(1).cast("long").alias("hops"),
+                F.col("_t").isNull().alias("done"))
+    )
+    prev_done = state.filter("done").count()
+    for _ in range(max_rounds):
+        if state.filter(~F.col("done")).limit(1).count() == 0:
+            break
+        nxt = state.select(
+            F.col("id").alias("_nid"),
+            F.col("ptr").alias("_nptr"),
+            F.col("hops").alias("_nhops"),
+            F.col("done").alias("_ndone"),
+        )
+        state = chain.cut(
+            state.join(nxt, state.ptr == nxt._nid, "left").select(
+                "id",
+                F.when(F.col("done") | F.col("_nptr").isNull(), F.col("ptr"))
+                .otherwise(F.col("_nptr"))
+                .alias("ptr"),
+                F.when(F.col("done") | F.col("_nptr").isNull(), F.col("hops"))
+                .otherwise(F.col("hops") + F.col("_nhops"))
+                .alias("hops"),
+                (F.col("done") | F.coalesce("_ndone", F.lit(True))).alias("done"),
+            )
+        )
+        n_done = state.filter("done").count()
+        if n_done == prev_done:
+            # chain rows live at every distance 1..L of their chain, so
+            # a round that resolves NOTHING means no resolvable row is
+            # left — everything still undone sits on (or feeds) a cycle
+            break
+        prev_done = n_done
+    # cycle rows' (ptr, hops) rotate with the round count — meaningless
+    # to report; normalize to NULL so the result is round-invariant
+    out = state.select(
+        "id",
+        F.when(F.col("done"), F.col("ptr")).alias("target"),
+        F.when(F.col("done"), F.col("hops")).alias("hops"),
+        F.when(F.col("done"), F.lit("resolved")).otherwise(F.lit("cycle")).alias(
+            "status"
+        ),
+    )
+    return out
+
+
 def edge_delta(
     old: DataFrame,
     new: DataFrame,

@@ -140,3 +140,39 @@ def test_bowtie_requires_directed(spark):
 
     with pytest.raises(ValueError):
         bowtie_decomposition(graph_from_edges(spark, [(1, 2)], directed=False))
+
+
+def test_wcc_warm_start_additions_only(spark):
+    import networkx as nx
+
+    from conftest import graph_from_edges
+    from linkgraph.operators.components import weakly_connected_components
+
+    G = nx.gnp_random_graph(60, 0.03, seed=11, directed=True)
+    base_edges = list(G.edges())
+    g0 = graph_from_edges(spark, base_edges, directed=True, vertices=list(G))
+    cold0 = weakly_connected_components(g0)
+
+    # additions-only crawl delta: bridges that merge components + a
+    # brand-new vertex
+    delta = [(0, 30), (15, 45), (59, 100)]
+    g1 = graph_from_edges(
+        spark, base_edges + delta, directed=True, vertices=list(G) + [100]
+    )
+    cold1 = weakly_connected_components(g1)
+    warm1 = weakly_connected_components(g1, init_labels=cold0.state)
+
+    c = {r.id: r.component for r in cold1.state.collect()}
+    w = {r.id: r.component for r in warm1.state.collect()}
+    assert c == w
+    # labels are the canonical min vertex id per component
+    H = nx.Graph()
+    H.add_nodes_from(G)
+    H.add_node(100)
+    H.add_edges_from(base_edges + delta)
+    for comp in nx.connected_components(H):
+        m = min(comp)
+        for v in comp:
+            assert c[v] == m
+    # warm start converges in no more rounds than cold (usually fewer)
+    assert warm1.iterations <= cold1.iterations

@@ -1,9 +1,10 @@
-"""OPIC crawl priority, snapshot edge deltas, inverted index."""
+"""OPIC crawl priority, snapshot edge deltas, alias-chain resolution,
+inverted index."""
 
 import pytest
 
 from conftest import graph_from_edges
-from linkgraph.operators.crawl import edge_delta, opic
+from linkgraph.operators.crawl import edge_delta, opic, resolve_aliases
 from linkgraph.operators.terms import build_inverted_index
 
 
@@ -77,6 +78,38 @@ def test_edge_delta_classification(spark):
         (2, 3): "removed",
         (3, 4): "added",
     }
+
+
+def test_resolve_aliases_chains_and_cycles(spark):
+    # chain 1→2→…→10 (10 terminal), feeder 19→20 into cycle 20↔21
+    rows = [(i, i + 1) for i in range(1, 10)] + [(19, 20), (20, 21), (21, 20)]
+    al = spark.createDataFrame(rows, "src long, dst long")
+    got = {r.id: r for r in resolve_aliases(al).collect()}
+    assert len(got) == 12
+    for i in range(1, 10):
+        assert got[i].status == "resolved"
+        assert got[i].target == 10
+        assert got[i].hops == 10 - i
+    for v in (19, 20, 21):
+        assert got[v].status == "cycle"
+        assert got[v].target is None and got[v].hops is None
+
+
+def test_resolve_aliases_long_chain_log_rounds(spark):
+    # a 200-link chain resolves with doubling (≈8 rounds), hops exact
+    al = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "src long, dst long"
+    )
+    got = {r.id: r for r in resolve_aliases(al).collect()}
+    assert got[0].target == 200 and got[0].hops == 200
+    assert got[150].target == 200 and got[150].hops == 50
+    assert all(r.status == "resolved" for r in got.values())
+
+
+def test_resolve_aliases_rejects_nonfunctional(spark):
+    al = spark.createDataFrame([(1, 2), (1, 3)], "src long, dst long")
+    with pytest.raises(ValueError):
+        resolve_aliases(al)
 
 
 def test_inverted_index_exact_and_truncated(spark):
