@@ -2148,6 +2148,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wcc_incremental"] = _wcc_incremental
 
+    # --- politeness-aware crawl schedule: per-host fetch order by
+    # priority, ranked WITHOUT a per-host single-task window (two-level
+    # bucketed rank); wave w = rows with fetch_rank = w
+    def _crawl_schedule(s, d):
+        from linkgraph.operators.crawl import politeness_schedule
+
+        docs = _read(s, d, "documents").select(
+            F.col("source").alias("host"), "doc_id", F.col("n_chars").alias("pri")
+        )
+        return politeness_schedule(
+            docs, host_col="host", id_col="doc_id", priority_col="pri"
+        ).select("host", F.col("id").alias("doc_id"), "fetch_rank")
+
+    q["crawl_schedule_docs"] = _crawl_schedule
+
     return q
 
 
@@ -4331,6 +4346,12 @@ FROM exact e LEFT JOIN approx a
 GROUP BY 1""",
         "opic5_suppdir": _unrolled_opic_sql(SUPP_DIR, "id", 5),
         "alias_chains_suppliers": _alias_doubling_sql(8),
+        "crawl_schedule_docs": """
+SELECT source AS host, doc_id,
+       CAST(row_number() OVER (PARTITION BY source
+                               ORDER BY n_chars DESC, doc_id ASC) AS BIGINT)
+         AS fetch_rank
+FROM documents""",
         "wcc_incremental": f"""
 WITH RECURSIVE e AS (
   SELECT src, dst FROM ({HIER})

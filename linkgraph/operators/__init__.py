@@ -71,7 +71,12 @@ from linkgraph.operators.terms import (
     group_percentiles,
     tfidf_top_terms,
 )
-from linkgraph.operators.crawl import edge_delta, opic, resolve_aliases
+from linkgraph.operators.crawl import (
+    edge_delta,
+    opic,
+    politeness_schedule,
+    resolve_aliases,
+)
 from linkgraph.operators.sampling import (
     hash_split,
     negative_edges,
@@ -203,5 +208,6 @@ __all__ = [
     "opic",
     "edge_delta",
     "resolve_aliases",
+    "politeness_schedule",
     "build_inverted_index",
 ]

@@ -222,6 +222,85 @@ def resolve_aliases(
     return out
 
 
+def politeness_schedule(
+    df: DataFrame,
+    host_col: str = "host",
+    id_col: str = "url",
+    priority_col: str = "priority",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """DataFrame(host, id, fetch_rank): per-host fetch order by
+    descending priority (ties by id ascending) — fetch_rank = k means
+    the url is the k-th fetch from its host, so politeness wave w
+    (one request per host per wave) is exactly the rows with
+    fetch_rank = w. The crawl-frontier step after OPIC/PageRank
+    scores.
+
+    The naive plan — ``row_number() OVER (PARTITION BY host …)`` —
+    funnels each host's ENTIRE url set through one task: a 10M-page
+    hub host becomes one straggler. This ranks in two levels instead:
+    per-host approx-percentile boundaries split each host's rows into
+    ``n_buckets`` priority ranges (order-monotone: equal priorities
+    share a bucket), bucket offsets come from one bounded-size count
+    aggregation, and the window only ever partitions by
+    (host, bucket) — ≈ 1/n_buckets of a host per task. The result is
+    value-identical to the single-window rank (tested against it and
+    against the SQL oracle).
+    """
+    base = df.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col).alias("id"),
+        F.col(priority_col).cast("double").alias("p"),
+    )
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = base.groupBy("host").agg(
+        F.expr(f"percentile_approx(p, array({','.join(str(x) for x in probs)}), 10000)")
+        .alias("bs")
+    )
+    # bucket = number of boundaries strictly above p: descending
+    # priority ranges, equal priorities always share a bucket
+    # one small row per host — AQE broadcasts when it fits, shuffles
+    # on host otherwise (at 10^8 hosts a forced broadcast would OOM)
+    bucketed = base.join(bounds, "host").select(
+        "host",
+        "id",
+        "p",
+        F.aggregate(
+            "bs", F.lit(0), lambda acc, b: acc + F.when(b > F.col("p"), 1).otherwise(0)
+        ).alias("b"),
+    )
+    counts = bucketed.groupBy("host", "b").agg(F.count("*").alias("c"))
+    offsets = (
+        counts.groupBy("host")
+        .agg(F.map_from_entries(F.collect_list(F.struct("b", "c"))).alias("m"))
+        .select(
+            "host",
+            F.explode(
+                F.expr(
+                    # offset(b) = Σ_{b' < b} count(b') — n_buckets is
+                    # bounded, so this per-host array is tiny
+                    f"""transform(sequence(0, {n_buckets - 1}), b -> struct(
+                        b AS b,
+                        aggregate(sequence(0, {n_buckets - 1}),
+                                  0L,
+                                  (acc, i) -> acc + CASE WHEN i < b
+                                      THEN coalesce(element_at(m, i), 0L)
+                                      ELSE 0L END) AS off))"""
+                )
+            ).alias("e"),
+        )
+        .select("host", F.col("e.b").alias("b"), F.col("e.off").alias("off"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host", "b").orderBy(F.desc("p"), F.asc("id"))
+    return (
+        bucketed.withColumn("_r", F.row_number().over(w))
+        .join(offsets, ["host", "b"])
+        .select("host", "id", (F.col("off") + F.col("_r")).alias("fetch_rank"))
+    )
+
+
 def edge_delta(
     old: DataFrame,
     new: DataFrame,

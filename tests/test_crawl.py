@@ -112,6 +112,37 @@ def test_resolve_aliases_rejects_nonfunctional(spark):
         resolve_aliases(al)
 
 
+def test_politeness_schedule_equals_single_window_rank(spark):
+    import random
+
+    from linkgraph.operators.crawl import politeness_schedule
+
+    rng = random.Random(7)
+    rows = [
+        (f"h{rng.randrange(5)}", i, float(rng.randrange(20)))  # many priority ties
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "host string, url long, priority double")
+    got = {
+        (r.host, r.id): r.fetch_rank
+        for r in politeness_schedule(df, id_col="url", n_buckets=8).collect()
+    }
+    # pure-Python single-scan oracle: rank by (priority desc, id asc)
+    by_host: dict = {}
+    for h, i, p in rows:
+        by_host.setdefault(h, []).append((i, p))
+    want = {}
+    for h, items in by_host.items():
+        for rank, (i, _) in enumerate(
+            sorted(items, key=lambda t: (-t[1], t[0])), start=1
+        ):
+            want[(h, i)] = rank
+    assert got == want
+    # politeness wave 1 = exactly one url per host
+    wave1 = [k for k, v in got.items() if v == 1]
+    assert len(wave1) == len(by_host)
+
+
 def test_inverted_index_exact_and_truncated(spark):
     docs = spark.createDataFrame(
         [
