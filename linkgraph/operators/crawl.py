@@ -44,6 +44,9 @@ def opic(
     rounds: int = 10,
     weighted: bool = True,
     weight_expr: Column | str | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
+    resume: bool = True,
 ) -> DataFrame:
     """DataFrame(id, cash, history, priority) after ``rounds``
     synchronous OPIC rounds.
@@ -52,6 +55,13 @@ def opic(
     rounds, so Σ priority = 1 — the estimate is a distribution at
     every prefix of the crawl, which is the property OPIC buys over
     running a truncated power iteration.
+
+    ``checkpoint_dir``/``checkpoint_every``: durable per-round commits
+    of the cash/history state (PeelCheckpoint, like every other
+    iterative operator); a restarted call with the same dir resumes at
+    the next round — OPIC is the operator MEANT to run alongside a
+    weeks-long crawl, so it must survive a driver restart. Resuming
+    can also EXTEND a finished run to more ``rounds``.
     """
     from linkgraph.operators.pagerank import _weight_col
 
@@ -93,11 +103,20 @@ def opic(
     )
     verts.count()
 
+    from linkgraph.plans.iterate import PeelCheckpoint
+
     chain = LineageChain()
     state = verts.select(
         "id", F.lit(1.0 / n).alias("cash"), F.lit(0.0).alias("history"), "dangling"
     )
-    for _ in range(rounds):
+    ckpt = PeelCheckpoint(checkpoint_dir, spark) if checkpoint_dir else None
+    start = 0
+    if ckpt and resume:
+        meta = ckpt.latest()
+        if meta is not None:
+            state = ckpt.load(meta)["state"]
+            start = meta["round"]
+    for r in range(start, rounds):
         # dangling cash as an in-plan 1-row broadcast, no collect
         dm = state.filter("dangling").agg(
             F.coalesce(F.sum("cash"), F.lit(0.0)).alias("dm")
@@ -121,6 +140,8 @@ def opic(
             )
         )
         state = chain.cut(state)
+        if ckpt and checkpoint_every and (r + 1) % checkpoint_every == 0:
+            ckpt.commit(r + 1, {"state": state})
 
     out = state.select(
         "id",

@@ -167,3 +167,21 @@ def test_louvain_resume_preserves_parity(spark, tmp_path):
     }
     assert got == want
     assert _latest_meta(d)["round"] == 4
+
+
+def test_opic_resume_after_kill(spark, tmp_path):
+    from linkgraph.operators.crawl import opic
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 1), (4, 5), (2, 5)]
+    g = graph_from_edges(spark, edges)
+    want = sorted(tuple(r) for r in opic(g, rounds=6).collect())
+    d = str(tmp_path / "opic")
+    # "killed" run: commits every round, stops after round 3
+    opic(g, rounds=3, checkpoint_dir=d, checkpoint_every=1)
+    assert _latest_meta(d)["round"] == 3
+    got = sorted(
+        tuple(r)
+        for r in opic(g, rounds=6, checkpoint_dir=d, checkpoint_every=1).collect()
+    )
+    assert got == want
+    assert _latest_meta(d)["round"] == 6  # continued, not restarted
