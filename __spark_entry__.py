@@ -2163,6 +2163,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_schedule_docs"] = _crawl_schedule
 
+    # --- per-host link insularity over the synthetic crawl snapshot
+    def _host_insularity(s, d):
+        from linkgraph.sources.edges import host_insularity
+        from linkgraph.sources.pages import pages_dataframe
+
+        pages = pages_dataframe(s, WEB_N_PAGES, n_domains=WEB_N_DOMAINS)
+        return host_insularity(pages)
+
+    q["host_insularity_pages"] = _host_insularity
+
     return q
 
 
@@ -4352,6 +4362,17 @@ SELECT source AS host, doc_id,
                                ORDER BY n_chars DESC, doc_id ASC) AS BIGINT)
          AS fetch_rank
 FROM documents""",
+        "host_insularity_pages": f"""
+WITH e AS ({_webgraph_values_sql(42)})
+SELECT lower(regexp_extract(src, '^https?://([^/]+)', 1)) AS host,
+       CAST(sum(weight) AS BIGINT) AS n_links,
+       CAST(sum(CASE WHEN lower(regexp_extract(src, '^https?://([^/]+)', 1))
+                      = lower(regexp_extract(dst, '^https?://([^/]+)', 1))
+                THEN weight ELSE 0 END) AS BIGINT) AS n_internal,
+       round(sum(CASE WHEN lower(regexp_extract(src, '^https?://([^/]+)', 1))
+                       = lower(regexp_extract(dst, '^https?://([^/]+)', 1))
+                 THEN weight ELSE 0 END) / sum(weight), 6) AS insularity
+FROM e GROUP BY 1""",
         "wcc_incremental": f"""
 WITH RECURSIVE e AS (
   SELECT src, dst FROM ({HIER})

@@ -87,6 +87,32 @@ def build_host_edges(pages: DataFrame, drop_internal: bool = False) -> DataFrame
     )
 
 
+def host_insularity(pages: DataFrame) -> DataFrame:
+    """pages → DataFrame(host, n_links, n_internal, insularity): per
+    source host the outgoing link-instance count, how many stay on the
+    same host, and their ratio — the site-insularity statistic a crawl
+    planner reads before budgeting a host (insular sites need deep
+    crawls from few entry points; porous ones are reachable from
+    everywhere). Same single-UDF shape as build_host_edges: the
+    same-host flag folds into the one map-side-combined groupBy, so no
+    second pass."""
+    links = pages.select(
+        host_col(normalize_url_col(F.col("url"))).alias("host"),
+        F.explode(extract_links_udf(F.col("html"))).alias("href"),
+    )
+    flagged = links.select(
+        "host",
+        (host_col(normalize_url_col(F.col("href"))) == F.col("host"))
+        .cast("long")
+        .alias("internal"),
+    )
+    return flagged.groupBy("host").agg(
+        F.count("*").alias("n_links"),
+        F.sum("internal").alias("n_internal"),
+        F.round(F.sum("internal") / F.count("*"), 6).alias("insularity"),
+    )
+
+
 def anchor_text_stats(pages: DataFrame) -> DataFrame:
     """pages → per-target anchor-text aggregation: DataFrame(dst
     string normalized url, n_anchors long, n_unique_anchors long,
