@@ -22,9 +22,10 @@ pass. ``alternate=False`` restores fully synchronous moves for
 study. Two rounds ≈ one full sweep.
 
 Plan per round: one edges⋈state join + one (v, community) sum, one
-community-total aggregation (broadcastable: |communities| ≤ |V| and
-shrinking), one max_by argmax — the LPA shuffle shape with a gain
-expression instead of a count.
+community-total aggregation (|communities| starts at |V| and only
+shrinks — AQE broadcasts it per round once it fits), one max_by
+argmax — the LPA shuffle shape with a gain expression instead of a
+count.
 
 Determinism note: with integer edge weights every score is an exact
 integer product divided once by 2m, so argmax ordering is
@@ -144,9 +145,12 @@ def louvain_local_moves(
         cur = state.select(
             F.col("id").alias("vid"), F.col("community").alias("cur"), "k"
         )
+        # NO broadcast hint on tot: it has |V| rows at round 1 (every
+        # vertex a singleton) and only SHRINKS to broadcastable later —
+        # AQE picks broadcast per round once the size actually fits
         scored = (
             cand.join(cur, "vid")
-            .join(F.broadcast(tot), "community")
+            .join(tot, "community")
             .select(
                 "vid",
                 "community",
