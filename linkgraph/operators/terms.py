@@ -257,9 +257,14 @@ def pmi_collocations(
     c1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     c2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
     return (
+        # no broadcast hint on the unigram-count side: c1/c2 are
+        # VOCABULARY-sized (billions of distinct tokens on a web
+        # corpus) — AQE broadcasts when they fit, shuffles on the
+        # (uniform) token key otherwise. The two 1-row totals stay
+        # explicit broadcasts.
         bi.filter(F.col("pair_count") >= min_count)
-        .join(F.broadcast(c1), "w1")
-        .join(F.broadcast(c2), "w2")
+        .join(c1, "w1")
+        .join(c2, "w2")
         .crossJoin(F.broadcast(totals))
         .crossJoin(F.broadcast(n_bigrams))
         .select(
