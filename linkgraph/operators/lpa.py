@@ -23,7 +23,6 @@ import sys
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from linkgraph.graph import LinkGraph
 from linkgraph.operators.pagerank import _weight_col
@@ -68,11 +67,13 @@ def label_propagation(
             .groupBy(F.col("dst").alias("id"), F.col("label").alias("cand"))
             .agg(F.sum("_w").alias("votes"))
         )
-        win = Window.partitionBy("id").orderBy(F.desc("votes"), F.asc("cand"))
-        best = (
-            votes.withColumn("_rn", F.row_number().over(win))
-            .filter(F.col("_rn") == 1)
-            .select("id", F.col("cand").alias("new_label"))
+        # argmax by (votes desc, cand asc) as a map-side-combinable
+        # min_by, NOT a per-id window: a hub vertex's candidate rows
+        # (one per distinct neighbor label — up to its in-degree in
+        # early rounds) would all sort inside one window task. votes
+        # is a double so its negation is exact and overflow-free.
+        best = votes.groupBy("id").agg(
+            F.expr("min_by(cand, struct(-votes, cand))").alias("new_label")
         )
         new = (
             state.join(best, "id", "left")
