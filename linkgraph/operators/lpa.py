@@ -5,8 +5,9 @@ useless as a distributed spec. We pin the deterministic variant
 (SURVEY.md §4.2.6): synchronous rounds; each vertex adopts the most
 frequent label among its neighbors (weighted by edge weight), ties
 broken by SMALLEST label; isolated vertices keep their own label;
-stop at stability or max_iter. The argmax is a window row_number —
-one shuffle per round keyed by vertex.
+stop at stability or max_iter. The argmax is a map-side-combinable
+min_by aggregation — one shuffle per round keyed by vertex, no
+per-vertex window (a hub's candidate set never sorts in one task).
 
 Bipartite-ish structures can 2-cycle under synchronous updates; the
 driver loop fingerprints each round's full (id, label) state (a
