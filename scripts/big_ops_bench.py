@@ -433,6 +433,28 @@ def main() -> None:
         }
         zg9.unpersist()
 
+    # LPA: the north rule's community operator on the hub-heavy Zipf
+    # graph — the vote argmax is a map-side-combinable min_by, so the
+    # Zipf head's candidate sets never sort inside one task
+    if want("lpa_zipf"):
+        from linkgraph.operators.lpa import label_propagation
+
+        zg11 = random_edges(
+            spark, 2_000_000, 40_000_000, seed=5, zipf_s=1.2, partitions=64
+        )
+        gl2 = LinkGraph(zg11.select("src", "dst", "weight"), directed=True)
+        t0 = time.time()
+        res_lpa = label_propagation(gl2, max_iter=3)
+        n_lab = res_lpa.state.select("label").distinct().count()
+        wall = time.time() - t0
+        results["lpa_zipf"] = {
+            "sec": round(wall, 1),
+            "graph": "40M zipf(1.2) edges / 2M vertices",
+            "rounds": res_lpa.iterations,
+            "labels": n_lab,
+            "edges_per_sec": round(40_000_000 * res_lpa.iterations / wall, 1),
+        }
+
     # Louvain local moves: 4 semi-synchronous gain rounds — per round
     # one stationary edges⋈state join + one community-total agg + one
     # argmax, the LPA shuffle shape with a gain expression
