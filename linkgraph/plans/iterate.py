@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 from collections.abc import Callable
@@ -77,6 +78,101 @@ def _rm_path(path: str, spark: SparkSession | None = None) -> None:
         import sys
 
         print(f"WARNING linkgraph.iterate: failed to delete {path}: {exc}", file=sys.stderr)
+
+
+_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:")
+
+
+def _has_scheme(path: str) -> bool:
+    return bool(_SCHEME_RE.match(path))
+
+
+def _fs(spark: SparkSession | None, path: str):
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            f"checkpoint path {path} has a filesystem scheme but there is no "
+            "active SparkSession for the Hadoop FileSystem API"
+        )
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def _write_meta(meta_path: str, meta: dict, spark: SparkSession | None = None) -> None:
+    """Write-then-rename JSON commit wherever the checkpoint dir lives.
+
+    A meta marks its round's parquet data complete, so it must land in
+    the SAME filesystem as the data: with an HDFS/object-store
+    checkpoint dir (the cluster setup session.py instructs), plain
+    ``open()``/``os.replace`` would silently drop the marker on
+    driver-LOCAL disk — after a driver loss the new driver finds data
+    but no metas and restarts from zero, the exact failure
+    resumability exists to prevent. Scheme-qualified paths go through
+    the Hadoop FileSystem API; plain paths stay on cheap local IO."""
+    payload = json.dumps(meta)
+    if not _has_scheme(meta_path):
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(payload)
+        os.replace(tmp, meta_path)
+        return
+    fs, target, jvm = _fs(spark, meta_path)
+    tmp = jvm.org.apache.hadoop.fs.Path(meta_path + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(payload.encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(target):  # HDFS rename refuses to overwrite
+        fs.delete(target, False)
+    if not fs.rename(tmp, target):
+        raise IOError(f"checkpoint meta rename failed: {meta_path}")
+
+
+def _read_json(path: str, spark: SparkSession | None = None) -> dict:
+    if not _has_scheme(path):
+        with open(path) as f:
+            return json.load(f)
+    fs, hpath, jvm = _fs(spark, path)
+    stream = fs.open(hpath)
+    try:
+        # commons-io ships with Spark; avoids byte-at-a-time py4j reads
+        content = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(content)
+
+
+def _list_meta_names(dir_path: str, spark: SparkSession | None = None) -> list[str]:
+    """Sorted ``*.meta.json`` basenames under a checkpoint dir (any FS)."""
+    if not _has_scheme(dir_path):
+        if not os.path.isdir(dir_path):
+            return []
+        names = os.listdir(dir_path)
+    else:
+        fs, hpath, _ = _fs(spark, dir_path)
+        if not fs.exists(hpath):
+            return []
+        names = [s.getPath().getName() for s in fs.listStatus(hpath)]
+    return sorted(n for n in names if n.endswith(".meta.json"))
+
+
+def _remove_file(path: str, spark: SparkSession | None = None) -> None:
+    if not _has_scheme(path):
+        os.remove(path)
+    else:
+        fs, hpath, _ = _fs(spark, path)
+        fs.delete(hpath, False)
+
+
+def _ensure_dir(path: str, spark: SparkSession | None = None) -> None:
+    if not _has_scheme(path):
+        os.makedirs(path, exist_ok=True)
+    else:
+        fs, hpath, _ = _fs(spark, path)
+        fs.mkdirs(hpath)
 
 
 def truncate_lineage(df: DataFrame) -> DataFrame:
@@ -211,10 +307,7 @@ def commit_checkpoint(
         "partition_rows": part_rows,
         "path": path,
     }
-    tmp = _meta_path(ckpt_dir, iteration) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, _meta_path(ckpt_dir, iteration))
+    _write_meta(_meta_path(ckpt_dir, iteration), meta, state.sparkSession)
 
 
 class PeelCheckpoint:
@@ -234,7 +327,7 @@ class PeelCheckpoint:
     def __init__(self, ckpt_dir: str, spark: SparkSession) -> None:
         self._dir = ckpt_dir
         self._spark = spark
-        os.makedirs(ckpt_dir, exist_ok=True)
+        _ensure_dir(ckpt_dir, spark)
 
     def _meta(self, r: int) -> str:
         return os.path.join(self._dir, f"peel_{r:06d}.meta.json")
@@ -248,40 +341,30 @@ class PeelCheckpoint:
             paths[name] = p
             rows[name] = self._spark.read.parquet(p).count()
         meta = {"round": round_i, "frames": paths, "rows": rows, "extra": extra or {}}
-        tmp = self._meta(round_i) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, self._meta(round_i))
+        _write_meta(self._meta(round_i), meta, self._spark)
         # GC every older committed round now that this one is durable
-        for m in os.listdir(self._dir):
-            if m.endswith(".meta.json") and m < os.path.basename(self._meta(round_i)):
-                with open(os.path.join(self._dir, m)) as f:
-                    old = json.load(f)
+        for m in _list_meta_names(self._dir, self._spark):
+            if m < os.path.basename(self._meta(round_i)):
+                old = _read_json(os.path.join(self._dir, m), self._spark)
                 for p in old["frames"].values():
                     _rm_path(p, self._spark)
-                os.remove(os.path.join(self._dir, m))
+                _remove_file(os.path.join(self._dir, m), self._spark)
 
     def latest(self) -> dict | None:
-        if not os.path.isdir(self._dir):
-            return None
-        metas = sorted(f for f in os.listdir(self._dir) if f.endswith(".meta.json"))
+        metas = _list_meta_names(self._dir, self._spark)
         if not metas:
             return None
-        with open(os.path.join(self._dir, metas[-1])) as f:
-            return json.load(f)
+        return _read_json(os.path.join(self._dir, metas[-1]), self._spark)
 
     def load(self, meta: dict) -> dict[str, DataFrame]:
         return {name: self._spark.read.parquet(p) for name, p in meta["frames"].items()}
 
 
-def latest_checkpoint(ckpt_dir: str) -> dict | None:
-    if not os.path.isdir(ckpt_dir):
-        return None
-    metas = sorted(f for f in os.listdir(ckpt_dir) if f.endswith(".meta.json"))
+def latest_checkpoint(ckpt_dir: str, spark: SparkSession | None = None) -> dict | None:
+    metas = _list_meta_names(ckpt_dir, spark)
     if not metas:
         return None
-    with open(os.path.join(ckpt_dir, metas[-1])) as f:
-        return json.load(f)
+    return _read_json(os.path.join(ckpt_dir, metas[-1]), spark)
 
 
 def iterate(
@@ -315,7 +398,7 @@ def iterate(
     chain = LineageChain()
 
     if checkpoint_dir and resume:
-        meta = latest_checkpoint(checkpoint_dir)
+        meta = latest_checkpoint(checkpoint_dir, spark)
         if meta is not None:
             state = spark.read.parquet(meta["path"])
             start_i = meta["iteration"] + 1

@@ -75,3 +75,35 @@ def test_pagerank_resume_identical(spark, tmp_path, two_cliques_bridge):
     a = np.array([full[k] for k in sorted(full)])
     b = np.array([resumed[k] for k in sorted(resumed)])
     assert np.allclose(a, b, atol=1e-9)
+
+
+def test_checkpoint_uri_scheme_roundtrip(spark, tmp_path):
+    """An HDFS/object-store checkpoint dir must reach metas through
+    the Hadoop FileSystem API, not driver-local os IO (which would
+    strand the commit markers on the driver's disk while the data
+    lands remotely). Exercised via the file:// scheme — the identical
+    code path as hdfs:// or s3a://."""
+    d = "file://" + str(tmp_path / "ck_uri")
+    init = spark.createDataFrame([(1, 0)], "id long, v int")
+    iterate(init, _counting_step, tol=0.0, max_iter=4,
+            checkpoint_dir=d, checkpoint_every=2, resume=False)
+    assert latest_checkpoint(d, spark)["iteration"] == 3
+    res = iterate(init, _counting_step, tol=0.0, max_iter=50,
+                  checkpoint_dir=d, checkpoint_every=2)
+    assert res.state.collect()[0]["v"] == 10
+    assert res.stats[0].resumed
+
+
+def test_peel_checkpoint_uri_scheme(spark, tmp_path):
+    from linkgraph.plans.iterate import PeelCheckpoint, _list_meta_names
+
+    d = "file://" + str(tmp_path / "peel_uri")
+    ck = PeelCheckpoint(d, spark)
+    f0 = spark.createDataFrame([(1,)], "id long")
+    ck.commit(0, {"a": f0}, extra={"k": 1})
+    ck.commit(1, {"a": f0.withColumn("id", F.col("id") + 1)}, extra={"k": 2})
+    meta = ck.latest()
+    assert meta["round"] == 1 and meta["extra"]["k"] == 2
+    assert ck.load(meta)["a"].collect()[0]["id"] == 2
+    # the stale round-0 commit was GC'd through the same FS API
+    assert _list_meta_names(d, spark) == ["peel_000001.meta.json"]
