@@ -92,7 +92,9 @@ def shortest_paths(
     )
     frontier = state
     mchain = LineageChain()
-    for _ in range(max_iter):
+    cached: list[DataFrame] = []
+    cut_every = 3
+    for r in range(max_iter):
         cand = (
             frontier.join(edges, frontier.id == edges.src)
             .select(
@@ -104,11 +106,7 @@ def shortest_paths(
             .agg(F.min_by(F.struct("nd", "nvia"), F.struct("nd", "nvia")).alias("m"))
             .select("id", F.col("m.nd").alias("nd"), F.col("m.nvia").alias("nvia"))
         )
-        # chain cut = hard lineage cut: persist alone leaves the
-        # per-round join nesting in the logical plan, which grows
-        # unboundedly over rounds (SURVEY §4.2 risk #1); superseded
-        # round dirs are GC'd as the wavefront advances.
-        merged = mchain.cut(
+        plan = (
             state.join(cand, "id", "full")
             .select(
                 "id",
@@ -121,10 +119,34 @@ def shortest_paths(
             )
             .select("id", "s.dist", "s.via", "s.chg")
         )
+        # Hard (parquet) lineage cut every cut_every rounds, persist in
+        # between: the plan nests at most cut_every join levels (SURVEY
+        # §4.2 risk #1 stays bounded) while the loop pays ONE driver
+        # action per uncut round — the frontier count doubles as the
+        # cache materialization (a filtered scan of a caching frame
+        # still builds every partition it reads). Superseded caches are
+        # released at each cut, AFTER the cut is durable, so no live
+        # frame ever references a GC'd trunc dir.
+        if (r + 1) % cut_every == 0:
+            merged = mchain.cut(plan)
+            for df in cached:
+                df.unpersist()
+            cached.clear()
+            advanced = merged.filter("chg = 1").limit(1).count() > 0
+        else:
+            merged = plan.persist()
+            cached.append(merged)
+            advanced = merged.filter("chg = 1").count() > 0
         frontier = merged.filter("chg = 1").select("id", "dist", "via")
         state = merged.select("id", "dist", "via")
-        if frontier.limit(1).count() == 0:
+        if not advanced:
             break
+    if cached:
+        # rebase the result onto durable parquet before releasing the
+        # caches it was built from
+        state = mchain.cut(state)
+        for df in cached:
+            df.unpersist()
     edges.unpersist()
     return state
 
