@@ -114,6 +114,17 @@ def opic(
     if ckpt and resume:
         meta = ckpt.latest()
         if meta is not None:
+            if meta["round"] > rounds:
+                # history already accumulates MORE rounds than the
+                # caller's denominator would claim: normalizing by
+                # rounds+1 would make sum(priority) > 1, silently
+                # breaking the distribution invariant this operator
+                # promises after any round prefix.
+                raise ValueError(
+                    f"opic resume: checkpoint at round {meta['round']} exceeds "
+                    f"rounds={rounds}; pass rounds >= {meta['round']} (resume "
+                    "extends a run, it cannot shrink one)"
+                )
             state = ckpt.load(meta)["state"]
             start = meta["round"]
     for r in range(start, rounds):
@@ -267,11 +278,19 @@ def politeness_schedule(
     (host, bucket) — ≈ 1/n_buckets of a host per task. The result is
     value-identical to the single-window rank (tested against it and
     against the SQL oracle).
+
+    NULL priorities are coalesced to -infinity, so unknown-priority
+    urls land in the LAST bucket and sort after every scored url —
+    exactly where ``row_number() OVER (ORDER BY p DESC NULLS LAST)``
+    puts them. (If a frontier carries BOTH literal -inf scores and
+    NULLs, the two tie and break by id; don't do that.)
     """
     base = df.select(
         F.col(host_col).alias("host"),
         F.col(id_col).alias("id"),
-        F.col(priority_col).cast("double").alias("p"),
+        F.coalesce(
+            F.col(priority_col).cast("double"), F.lit(float("-inf"))
+        ).alias("p"),
     )
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = base.groupBy("host").agg(

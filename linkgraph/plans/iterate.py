@@ -116,17 +116,36 @@ def _write_meta(meta_path: str, meta: dict, spark: SparkSession | None = None) -
         tmp = meta_path + ".tmp"
         with open(tmp, "w") as f:
             f.write(payload)
-        os.replace(tmp, meta_path)
+        os.replace(tmp, meta_path)  # atomic on POSIX — no unreadable window
         return
     fs, target, jvm = _fs(spark, meta_path)
+    if fs.exists(target):
+        # Re-commit of an already-committed round (e.g. a caller
+        # restarted with resume=False on a used dir). NEVER
+        # delete-then-rename the live meta: a crash between the two
+        # would leave the round meta-less, and with older rounds
+        # already GC'd a later resume would silently restart from
+        # zero. (fs.rename isn't atomic on s3a anyway.) Instead write
+        # under a fresh VERSIONED sibling — `iter_000005.meta.json` →
+        # `iter_000005.v001.meta.json` — chosen so plain lexicographic
+        # order ranks it after the original and before the next round
+        # ('m' < 'v' < any higher round digit); the sorted-latest
+        # readers pick it up with no reader changes, and a valid meta
+        # for the round exists at every instant.
+        v = 1
+        while True:
+            cand = meta_path[: -len(".meta.json")] + f".v{v:03d}.meta.json"
+            target = jvm.org.apache.hadoop.fs.Path(cand)
+            if not fs.exists(target):
+                meta_path = cand
+                break
+            v += 1
     tmp = jvm.org.apache.hadoop.fs.Path(meta_path + ".tmp")
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(payload.encode("utf-8")))
     finally:
         out.close()
-    if fs.exists(target):  # HDFS rename refuses to overwrite
-        fs.delete(target, False)
     if not fs.rename(tmp, target):
         raise IOError(f"checkpoint meta rename failed: {meta_path}")
 

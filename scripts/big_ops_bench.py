@@ -495,52 +495,28 @@ def main() -> None:
         }
 
     # best-over-runs: hypervisor-neighbor jitter swings identical runs
-    # up to 4x here; keep each operator's fastest observed wall
-    best_path = os.path.join(REPO, "BENCH", "scratch", "bigops_best.json")
+    # up to 4x here; keep each operator's fastest observed wall.
+    # The machine-readable state is a COMMITTED sibling of BIGOPS.md —
+    # the md is render-only, never parsed back (round-tripping through
+    # the human-formatted table corrupted rows whose values contain
+    # the separators the parser keyed on). Falls back once to the old
+    # uncommitted scratch location for migration.
+    best_path = os.path.join(REPO, "BENCH", "bigops_best.json")
+    legacy_path = os.path.join(REPO, "BENCH", "scratch", "bigops_best.json")
     best: dict = {}
-    if os.path.exists(best_path):
-        with open(best_path) as f:
-            best = json.load(f)
-    else:
-        # scratch/ is uncommitted and may be cleaned between sessions;
-        # without this reseed a PARTIAL sweep (argv op filter) would
-        # regenerate BIGOPS.md with only the ops it just ran and drop
-        # every committed row. Reparse the existing table instead.
-        md_path = os.path.join(REPO, "BENCH", "BIGOPS.md")
-        if os.path.exists(md_path):
-            with open(md_path) as f:
-                for line in f:
-                    if not line.startswith("| ") or line.startswith("| operator"):
-                        continue
-                    parts = [p.strip() for p in line.strip().strip("|").split("|")]
-                    if len(parts) != 3:
-                        continue
-                    name, sec, rest = parts
-                    row: dict = {"sec": float(sec)}
-                    cur = None
-                    for tok in rest.split(", "):
-                        if "=" in tok:
-                            cur, v = tok.split("=", 1)
-                            row[cur] = v
-                        elif cur:  # a comma inside the previous value
-                            row[cur] += ", " + tok
-                    for k, v in list(row.items()):
-                        if k == "sec" or not isinstance(v, str):
-                            continue
-                        s = v.replace(",", "")
-                        try:
-                            row[k] = int(s)
-                        except ValueError:
-                            try:
-                                row[k] = float(s)
-                            except ValueError:
-                                pass
-                    best[name] = row
+    for p in (best_path, legacy_path):
+        if os.path.exists(p):
+            with open(p) as f:
+                best = json.load(f)
+            break
     for name, r in results.items():
         if name not in best or r["sec"] < best[name]["sec"]:
             best[name] = r
-    with open(best_path, "w") as f:
-        json.dump(best, f)
+    tmp = best_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(best, f, indent=1, sort_keys=True)
+        f.write("\n")
+    os.replace(tmp, best_path)
     results = best
 
     out = {"edges": m, "cores": 32, "ops": results}

@@ -169,3 +169,53 @@ def test_inverted_index_exact_and_truncated(spark):
     assert {r.term for r in only} == {"graph"}
     with pytest.raises(ValueError):
         build_inverted_index(docs, max_postings=0)
+
+
+def test_opic_resume_rejects_shrunk_rounds(spark, tmp_path):
+    """Resuming with rounds < the checkpointed round must fail loudly:
+    the checkpointed history already accumulates MORE rounds than the
+    caller's rounds+1 denominator would claim, so a silent resume
+    would emit priorities summing > 1 (the invariant opic's docstring
+    promises)."""
+    from linkgraph.operators.crawl import opic
+
+    g = graph_from_edges(spark, [(1, 2), (2, 3), (3, 1), (1, 3)])
+    d = str(tmp_path / "opic_shrink")
+    opic(g, rounds=4, checkpoint_dir=d, checkpoint_every=1)
+    with pytest.raises(ValueError, match="exceeds rounds=2"):
+        opic(g, rounds=2, checkpoint_dir=d, checkpoint_every=1)
+    # equal rounds is a valid no-op resume and keeps the invariant
+    rows = opic(g, rounds=4, checkpoint_dir=d, checkpoint_every=1).collect()
+    assert sum(r.priority for r in rows) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_politeness_schedule_null_priority_sorts_last(spark):
+    """NULL priorities must land AFTER every scored url of their host
+    (the row_number() ... ORDER BY p DESC NULLS LAST contract), not in
+    the first bucket."""
+    from linkgraph.operators.crawl import politeness_schedule
+
+    rows = [
+        ("h0", 1, 5.0),
+        ("h0", 2, None),
+        ("h0", 3, 7.0),
+        ("h0", 4, None),
+        ("h0", 5, 0.0),
+        ("h1", 6, None),
+        ("h1", 7, -3.0),
+    ]
+    df = spark.createDataFrame(rows, "host string, url long, priority double")
+    got = {
+        (r.host, r.id): r.fetch_rank
+        for r in politeness_schedule(df, id_col="url", n_buckets=4).collect()
+    }
+    # oracle: priority desc NULLS LAST, ties (incl. NULL-NULL) by id asc
+    want = {}
+    by_host: dict = {}
+    for h, i, p in rows:
+        by_host.setdefault(h, []).append((i, p))
+    for h, items in by_host.items():
+        key = lambda t: (t[1] is None, -(t[1] if t[1] is not None else 0.0), t[0])
+        for rank, (i, _) in enumerate(sorted(items, key=key), start=1):
+            want[(h, i)] = rank
+    assert got == want

@@ -107,3 +107,34 @@ def test_peel_checkpoint_uri_scheme(spark, tmp_path):
     assert ck.load(meta)["a"].collect()[0]["id"] == 2
     # the stale round-0 commit was GC'd through the same FS API
     assert _list_meta_names(d, spark) == ["peel_000001.meta.json"]
+
+
+def test_meta_recommit_writes_versioned_sibling(spark, tmp_path):
+    """Re-committing an already-committed round on a scheme-qualified
+    dir must never delete-then-rename the live meta (a crash between
+    the two leaves the round meta-less after older rounds were GC'd).
+    The fix writes a versioned sibling that lexicographically sorts
+    after the original and before the next round, so the sorted-latest
+    readers pick it up with no reader change."""
+    from linkgraph.plans.iterate import (
+        _list_meta_names,
+        _write_meta,
+        latest_checkpoint,
+    )
+
+    d = "file://" + str(tmp_path / "recommit")
+    (tmp_path / "recommit").mkdir()
+    p0 = d + "/iter_000005.meta.json"
+    _write_meta(p0, {"iteration": 5, "v": "first"}, spark)
+    _write_meta(p0, {"iteration": 5, "v": "second"}, spark)
+    _write_meta(p0, {"iteration": 5, "v": "third"}, spark)
+    names = _list_meta_names(d, spark)
+    assert names == [
+        "iter_000005.meta.json",
+        "iter_000005.v001.meta.json",
+        "iter_000005.v002.meta.json",
+    ]
+    assert latest_checkpoint(d, spark)["v"] == "third"
+    # a later round still sorts after every version of round 5
+    _write_meta(d + "/iter_000006.meta.json", {"iteration": 6, "v": "r6"}, spark)
+    assert latest_checkpoint(d, spark)["v"] == "r6"
