@@ -2173,6 +2173,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["host_insularity_pages"] = _host_insularity
 
+    # --- SimRank (Jeh & Widom, KDD'02) via Monte-Carlo coupled
+    # reverse walks (Fogaras & Rácz, WWW'05): the deterministic
+    # counter-hash walks replay in ANSI SQL and the dyadic decay
+    # (0.5) makes every score an exact dyadic rational — the whole
+    # estimate is value-exact across engines. Query-set mode (the
+    # scale path: the source walk side broadcasts).
+    def _simrank(s, d):
+        from linkgraph.operators.simrank import simrank_scores
+
+        srcs = s.createDataFrame([(1,), (2,), (3,)], "id long")
+        return simrank_scores(
+            _supp_dir(s, d), sources=srcs, decay=0.5, walk_length=4,
+            samples=2, seed=11,
+        ).select("u", "v", "score")
+
+    q["simrank_suppdir"] = _simrank
+
+    # --- bigram-LM perplexity (the CCNet quality filter, Wenzek et
+    # al. LREC'20: KenLM perplexity under a trusted-slice model; here
+    # an add-k bigram LM over the portable tokenizer). Train slice =
+    # every 5th document; perplexity recomputed from the rounded
+    # avg_logprob so the exp() rides a bit-identical input on both
+    # engines.
+    def _lm_ppl(s, d):
+        from linkgraph.operators.terms import lm_perplexity
+
+        train = _read(s, d, "documents").filter(F.col("doc_id") % 5 == 0)
+        res = lm_perplexity(_docs(s, d), train, add_k=0.5)
+        a9 = F.round("avg_logprob", 9)
+        return res.select(
+            "doc_id", "n_bigrams", a9.alias("avg_logprob"),
+            F.round(F.exp(-a9), 4).alias("perplexity"),
+        )
+
+    q["lm_perplexity_docs"] = _lm_ppl
+
+    # --- BlockRank (Kamvar/Haveliwala/Manning/Golub 2003): host-block
+    # PageRank spread uniformly over each host's pages as the page-
+    # level power-iteration start — the two-level Common-Crawl
+    # warm-start trick. Fixed-k form at BOTH levels (3 host + 3 page
+    # iterations) so the oracle is a two-stage unrolled SQL replay of
+    # the pinned-extractor edge list; the convergence-equality and
+    # iteration-saving claims are pytest-checked
+    # (tests/test_pagerank.py::test_blockrank_same_fixpoint_fewer_iterations).
+    def _webgraph_blockrank(s, d):
+        from linkgraph.functions.extract import host_col, normalize_url_col
+        from linkgraph.operators.pagerank import blockrank
+        from linkgraph.sources.pages import pages_dataframe
+
+        pages = pages_dataframe(s, WEB_N_PAGES, n_domains=WEB_N_DOMAINS)
+        g = LinkGraph.from_pages(pages)
+        blocks = g.vertices.select(
+            "id", host_col(normalize_url_col(F.col("url"))).alias("block")
+        )
+        res = blockrank(
+            g, blocks, tol=-1.0, max_iter=3, block_tol=-1.0, truncate_every=1
+        )
+        return res.state.join(g.vertices.select("id", "url"), "id").select(
+            "url", F.round("rank", 8).alias("rank")
+        )
+
+    q["webgraph_blockrank"] = _webgraph_blockrank
+
     return q
 
 
@@ -3175,6 +3238,153 @@ def _spam_mass_sql() -> str:
 SELECT p.host, round((p.rank - t.trust) / p.rank, 6) AS spam_mass
 FROM ({_host_pagerank_sql()}) p JOIN ({_host_trustrank_sql()}) t ON p.host = t.host
 """
+
+
+def _simrank_sql(
+    length: int = 4, samples: int = 2, seed: int = 11
+) -> str:
+    """Monte-Carlo SimRank replay: the _walks_sql machinery on the
+    REVERSED supp_dir edges (SimRank couples reverse walks), then the
+    meeting join + first-meeting decay average. decay = 0.5 is
+    emitted as literal CASE arms so both engines read the identical
+    dyadic constants (no pow() in sight)."""
+    wn_vals = ", ".join(f"({i})" for i in range(samples))
+    pre = f"""
+WITH e AS MATERIALIZED (SELECT dst AS src, src AS dst FROM ({SUPP_DIR})),
+adjr AS MATERIALIZED (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rn,
+         count(*) OVER (PARTITION BY src) AS deg
+  FROM (SELECT DISTINCT src, dst FROM e)),
+verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+s0 AS MATERIALIZED (SELECT id AS start_id, wn AS walk_no, id
+      FROM verts CROSS JOIN (VALUES {wn_vals}) t(wn))"""
+    its = []
+    for t in range(1, length + 1):
+        h = (
+            f"CAST(('0x' || substr(md5('{seed}:' || CAST(w.start_id AS VARCHAR)"
+            f" || ':' || CAST(w.walk_no AS VARCHAR) || ':{t}'), 1, 15)) AS BIGINT)"
+        )
+        its.append(f""",
+s{t} AS MATERIALIZED (SELECT w.start_id, w.walk_no, a.dst AS id
+      FROM s{t-1} w JOIN adjr a ON a.src = w.id AND a.rn = {h} % a.deg)"""
+        )
+    steps = "\nUNION ALL ".join(
+        f"SELECT start_id, walk_no, {t} AS step, id FROM s{t}"
+        for t in range(1, length + 1)
+    )
+    decay_case = "CASE t " + " ".join(
+        f"WHEN {t} THEN {0.5 ** t!r}" for t in range(1, length + 1)
+    ) + " END"
+    return (
+        pre
+        + "".join(its)
+        + f""",
+walks AS MATERIALIZED ({steps}),
+meet AS (
+  SELECT a.start_id AS u, b.start_id AS v, a.walk_no AS wn, min(a.step) AS t
+  FROM walks a JOIN walks b
+    ON a.walk_no = b.walk_no AND a.step = b.step AND a.id = b.id
+  WHERE a.start_id IN (1, 2, 3) AND a.start_id <> b.start_id
+  GROUP BY 1, 2, 3)
+SELECT u, v, sum({decay_case}) / {samples}.0 AS score
+FROM meet GROUP BY 1, 2"""
+    )
+
+
+LM_PPL_SQL = f"""
+WITH docs AS ({DOCS}),
+dtok AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM docs),
+ttok AS MATERIALIZED (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents WHERE doc_id % 5 = 0),
+uni AS MATERIALIZED (
+  SELECT w, count(*) AS c1 FROM (SELECT unnest(t) AS w FROM ttok) GROUP BY 1),
+vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+bi AS MATERIALIZED (
+  SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS c2
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM ttok)
+  GROUP BY 1, 2),
+dbi AS MATERIALIZED (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM dtok)),
+scored AS (
+  SELECT d.doc_id,
+         ln((coalesce(b.c2, 0) + 0.5)
+            / (coalesce(u.c1, 0) + 0.5 * (SELECT v FROM vv))) AS lp
+  FROM dbi d LEFT JOIN bi b ON b.w1 = d.w1 AND b.w2 = d.w2
+             LEFT JOIN uni u ON u.w = d.w1),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(avg(lp), 9) AS avg_logprob
+  FROM scored GROUP BY 1)
+SELECT dd.doc_id, a.n_bigrams, a.avg_logprob,
+       round(exp(-a.avg_logprob), 4) AS perplexity
+FROM (SELECT DISTINCT doc_id FROM docs) dd
+LEFT JOIN agg a ON a.doc_id = dd.doc_id
+"""
+
+
+def _blockrank_sql(iters: int = 3, alpha: float = 0.85) -> str:
+    """Two-stage unrolled BlockRank over the pinned-extractor edge
+    list: host-collapsed PageRank (stage A), the normalized
+    rank/pages-per-host seed vector, then the page-level power
+    iterations from that seed (stage B) — the exact engine update
+    rule at both levels (operators/pagerank.py blockrank)."""
+    host = "regexp_extract({0}, 'https?://([^/]+)', 1)"
+    pre = f"""
+WITH edges AS MATERIALIZED ({_webgraph_values_sql()}),
+verts AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM verts),
+outw AS MATERIALIZED (SELECT src AS id, sum(weight) AS w FROM edges GROUP BY 1),
+hedges AS MATERIALIZED (
+  SELECT {host.format('src')} AS src, {host.format('dst')} AS dst,
+         CAST(sum(weight) AS DOUBLE) AS weight
+  FROM edges GROUP BY 1, 2),
+hverts AS MATERIALIZED (SELECT src AS id FROM hedges UNION SELECT dst FROM hedges),
+hn AS (SELECT count(*) AS n FROM hverts),
+houtw AS MATERIALIZED (SELECT src AS id, sum(weight) AS w FROM hedges GROUP BY 1),
+h0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM hn) AS rank FROM hverts)"""
+    its = []
+    for i in range(1, iters + 1):
+        its.append(f""",
+hd{i} AS (SELECT coalesce(sum(r.rank), 0.0) AS dm FROM h{i-1} r
+          WHERE r.id NOT IN (SELECT id FROM houtw)),
+hc{i} AS (SELECT e.dst AS id, sum(r.rank * e.weight / o.w) AS s
+          FROM h{i-1} r JOIN hedges e ON r.id = e.src JOIN houtw o ON o.id = e.src
+          GROUP BY 1),
+h{i} AS MATERIALIZED (SELECT v.id,
+          (1.0 - {alpha}) / (SELECT n FROM hn)
+          + {alpha} * (coalesce(c.s, 0.0) + (SELECT dm FROM hd{i}) / (SELECT n FROM hn)) AS rank
+          FROM hverts v LEFT JOIN hc{i} c ON v.id = c.id)"""
+        )
+    its.append(f""",
+sizes AS (SELECT {host.format('id')} AS hst, count(*) AS np FROM verts GROUP BY 1),
+seed AS MATERIALIZED (
+  SELECT v.id, h.rank / s.np AS r0
+  FROM verts v
+  JOIN h{iters} h ON h.id = {host.format('v.id')}
+  JOIN sizes s ON s.hst = h.id),
+sd0 AS (SELECT sum(r0) AS s FROM seed),
+r0 AS MATERIALIZED (SELECT id, r0 / (SELECT s FROM sd0) AS rank FROM seed)"""
+    )
+    for i in range(1, iters + 1):
+        its.append(f""",
+d{i} AS (SELECT coalesce(sum(r.rank), 0.0) AS dm FROM r{i-1} r
+         WHERE r.id NOT IN (SELECT id FROM outw)),
+c{i} AS (SELECT e.dst AS id, sum(r.rank * e.weight / o.w) AS s
+         FROM r{i-1} r JOIN edges e ON r.id = e.src JOIN outw o ON o.id = e.src
+         GROUP BY 1),
+r{i} AS MATERIALIZED (SELECT v.id,
+         (1.0 - {alpha}) / (SELECT n FROM nn)
+         + {alpha} * (coalesce(c.s, 0.0) + (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS rank
+         FROM verts v LEFT JOIN c{i} c ON v.id = c.id)"""
+        )
+    return (
+        pre + "".join(its)
+        + f"\nSELECT id AS url, round(rank, 8) AS rank FROM r{iters}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4493,4 +4703,7 @@ SELECT doc_id, wkey FROM pri ORDER BY wkey DESC, doc_id ASC LIMIT 100
         "dyad_census_suppdir": DYAD_SQL,
         "triad_motifs_suppdir": TRIAD_SQL,
         "webgraph_spam_mass": _spam_mass_sql(),
+        "simrank_suppdir": _simrank_sql(4, 2, 11),
+        "lm_perplexity_docs": LM_PPL_SQL,
+        "webgraph_blockrank": _blockrank_sql(3),
     }

@@ -41,6 +41,7 @@ from linkgraph.operators.layout import (
 from linkgraph.operators.lpa import community_stats, label_propagation, modularity
 from linkgraph.operators.mst import minimum_spanning_forest
 from linkgraph.operators.pagerank import (
+    blockrank,
     pagerank,
     personalized_pagerank_batch,
     trustrank,
@@ -65,10 +66,12 @@ from linkgraph.operators.similarity import (
     ivf_cosine_topk,
     topk_recall,
 )
+from linkgraph.operators.simrank import simrank_scores
 from linkgraph.operators.terms import (
     build_inverted_index,
     entropy_signals,
     group_percentiles,
+    lm_perplexity,
     tfidf_top_terms,
 )
 from linkgraph.operators.crawl import (
@@ -112,6 +115,7 @@ from linkgraph.operators.temporal import earliest_arrival
 from linkgraph.operators.louvain import louvain, louvain_local_moves
 
 __all__ = [
+    "blockrank",
     "pagerank",
     "weakly_connected_components",
     "strongly_connected_components",
@@ -173,6 +177,8 @@ __all__ = [
     "hash_split",
     "aggregate_neighbor_features",
     "aggregate_neighbor_embeddings",
+    "lm_perplexity",
+    "simrank_scores",
     "tfidf_top_terms",
     "group_percentiles",
     "entropy_signals",

@@ -401,3 +401,72 @@ def personalized_pagerank_batch(
         )
     trans.unpersist()
     return state
+
+
+def blockrank(
+    graph: LinkGraph,
+    blocks: DataFrame,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    block_tol: float | None = None,
+    **kwargs,
+) -> IterationResult:
+    """BlockRank (Kamvar/Haveliwala/Manning/Golub 2003, "Exploiting
+    the Block Structure of the Web for Computing PageRank"): most web
+    links are intra-host, so PageRank over the tiny host-level block
+    graph, spread across each block's pages, is an excellent starting
+    vector — the global power iteration converges to the SAME
+    fixpoint (PageRank is start-independent) in a fraction of the
+    iterations a cold uniform start needs. The classic two-level
+    Common-Crawl production trick: a 10^8-host rank job is ~free next
+    to a 10^12-page one, and every global iteration it saves is an
+    O(E)-scan saved.
+
+    ``blocks``: DataFrame(id, block) mapping vertices to blocks (the
+    host of the page — any type; hashed to 64-bit block vertex ids).
+    Vertices absent from ``blocks`` start at the uniform share (the
+    ``init_ranks`` contract). Stage 1 runs ``pagerank`` on the
+    block-collapsed graph (weight = summed page-level weight) to
+    ``block_tol`` (default: same ``tol``); stage 2 distributes each
+    block's rank uniformly over its pages (the paper's "local
+    PageRank" refined here to the uniform intra-block start — the
+    block mass placement is what drives the speedup) and runs the
+    page-level ``pagerank`` from it. Every page-level scale lever
+    (stationary transition cache, broadcast-SpMV, salting) passes
+    through ``**kwargs``; the returned IterationResult's stats are
+    the page-level iterations only, so the saving is measurable
+    (tests/test_pagerank.py asserts warm <= cold and value equality).
+    """
+    bmap = blocks.select(
+        F.col("id"),
+        F.xxhash64(F.col("block").cast("string")).alias("b"),
+    )
+    e = graph.sym_edges.select("src", "dst", F.col("weight").cast("double").alias("w"))
+    be = (
+        e.join(bmap.withColumnRenamed("id", "src").withColumnRenamed("b", "bsrc"), "src")
+        .join(bmap.withColumnRenamed("id", "dst").withColumnRenamed("b", "bdst"), "dst")
+        .groupBy("bsrc", "bdst")
+        .agg(F.sum("w").alias("weight"))
+        .select(F.col("bsrc").alias("src"), F.col("bdst").alias("dst"), "weight")
+    )
+    bverts = bmap.select(F.col("b").alias("id")).distinct()
+    bgraph = LinkGraph(be, bverts, directed=graph.directed)
+    # truncate_every=1: the block stage is tiny (10^8 hosts at most)
+    # and may run in fixed-iteration mode where each state feeds two
+    # consumers per round — per-iteration materialization is the
+    # pagerank_fixed_iterations discipline.
+    brank = pagerank(
+        bgraph, alpha=alpha, tol=block_tol if block_tol is not None else tol,
+        max_iter=max_iter, truncate_every=1,
+    ).state
+    sizes = bmap.groupBy("b").agg(F.count("*").alias("n_pages"))
+    init = (
+        bmap.join(brank.withColumnRenamed("id", "b"), "b")
+        .join(sizes, "b")
+        .select("id", (F.col("rank") / F.col("n_pages")).alias("rank"))
+    )
+    return pagerank(
+        graph, alpha=alpha, tol=tol, max_iter=max_iter,
+        init_ranks=init, **kwargs,
+    )

@@ -280,3 +280,84 @@ def pmi_collocations(
             ).alias("pmi"),
         )
     )
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    train: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 0.5,
+) -> DataFrame:
+    """DataFrame(id_col, n_bigrams, avg_logprob, perplexity): each
+    document's perplexity under an add-k-smoothed bigram language
+    model fit on ``train`` — the CCNet-style quality filter (Wenzek
+    et al., LREC 2020 score documents with a KenLM model trained on
+    a trusted slice; low perplexity ~ fluent in-domain text, high ~
+    gibberish/boilerplate). A bigram LM over the portable tokenizer
+    stands in for KenLM (not in this container) with the same
+    pipeline shape and a closed-form, engine-portable definition.
+
+    P(w2|w1) = (c2(w1,w2) + k) / (c1(w1) + k·V) with counts from
+    ``train`` and V = distinct train tokens (unseen histories reduce
+    to the uniform 1/V). avg_logprob = mean ln P over the document's
+    adjacent token pairs (bigrams never cross documents);
+    perplexity = exp(-avg_logprob). Documents with < 2 tokens carry
+    NULLs (no bigram evidence, kept so the filter join is total).
+
+    Plan shape (10^12 docs): one tokenize + in-row zip per side (the
+    pmi_collocations adjacency trick — no positional self-join), two
+    map-side-combined count aggregations over ``train``, then two
+    hash joins keyed on the (uniform) gram strings; the counts tables
+    are vocabulary-sized, so no broadcast hint — AQE broadcasts small
+    LMs and shuffles web-sized ones. No Python anywhere.
+    """
+    if add_k <= 0:
+        raise ValueError(f"add_k must be positive, got {add_k}")
+
+    def bigrams(df, *keep):
+        t = df.select(*keep, tokens_col(F.col(text_col)).alias("t"))
+        return t.select(
+            *keep,
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+                    " (x, i) -> struct(x AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("p"),
+        ).select(*keep, "p.w1", "p.w2")
+
+    train_toks = train.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+    uni = train_toks.groupBy("w").agg(F.count("*").alias("c1"))
+    vocab = uni.agg(F.count("*").cast("double").alias("v"))
+    bi = bigrams(train).groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+
+    doc_bi = bigrams(docs, id_col)
+    scored = (
+        doc_bi.join(bi, ["w1", "w2"], "left")
+        .join(uni.withColumnRenamed("w", "w1"), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(float(add_k)))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(float(add_k)) * F.col("v"))
+            ).alias("lp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.avg("lp").alias("avg_logprob"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .distinct()
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            "n_bigrams",
+            "avg_logprob",
+            F.exp(-F.col("avg_logprob")).alias("perplexity"),
+        )
+    )

@@ -268,3 +268,36 @@ def test_ppr_batch_mass_is_sparse_and_conserved(spark):
     ids = {r["id"] for r in rows}
     assert ids == {0, 1, 2}
     assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-12
+
+
+def test_blockrank_same_fixpoint_fewer_iterations(spark):
+    """BlockRank (Kamvar et al. 2003): host-block warm start reaches
+    the identical fixpoint in fewer page-level power iterations on a
+    block-structured graph (dense intra-host rings, sparse inter-host
+    links, skewed block popularity)."""
+    from linkgraph.operators.pagerank import blockrank, pagerank
+
+    edges, blocks = [], []
+    n_blocks, per = 6, 6
+    for b in range(n_blocks):
+        base = 100 * b
+        for i in range(per):
+            blocks.append((base + i, f"host{b}"))
+            edges.append((base + i, base + (i + 1) % per, 1.0))
+            edges.append((base + i, base + (i + 2) % per, 1.0))
+    # sparse inter-block links, popularity skewed toward block 0
+    for b in range(1, n_blocks):
+        edges.append((100 * b, 0, 1.0))          # everyone cites host0
+        edges.append((100 * b + 1, 100 * (b - 1), 1.0))
+    g = graph_from_edges(spark, edges, directed=True)
+    bdf = spark.createDataFrame(blocks, "id long, block string")
+
+    cold = pagerank(g, tol=1e-10, max_iter=300)
+    warm = blockrank(g, bdf, tol=1e-10, max_iter=300)
+
+    got = {r["id"]: r["rank"] for r in warm.state.collect()}
+    want = {r["id"]: r["rank"] for r in cold.state.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-8)
+    assert len(warm.stats) < len(cold.stats)
