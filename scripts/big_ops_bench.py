@@ -336,6 +336,32 @@ def main() -> None:
             "edges_per_sec": round(40_000_000 / wall, 1),
         }
 
+    # SimRank query-set mode at scale: the walk table is built over
+    # the REVERSED 40M-edge Zipf graph (one ranked-adjacency groupBy
+    # + one co-partitioned join per step), then the 3-source walk
+    # side BROADCASTS into the meeting join — the all-pairs O(cell²)
+    # fan-out never materializes
+    from linkgraph.operators.simrank import simrank_scores
+
+    if want("simrank_zipf"):
+        zg7 = random_edges(
+            spark, 2_000_000, 40_000_000, seed=5, zipf_s=1.2, partitions=64
+        )
+        gs = LinkGraph(zg7.select("src", "dst", F.lit(1.0).alias("weight")), directed=True)
+        srcs = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+        t0 = time.time()
+        sr = simrank_scores(
+            gs, sources=srcs, decay=0.5, walk_length=4, samples=2, seed=11
+        )
+        n_pairs = sr.count()
+        wall = time.time() - t0
+        results["simrank_zipf"] = {
+            "sec": round(wall, 1),
+            "graph": "40M zipf(1.2) edges / 2M vertices",
+            "scored_pairs": n_pairs,
+            "edges_per_sec": round(40_000_000 / wall, 1),
+        }
+
     # densest subgraph: the peel drops every vertex under the density
     # threshold per round, so the Zipf head (the dense core) is what
     # survives — eps=0.5 keeps rounds logarithmic at this scale

@@ -231,8 +231,8 @@ def run(code: str, *args: str, timeout: int = 5400) -> str:
     return out.stdout
 
 
-def run_level(worker: str, cores: int, *extra: str) -> dict:
-    out = run(worker, str(cores), *extra)
+def run_level(worker: str, cores: int, *extra: str, timeout: int = 5400) -> dict:
+    out = run(worker, str(cores), *extra, timeout=timeout)
     line = [l for l in out.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
@@ -535,5 +535,36 @@ Generated by scripts/scaling_bench.py.
         f.write(md)
 
 
+def unsat() -> None:
+    """Job 5 (round 4): the N→4N step at an N small enough that the
+    box's memory bandwidth is NOT yet the binding resource — local[1]
+    vs local[4] on the same 375M-edge PageRank as Job 2. The 2→8 and
+    8→32 steps saturate shared bandwidth (Jobs 2-4 pin that by
+    ablation); 1→4 measures the engine's scaling where the hardware
+    still multiplies with K, i.e. the regime a real N→4N executor
+    step is in. Cached at levels_pr_unsat.json (best-over-runs per
+    level, the Job 3/4 page-cache policy); appends nothing to the md
+    — the round-4 addendum in BENCH/BASELINE.md reads this JSON."""
+    os.makedirs(SCRATCH, exist_ok=True)
+    print(run(BUILD).strip() or "inputs cached")
+    path = os.path.join(SCRATCH, "levels_pr_unsat.json")
+    best: dict[str, dict] = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            best = json.load(f)
+    for cores in (1, 4):
+        res = run_level(WORKER_PR, cores, timeout=10800)
+        key = str(cores)
+        if key not in best or res["edges_per_sec"] > best[key]["edges_per_sec"]:
+            best[key] = res
+    with open(path, "w") as f:
+        json.dump(best, f, indent=1)
+    e14 = best["4"]["edges_per_sec"] / (4 * best["1"]["edges_per_sec"])
+    print(json.dumps({"levels": best, "eff_1_to_4": round(e14, 3)}))
+
+
 if __name__ == "__main__":
-    main()
+    if sys.argv[1:] == ["unsat"]:
+        unsat()
+    else:
+        main()

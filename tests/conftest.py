@@ -6,6 +6,12 @@ import pytest
 sys.path.insert(0, os.path.dirname(__file__))
 
 os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+# One session serves the whole suite: ~360 tests accumulate persisted
+# frames and listener state, and the longest convergence runs OOMed
+# the 8g default heap at a plan-string allocation (full-suite-only
+# flake). 16g on a 128 GiB box keeps the accumulation comfortably
+# inside the heap without masking real per-test regressions.
+os.environ.setdefault("LINKGRAPH_DRIVER_MEM", "16g")
 
 from linkgraph import LinkGraph, get_spark  # noqa: E402
 
