@@ -1955,6 +1955,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).stats.select("h", "vertices", "sum_rho", "sum_pow")
     )
 
+    # --- HyperBall geometric centralities (Boldi & Vigna 2013):
+    # approximate harmonic / distance-sum / closeness for EVERY
+    # vertex from the same FM sketches in O(diameter) rounds — the
+    # all-vertices centrality the exact multi-source machinery cannot
+    # afford at web scale. Integer rho digests pin the sketches
+    # exactly; the float estimates round at 6 (pow(2, rho/r) differs
+    # by ≤1 ulp between engines).
+    def _hyperball(s, d):
+        from linkgraph.operators.anf import hyperball_centralities
+
+        return hyperball_centralities(
+            LinkGraph(_hierarchy_edges(s, d), directed=True),
+            max_h=4, n_sketches=4, seed=0, direction="in",
+        ).select(
+            "id", "rho_sum",
+            F.round("reachable_est", 6).alias("reachable_est"),
+            F.round("harmonic_est", 6).alias("harmonic_est"),
+            F.round("dist_sum_est", 6).alias("dist_sum_est"),
+            F.round("closeness_est", 6).alias("closeness_est"),
+        )
+
+    q["hyperball_hierarchy"] = _hyperball
+
     # --- bipartite butterflies (4-cycles) on the customer→supplier
     # two-mode graph: one wedge self-join anchored on the supplier
     # side + one count agg; butterflies = Σ_pairs C(co, 2)
@@ -3011,6 +3034,57 @@ v{i} AS MATERIALIZED (
         for k in range(h_rounds + 1)
     )
     return pre + "".join(its) + "\n" + levels
+
+
+def _hyperball_sql(h_rounds: int = 4, r: int = 4, seed: int = 0) -> str:
+    """Unrolled HyperBall centralities over the directed hierarchy:
+    the _anf_sql sketch replay with direction='in' (gather keyed on
+    the edge DST) plus per-round per-vertex accumulator CTEs carrying
+    (prev ball estimate, harmonic, distance-sum) — the exact engine
+    arithmetic (operators/anf.py hyperball_centralities)."""
+
+    def hj(j: int) -> str:
+        return (
+            "CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || "
+            f"':{j}:{seed}'), 1, 15)) AS BIGINT)"
+        )
+
+    bits = ", ".join(
+        f"(1::BIGINT << least(59, bit_count(({hj(j)} & -{hj(j)}) - 1))) AS s{j}"
+        for j in range(r)
+    )
+    rho = " + ".join(f"bit_count(((~s{j}) & (s{j} + 1)) - 1)" for j in range(r))
+    est = f"pow(2.0, ({rho}) / {float(r)!r}) / 0.77351"
+    pre = f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM ({HIER}) WHERE src <> dst),
+verts AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+v0 AS MATERIALIZED (SELECT id, {bits} FROM verts),
+c0 AS MATERIALIZED (SELECT id, {est} AS prev, 0.0 AS harm, 0.0 AS dsum FROM v0)"""
+    its = []
+    for i in range(1, h_rounds + 1):
+        gors = ", ".join(f"bit_or(u.s{j}) AS g{j}" for j in range(r))
+        merge = ", ".join(f"v.s{j} | coalesce(g.g{j}, 0) AS s{j}" for j in range(r))
+        its.append(f""",
+g{i} AS (SELECT e.dst AS id, {gors} FROM e JOIN v{i-1} u ON e.src = u.id GROUP BY 1),
+v{i} AS MATERIALIZED (
+  SELECT v.id, {merge} FROM v{i-1} v LEFT JOIN g{i} g ON v.id = g.id),
+c{i} AS MATERIALIZED (
+  SELECT v.id, {est} AS prev,
+         c.harm + ({est} - c.prev) / {float(i)!r} AS harm,
+         c.dsum + ({est} - c.prev) * {float(i)!r} AS dsum
+  FROM v{i} v JOIN c{i-1} c ON v.id = c.id)""")
+    return (
+        pre + "".join(its)
+        + f"""
+SELECT v.id, CAST({rho} AS BIGINT) AS rho_sum,
+       round(c.prev, 6) AS reachable_est,
+       round(c.harm, 6) AS harmonic_est,
+       round(c.dsum, 6) AS dist_sum_est,
+       round(CASE WHEN c.dsum > 0.0 THEN (c.prev - 1.0) / c.dsum
+                  ELSE 0.0 END, 6) AS closeness_est
+FROM v{h_rounds} v JOIN c{h_rounds} c ON v.id = c.id"""
+    )
 
 
 BUTTERFLIES_SQL = f"""
@@ -4683,6 +4757,7 @@ SELECT media_id, width, height,
 FROM k
 """,
         "anf_hierarchy": _anf_sql(),
+        "hyperball_hierarchy": _hyperball_sql(),
         "temporal_reachability": _temporal_sql(),
         "louvain_hierarchy": _louvain_sql(),
         "scc_condensation_bowtie": SCC_CONDENSATION_SQL,

@@ -108,6 +108,7 @@ from linkgraph.operators.densest import densest_subgraph
 from linkgraph.operators.wl import wl_graph_fingerprint, wl_signatures
 from linkgraph.operators.anf import (
     effective_diameter,
+    hyperball_centralities,
     neighborhood_function,
 )
 from linkgraph.operators.motifs import butterfly_count, dyad_census, triad_motifs
@@ -202,6 +203,7 @@ __all__ = [
     "densest_subgraph",
     "wl_signatures",
     "wl_graph_fingerprint",
+    "hyperball_centralities",
     "neighborhood_function",
     "effective_diameter",
     "butterfly_count",
