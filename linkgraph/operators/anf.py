@@ -218,6 +218,9 @@ def hyperball_centralities(
     n_sketches: int = 8,
     seed: int = 0,
     direction: str = "in",
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
+    resume: bool = True,
 ) -> DataFrame:
     """HyperBall centralities (Boldi & Vigna, "In-Core Computation of
     Geometric Centralities with HyperBall", ICDMW 2013): per-vertex
@@ -248,7 +251,15 @@ def hyperball_centralities(
     three carried double columns; ONE action total (no per-round
     collect: the fixpoint test rides the accumulators, and rounds are
     bounded by ``max_h``).
+
+    ``checkpoint_dir``/``checkpoint_every``: durable per-round
+    commits of the single state frame (sketches + accumulators) via
+    PeelCheckpoint — the north-rule resumability contract, same as
+    ``neighborhood_function``: a restarted call with the same dir
+    resumes at the next radius, including extending a finished run to
+    a larger ``max_h``.
     """
+    spark = graph.edges.sparkSession
     r = int(n_sketches)
     if direction == "in":
         edges = graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -275,7 +286,15 @@ def hyperball_centralities(
     )
     state = chain.cut(state)
 
-    for h in range(1, max_h + 1):
+    ckpt = PeelCheckpoint(checkpoint_dir, spark) if checkpoint_dir else None
+    start_h = 1
+    if ckpt and resume:
+        meta = ckpt.latest()
+        if meta is not None:
+            state = ckpt.load(meta)["state"]
+            start_h = meta["round"] + 1
+
+    for h in range(start_h, max_h + 1):
         gathered = (
             edges.join(state, edges["dst"] == state["id"])
             .groupBy(edges["src"].alias("gid"))
@@ -302,6 +321,8 @@ def hyperball_centralities(
             (F.col("dsum") + F.col("_d") * F.lit(float(h))).alias("dsum"),
         )
         state = chain.cut(merged)
+        if ckpt and checkpoint_every and h % checkpoint_every == 0:
+            ckpt.commit(h, {"state": state})
 
     out = state.select(
         "id",

@@ -185,3 +185,26 @@ def test_opic_resume_after_kill(spark, tmp_path):
     )
     assert got == want
     assert _latest_meta(d)["round"] == 6  # continued, not restarted
+
+
+def test_hyperball_resume_extends_horizon(spark, tmp_path):
+    from linkgraph.operators.anf import hyperball_centralities
+
+    g = graph_from_edges(spark, [(i, i + 1) for i in range(1, 8)])
+    want = sorted(
+        tuple(r)
+        for r in hyperball_centralities(g, max_h=5, n_sketches=4).collect()
+    )
+    d = str(tmp_path / "hb")
+    hyperball_centralities(
+        g, max_h=2, n_sketches=4, checkpoint_dir=d, checkpoint_every=1
+    ).collect()
+    assert _latest_meta(d)["round"] == 2
+    got = sorted(
+        tuple(r)
+        for r in hyperball_centralities(
+            g, max_h=5, n_sketches=4, checkpoint_dir=d, checkpoint_every=1
+        ).collect()
+    )
+    assert got == want
+    assert _latest_meta(d)["round"] >= 3  # continued, not restarted
