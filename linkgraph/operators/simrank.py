@@ -84,7 +84,11 @@ def simrank_scores(
 
     if sources is not None:
         src_ids = sources.select(F.col(sources.columns[0]).alias("start_id"))
-        left = walks.join(F.broadcast(src_ids), "start_id")
+        # the explicit hint pins the build side: the |sources|·samples·
+        # length walk rows are the hash table, the V-sized walk table
+        # only streams (without it the optimizer is free to build the
+        # big side — observed on small inputs)
+        left = F.broadcast(walks.join(F.broadcast(src_ids), "start_id"))
         pair_filter = F.col("u") != F.col("v")
     else:
         left = walks
