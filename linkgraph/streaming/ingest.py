@@ -151,3 +151,91 @@ def streaming_dedup(docs: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def streaming_rank_refresh(
+    spark: SparkSession,
+    pages_dir: str,
+    work_dir: str,
+    checkpoint_dir: str,
+    alpha: float = 0.85,
+    tol: float = 1e-8,
+    max_iter: int = 200,
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+):
+    """The crawl-refresh loop as one stream: each micro-batch of page
+    files appends its extracted edges to ``<work_dir>/edges``, then
+    re-ranks the ACCUMULATED graph warm-started from the previous
+    batch's converged scores (``pagerank(init_ranks=...)`` — the
+    incremental path: the fixpoint is start-independent, so freshness
+    costs only the iterations the delta needs, not a cold start's
+    dozens). Per batch the scores land durably at
+    ``<work_dir>/ranks/batch_<id>`` with an ``iterations`` sidecar;
+    ``latest_ranks`` reads the newest. Cross-batch duplicate edges
+    are resolved by weight summation at rank time (the append-sink
+    contract of ``incremental_edge_ingest``).
+
+    At production scale the edge append and the score swap are
+    Iceberg commits; here they are parquet dirs + the stream's own
+    exactly-once file-source checkpoint. Returns the streaming query.
+    """
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from linkgraph.graph import LinkGraph
+    from linkgraph.operators.pagerank import pagerank
+
+    edges_dir = _os.path.join(work_dir, "edges")
+    ranks_root = _os.path.join(work_dir, "ranks")
+
+    stream = (
+        spark.readStream.schema(PAGE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        build_edges(batch_df, dedup=True).write.mode("append").parquet(edges_dir)
+        merged = (
+            spark.read.parquet(edges_dir)
+            .groupBy("src", "dst")
+            .agg(F.sum("weight").alias("weight"))
+        )
+        g = LinkGraph(merged, directed=True)
+        init = latest_ranks(spark, work_dir)
+        res = pagerank(
+            g, alpha=alpha, tol=tol, max_iter=max_iter, init_ranks=init
+        )
+        out = _os.path.join(ranks_root, f"batch_{batch_id:06d}")
+        res.state.write.mode("overwrite").parquet(out)
+        with open(_os.path.join(out, "_iterations.json"), "w") as f:
+            _json.dump({"batch": batch_id, "iterations": len(res.stats)}, f)
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def latest_ranks(spark: SparkSession, work_dir: str) -> DataFrame | None:
+    """The newest committed score table under ``<work_dir>/ranks``,
+    or None before the first batch. A batch dir counts only once its
+    parquet _SUCCESS marker exists (the commit protocol)."""
+    import os as _os
+
+    root = _os.path.join(work_dir, "ranks")
+    if not _os.path.isdir(root):
+        return None
+    done = sorted(
+        d for d in _os.listdir(root)
+        if d.startswith("batch_")
+        and _os.path.exists(_os.path.join(root, d, "_SUCCESS"))
+    )
+    if not done:
+        return None
+    return spark.read.parquet(_os.path.join(root, done[-1]))

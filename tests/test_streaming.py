@@ -148,3 +148,55 @@ def test_streaming_dedup_first_occurrence_wins(spark, tmp_path):
     q2.awaitTermination(120)
     final = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert final == {1, 2, 5}
+
+
+def test_streaming_rank_refresh_warm_start(spark, tmp_path):
+    """Two crawl micro-batches: final streamed scores equal a cold
+    batch PageRank on the accumulated graph (fixpoint start-
+    independence), and the second batch's warm start spends fewer
+    iterations than a cold re-rank of the same graph."""
+    import json
+
+    from linkgraph.operators.pagerank import pagerank
+    from linkgraph.sources.pages import pages_dataframe
+    from linkgraph.streaming.ingest import latest_ranks, streaming_rank_refresh
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "pages")
+    work = str(tmp_path / "work")
+    ckpt = str(tmp_path / "ckpt")
+
+    pages = pages_dataframe(spark, 120, n_domains=10)
+    # ONE file per batch dir: multiple part files would silently split
+    # into extra micro-batches (test_streaming gotcha)
+    pages.filter(F.xxhash64("url") % 2 == 0).coalesce(1).write.parquet(f"{src}/b1")
+    pages.filter(F.xxhash64("url") % 2 != 0).coalesce(1).write.parquet(f"{src}/b2")
+
+    # glob: the parquet file source does not recurse into the b1/b2
+    # subdirs on its own (same pattern as the streaming-dedup test)
+    q = streaming_rank_refresh(
+        spark, f"{src}/*", work, ckpt, tol=1e-9, available_now=True
+    )
+    q.awaitTermination(600)
+
+    import os
+    batches = sorted(
+        d for d in os.listdir(os.path.join(work, "ranks")) if d.startswith("batch_")
+    )
+    assert len(batches) == 2
+
+    got = {r["id"]: r["rank"] for r in latest_ranks(spark, work).collect()}
+    merged = (
+        spark.read.parquet(os.path.join(work, "edges"))
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").alias("weight"))
+    )
+    cold = pagerank(LinkGraph(merged, directed=True), tol=1e-9, max_iter=200)
+    want = {r["id"]: r["rank"] for r in cold.state.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-7
+
+    with open(os.path.join(work, "ranks", batches[-1], "_iterations.json")) as f:
+        warm_iters = json.load(f)["iterations"]
+    assert warm_iters < len(cold.stats)  # the warm start pays off
