@@ -2259,6 +2259,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["webgraph_blockrank"] = _webgraph_blockrank
 
+    # --- ACL local community (Andersen/Chung/Lang FOCS'06): the PPR
+    # sweep cut from one seed — seed-set expansion touching only the
+    # seed's PPR support, the local method a 10^12-page graph needs
+    # where global LPA/Louvain cannot run. order_round=9 + id
+    # tiebreak makes the sweep order SQL-replayable (the
+    # weighted_sample/kmeans trick); conductance terms are integer-
+    # exact once the order matches.
+    def _local_comm(s, d):
+        from linkgraph.operators.localcluster import local_community
+
+        return local_community(
+            _supp_co(s, d), seed=1, alpha=0.85, k=3, order_round=9
+        ).select(
+            F.col("pos").cast("long").alias("pos"),
+            "id",
+            F.round("ppr", 8).alias("ppr"),
+            "degree", "vol", "cut",
+            F.round("conductance", 9).alias("conductance"),
+            "in_community",
+        )
+
+    q["local_community_suppco"] = _local_comm
+
     return q
 
 
@@ -3398,6 +3421,79 @@ SELECT dd.doc_id, a.n_bigrams, a.avg_logprob,
 FROM (SELECT DISTINCT doc_id FROM docs) dd
 LEFT JOIN agg a ON a.doc_id = dd.doc_id
 """
+
+
+def _local_community_sql(k: int = 3, alpha: float = 0.85) -> str:
+    """ACL sweep-cut replay over symmetrized supp_co: single-seed
+    sparse PPR (the _ppr_batch_sql recurrence), degree-normalized
+    sweep order on the ROUNDED key (operators/localcluster.py
+    order_round), then integer prefix sums for vol/cut and the
+    min-conductance prefix."""
+    pre = f"""
+WITH edges AS MATERIALIZED ({SUPP_CO}),
+sym AS MATERIALIZED (
+  SELECT src, dst, weight FROM edges
+  UNION ALL SELECT dst, src, weight FROM edges),
+outs AS (SELECT src, sum(weight) AS ow FROM sym GROUP BY 1),
+trans AS MATERIALIZED (
+  SELECT s.src, s.dst, s.weight / o.ow AS p
+  FROM sym s JOIN outs o ON s.src = o.src),
+s0 AS (SELECT CAST(1 AS BIGINT) AS id, 1.0 AS r)"""
+    its = []
+    for i in range(1, k + 1):
+        its.append(f""",
+s{i} AS MATERIALIZED (
+  SELECT id, sum(r) AS r FROM (
+    SELECT t.dst AS id, {alpha} * s.r * t.p AS r
+    FROM s{i-1} s JOIN trans t ON s.id = t.src
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), {alpha} * sum(s.r)
+    FROM s{i-1} s WHERE s.id NOT IN (SELECT src FROM trans)
+    HAVING count(*) > 0
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), {1.0 - alpha}
+  ) GROUP BY 1)"""
+        )
+    return (
+        pre + "".join(its)
+        + f""",
+cand AS (SELECT id, r AS ppr FROM s{k} WHERE r > 0),
+canon AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+          FROM edges WHERE src <> dst),
+deg AS (SELECT id, count(*) AS degree
+        FROM (SELECT u AS id FROM canon UNION ALL SELECT v FROM canon)
+        GROUP BY 1),
+vt AS (SELECT sum(degree) AS vt FROM deg),
+ranked AS MATERIALIZED (
+  SELECT c.id, c.ppr, coalesce(d.degree, 0) AS degree,
+         row_number() OVER (
+           ORDER BY round(CASE WHEN coalesce(d.degree, 0) > 0
+                               THEN c.ppr / d.degree
+                               ELSE c.ppr - 1.0 END, 9) DESC, c.id ASC) AS pos
+  FROM cand c LEFT JOIN deg d ON c.id = d.id),
+enters AS (SELECT greatest(pu.pos, pv.pos) AS mpos, count(*) AS n
+           FROM canon e JOIN ranked pu ON e.u = pu.id
+                        JOIN ranked pv ON e.v = pv.id
+           GROUP BY 1),
+swept AS MATERIALIZED (
+  SELECT r.pos, r.id, r.ppr, r.degree,
+         sum(r.degree) OVER (ORDER BY r.pos) AS vol,
+         sum(coalesce(en.n, 0)) OVER (ORDER BY r.pos) AS internal
+  FROM ranked r LEFT JOIN enters en ON en.mpos = r.pos),
+cond AS MATERIALIZED (
+  SELECT pos, id, ppr, degree, vol, vol - 2 * internal AS cut,
+         CASE WHEN least(vol, (SELECT vt FROM vt) - vol) > 0
+              THEN (vol - 2 * internal) * 1.0
+                   / least(vol, (SELECT vt FROM vt) - vol)
+              ELSE 1.0 END AS conductance
+  FROM swept),
+best AS (SELECT pos FROM cond ORDER BY conductance, pos LIMIT 1)
+SELECT pos, id, round(ppr, 8) AS ppr,
+       CAST(degree AS BIGINT) AS degree, CAST(vol AS BIGINT) AS vol,
+       CAST(cut AS BIGINT) AS cut, round(conductance, 9) AS conductance,
+       pos <= (SELECT pos FROM best) AS in_community
+FROM cond"""
+    )
 
 
 def _blockrank_sql(iters: int = 3, alpha: float = 0.85) -> str:
@@ -4781,4 +4877,5 @@ SELECT doc_id, wkey FROM pri ORDER BY wkey DESC, doc_id ASC LIMIT 100
         "simrank_suppdir": _simrank_sql(4, 2, 11),
         "lm_perplexity_docs": LM_PPL_SQL,
         "webgraph_blockrank": _blockrank_sql(3),
+        "local_community_suppco": _local_community_sql(3),
     }

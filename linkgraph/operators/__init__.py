@@ -113,6 +113,7 @@ from linkgraph.operators.anf import (
 )
 from linkgraph.operators.motifs import butterfly_count, dyad_census, triad_motifs
 from linkgraph.operators.temporal import earliest_arrival
+from linkgraph.operators.localcluster import local_community
 from linkgraph.operators.louvain import louvain, louvain_local_moves
 
 __all__ = [
@@ -210,6 +211,7 @@ __all__ = [
     "dyad_census",
     "triad_motifs",
     "earliest_arrival",
+    "local_community",
     "louvain",
     "louvain_local_moves",
     "weighted_sample",
