@@ -274,6 +274,56 @@ def main() -> None:
             "docs_per_sec": round(n_docs4 / wall, 1),
         }
 
+    # bigram-LM perplexity over the 2M-page extracted text: the CCNet
+    # quality-filter shape — two count aggs over the trusted slice,
+    # then gram-keyed hash joins against the full corpus
+    from linkgraph.operators.terms import lm_perplexity
+
+    if want("lm_perplexity_pages"):
+        docs_lm = spark.read.parquet(PAGES_BIG).select(
+            F.col("url").alias("doc_id"), F.col("text")
+        )
+        train_lm = docs_lm.filter(F.crc32("doc_id") % 10 == 0)
+        n_docs_lm = docs_lm.count()
+        t0 = time.time()
+        scored_lm = lm_perplexity(docs_lm, train_lm, id_col="doc_id")
+        row_lm = scored_lm.agg(
+            F.count("*").alias("n"), F.avg("perplexity").alias("mean_ppl")
+        ).collect()[0]
+        wall = time.time() - t0
+        results["lm_perplexity_pages"] = {
+            "sec": round(wall, 1),
+            "docs": n_docs_lm,
+            "scored": int(row_lm["n"]),
+            "mean_perplexity": round(float(row_lm["mean_ppl"]), 2),
+            "docs_per_sec": round(n_docs_lm / wall, 1),
+        }
+
+    # HyperBall centralities on the Zipf graph: approximate harmonic/
+    # closeness for ALL 2M vertices in max_h gather rounds — the
+    # all-vertices centrality exact multi-source traversal cannot
+    # afford; same shuffle shape as one WCC round per radius
+    from linkgraph.operators.anf import hyperball_centralities
+
+    if want("hyperball_zipf"):
+        zg8 = random_edges(
+            spark, 2_000_000, 40_000_000, seed=5, zipf_s=1.2, partitions=64
+        )
+        gh = LinkGraph(zg8.select("src", "dst"), directed=True)
+        t0 = time.time()
+        hb = hyperball_centralities(gh, max_h=8, n_sketches=8, seed=1)
+        row_hb = hb.agg(
+            F.count("*").alias("v"), F.max("harmonic_est").alias("max_h")
+        ).collect()[0]
+        wall = time.time() - t0
+        results["hyperball_zipf"] = {
+            "sec": round(wall, 1),
+            "graph": "40M zipf(1.2) edges / 2M vertices",
+            "vertices": int(row_hb["v"]),
+            "max_harmonic": round(float(row_hb["max_h"]), 1),
+            "edges_per_sec_per_round": round(40_000_000 / (wall / 8), 1),
+        }
+
     # batched sparse PPR: 1000 hash-picked seeds advanced together
     # over the Zipf graph's single stationary transition operand —
     # state carries only nonzero (seed, id) mass
