@@ -2213,6 +2213,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["simrank_suppdir"] = _simrank
 
+    # --- landmark distance oracle (Potamias et al. CIKM'09): top-4
+    # degree landmarks, two batched multi-source BFS passes, then
+    # point-to-point estimates d̂(u,v)=min_l d(u→l)+d(l→v) for a
+    # deterministic query slice. Value-exact: landmark choice orders
+    # by (degree DESC, id ASC) and BFS levels are exact min-hops, so
+    # a recursive CTE replays the whole pipeline.
+    def _landmark(s, d):
+        from linkgraph.operators.landmarks import estimate_distances
+
+        g = _supp_dir(s, d)
+        v = g.vertices
+        pairs = (
+            v.filter(F.col("id") % 13 == 3)
+            .select(F.col("id").alias("src"))
+            .crossJoin(
+                v.filter(F.col("id") % 13 == 5).select(F.col("id").alias("dst"))
+            )
+        )
+        return estimate_distances(g, pairs, num_landmarks=4).select(
+            "src", "dst", F.col("est_distance").cast("long").alias("est_distance")
+        )
+
+    q["landmark_distances_suppdir"] = _landmark
+
     # --- bigram-LM perplexity (the CCNet quality filter, Wenzek et
     # al. LREC'20: KenLM perplexity under a trusted-slice model; here
     # an add-k bigram LM over the portable tokenizer). Train slice =
@@ -4875,6 +4899,53 @@ SELECT doc_id, wkey FROM pri ORDER BY wkey DESC, doc_id ASC LIMIT 100
         "triad_motifs_suppdir": TRIAD_SQL,
         "webgraph_spam_mass": _spam_mass_sql(),
         "simrank_suppdir": _simrank_sql(4, 2, 11),
+        # landmark oracle: top-4 (degree DESC, id ASC) landmarks,
+        # forward + reverse BFS closures with min-hop aggregation,
+        # then min_l d(src→l)+d(l→dst) over the deterministic
+        # (id%13=3)×(id%13=5) query slice — upper-bound estimates,
+        # NULL where no landmark connects the pair.
+        # (nested WITH RECURSIVE subqueries — DuckDB re-expands
+        # plain CTEs referenced inside a recursive scope, which here
+        # duplicated `v` rows and collapsed the top-4 landmark LIMIT
+        # onto copies of one vertex; the bowtie/harmonic nesting
+        # pattern avoids the bug.)
+        "landmark_distances_suppdir": f"""
+WITH e AS MATERIALIZED ({SUPP_DIR}),
+v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+deg AS MATERIALIZED (
+  SELECT v.id,
+         (SELECT count(*) FROM e WHERE e.src = v.id)
+       + (SELECT count(*) FROM e WHERE e.dst = v.id) AS d
+  FROM v),
+lm AS MATERIALIZED (SELECT id FROM deg ORDER BY d DESC, id ASC LIMIT 4),
+dfrom AS MATERIALIZED (
+  WITH RECURSIVE fwd(landmark, id, level) AS (
+    SELECT id, id, 0 FROM lm
+    UNION
+    SELECT f.landmark, e2.dst, f.level + 1
+    FROM fwd f JOIN e e2 ON f.id = e2.src WHERE f.level < 20
+  )
+  SELECT landmark, id, min(level) AS d FROM fwd GROUP BY 1, 2
+),
+dto AS MATERIALIZED (
+  WITH RECURSIVE rev(landmark, id, level) AS (
+    SELECT id, id, 0 FROM lm
+    UNION
+    SELECT r.landmark, e2.src, r.level + 1
+    FROM rev r JOIN e e2 ON r.id = e2.dst WHERE r.level < 20
+  )
+  SELECT landmark, id, min(level) AS d FROM rev GROUP BY 1, 2
+),
+pairs AS (SELECT a.id AS src, b.id AS dst FROM v a, v b
+          WHERE a.id % 13 = 3 AND b.id % 13 = 5),
+est AS (SELECT p.src, p.dst, min(t.d + f.d) AS est_distance
+        FROM pairs p
+        JOIN dto t ON t.id = p.src
+        JOIN dfrom f ON f.landmark = t.landmark AND f.id = p.dst
+        GROUP BY 1, 2)
+SELECT p.src, p.dst, CAST(est.est_distance AS BIGINT) AS est_distance
+FROM pairs p LEFT JOIN est ON p.src = est.src AND p.dst = est.dst
+""",
         "lm_perplexity_docs": LM_PPL_SQL,
         "webgraph_blockrank": _blockrank_sql(3),
         "local_community_suppco": _local_community_sql(3),

@@ -115,8 +115,16 @@ from linkgraph.operators.motifs import butterfly_count, dyad_census, triad_motif
 from linkgraph.operators.temporal import earliest_arrival
 from linkgraph.operators.localcluster import local_community
 from linkgraph.operators.louvain import louvain, louvain_local_moves
+from linkgraph.operators.landmarks import (
+    estimate_distances,
+    landmark_index,
+    select_landmarks,
+)
 
 __all__ = [
+    "estimate_distances",
+    "landmark_index",
+    "select_landmarks",
     "blockrank",
     "pagerank",
     "weakly_connected_components",
