@@ -2016,6 +2016,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         LinkGraph(_hierarchy_edges(s, d), directed=False), rounds=4
     )
 
+    # --- Leiden connectivity refinement (Traag et al. 2019): split
+    # every internally-disconnected community — one distributed WCC
+    # over the union of intra-community edges answers all communities
+    # at once. Deterministic parent labels (id % 4) make the whole
+    # refinement SQL-replayable.
+    def _refine(s, d):
+        from linkgraph.operators.leiden import refine_connected
+
+        g = LinkGraph(_hierarchy_edges(s, d), directed=False)
+        labels = g.vertices.select("id", (F.col("id") % 4).alias("label"))
+        return refine_connected(g, labels).select("id", "parent", "community")
+
+    q["refine_connected_hierarchy"] = _refine
+
     # --- PMI collocations (tokenizer-merge / multi-word-expression
     # mining): adjacent-pair pointwise mutual information from corpus
     # counts, pairs built in-row (no positional self-join)
@@ -4880,6 +4894,32 @@ FROM k
         "hyperball_hierarchy": _hyperball_sql(),
         "temporal_reachability": _temporal_sql(),
         "louvain_hierarchy": _louvain_sql(),
+        # Leiden connectivity refinement: WCC (min-id labels) inside
+        # each id%4 parent class — recursive reach nested in a
+        # subquery (DuckDB recursive-scope CTE re-expansion bug)
+        "refine_connected_hierarchy": f"""
+WITH e AS MATERIALIZED ({HIER}),
+lab AS MATERIALIZED (
+  SELECT id, id % 4 AS parent
+  FROM (SELECT src AS id FROM e UNION SELECT dst FROM e)),
+intra AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e
+  JOIN lab a ON e.src = a.id JOIN lab b ON e.dst = b.id
+  WHERE a.parent = b.parent),
+comp AS MATERIALIZED (
+  WITH RECURSIVE reach(id, r) AS (
+    SELECT id, id FROM lab
+    UNION
+    SELECT reach.id, s.dst FROM reach JOIN
+      (SELECT src, dst FROM intra
+       UNION SELECT dst AS src, src AS dst FROM intra) s
+      ON reach.r = s.src
+  )
+  SELECT id, min(r) AS community FROM reach GROUP BY id
+)
+SELECT lab.id, lab.parent, comp.community
+FROM lab JOIN comp ON lab.id = comp.id
+""",
         "scc_condensation_bowtie": SCC_CONDENSATION_SQL,
         "dedup_span_removal": _span_removal_sql(),
         "collocations_docs": COLLOCATIONS_SQL,

@@ -120,11 +120,14 @@ from linkgraph.operators.landmarks import (
     landmark_index,
     select_landmarks,
 )
+from linkgraph.operators.leiden import leiden, refine_connected
 
 __all__ = [
     "estimate_distances",
     "landmark_index",
     "select_landmarks",
+    "leiden",
+    "refine_connected",
     "blockrank",
     "pagerank",
     "weakly_connected_components",

@@ -53,10 +53,17 @@ def louvain_local_moves(
     checkpoint_every: int = 0,
     resume: bool = True,
     self_loops: bool = False,
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """DataFrame(id, community) after ``rounds`` local-move rounds
     from singleton communities, undirected semantics (directions
     ignored, self-loops dropped; parallel edges sum).
+
+    ``init``: optional DataFrame(id, community) starting partition
+    instead of singletons — the Leiden ladder seeds each collapsed
+    level with the previous level's (unrefined) partition so coarse
+    moves continue from where the fine level stopped (Traag et al.
+    2019 §A; vertices absent from ``init`` start as singletons).
 
     ``checkpoint_dir``/``checkpoint_every``: durable per-round state
     commits via PeelCheckpoint; a restart with the same dir resumes
@@ -107,10 +114,20 @@ def louvain_local_moves(
     chain = LineageChain()
     # isolated vertices (k=0) keep their singleton community forever
     # but must survive into the output
+    seed_comm = F.col("id")
+    verts = graph.vertices.select("id")
+    if init is not None:
+        verts = verts.join(
+            init.select("id", F.col("community").alias("_init")), "id", "left"
+        )
+        seed_comm = F.coalesce(F.col("_init"), F.col("id"))
     state = (
-        graph.vertices.select("id")
-        .join(deg, "id", "left")
-        .select("id", F.col("id").alias("community"), F.coalesce("k", F.lit(0.0)).alias("k"))
+        verts.join(deg, "id", "left")
+        .select(
+            "id",
+            seed_comm.alias("community"),
+            F.coalesce("k", F.lit(0.0)).alias("k"),
+        )
     )
     state = chain.cut(state)
 

@@ -324,6 +324,55 @@ def main() -> None:
             "edges_per_sec_per_round": round(40_000_000 / (wall / 8), 1),
         }
 
+    # landmark distance oracle: 8 degree-ranked landmarks ride one
+    # forward + one reverse multi-source BFS (k sources as a key
+    # column, never k loops), then ~100k point-to-point queries are
+    # answered by two hash joins against the k·V label table — no
+    # BFS at query time
+    from linkgraph.operators.landmarks import (
+        estimate_distances,
+        landmark_index,
+        select_landmarks,
+    )
+
+    if want("landmarks_zipf"):
+        zg9 = random_edges(
+            spark, 2_000_000, 40_000_000, seed=5, zipf_s=1.2, partitions=64
+        )
+        gl = LinkGraph(zg9.select("src", "dst"), directed=True)
+        t0 = time.time()
+        lms = select_landmarks(gl, 8)
+        idx = landmark_index(gl, landmarks=lms).persist()
+        n_labels = idx.count()
+        build_wall = time.time() - t0
+        qa = gl.vertices.filter(F.abs(F.xxhash64("id")) % 4000 == 0).select(
+            F.col("id").alias("src")
+        )
+        qb = gl.vertices.filter(F.abs(F.xxhash64("id", F.lit(7))) % 10000 == 0).select(
+            F.col("id").alias("dst")
+        )
+        pairs = qa.crossJoin(qb)
+        t1 = time.time()
+        est = estimate_distances(gl, pairs, index=idx)
+        row_lm = est.agg(
+            F.count("*").alias("q"),
+            F.count("est_distance").alias("answered"),
+            F.max("est_distance").alias("max_d"),
+        ).collect()[0]
+        query_wall = time.time() - t1
+        idx.unpersist()
+        results["landmarks_zipf"] = {
+            "sec": round(build_wall + query_wall, 1),
+            "graph": "40M zipf(1.2) edges / 2M vertices",
+            "build_sec": round(build_wall, 1),
+            "query_sec": round(query_wall, 1),
+            "labels": int(n_labels),
+            "queries": int(row_lm["q"]),
+            "answered": int(row_lm["answered"]),
+            "max_est": int(row_lm["max_d"]) if row_lm["max_d"] is not None else -1,
+            "queries_per_sec": round(int(row_lm["q"]) / max(query_wall, 1e-9), 1),
+        }
+
     # batched sparse PPR: 1000 hash-picked seeds advanced together
     # over the Zipf graph's single stationary transition operand —
     # state carries only nonzero (seed, id) mass
@@ -646,6 +695,11 @@ Notes:
   sequences: the corpus-wide running token count is the bucketed
   distributed prefix sum (≤2048 per-bucket windows + a driver offset
   map), never a global single-partition window.
+- landmarks_zipf builds the Potamias-style distance-oracle label
+  table (8 degree-ranked landmarks × forward+reverse batched BFS,
+  all sources riding one frontier loop as a key column), then
+  answers ~100k point-to-point queries with two hash joins against
+  the persisted k·V labels — query cost is independent of E.
 - negatives_zipf draws 15 counter-hash candidates per vertex on the
   2M-vertex Zipf(1.2) graph, resolves them through the dense-index
   equi-join, anti-joins the 40M real edges and keeps 5 per vertex.
