@@ -2270,6 +2270,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lm_perplexity_docs"] = _lm_ppl
 
+    # --- BPE tokenizer training, round-1 slice (Sennrich et al.
+    # 2016): corpus → (word, count) vocabulary → adjacent character-
+    # pair statistics whose argmax is the first merge rule. The full
+    # iterative trainer (argmax + left-to-right rewrite per round) is
+    # pytest-pinned against a pure-Python learn_bpe replay
+    # (tests/test_tokenizer.py); this entry value-checks the
+    # corpus-scale pass every round reuses.
+    def _bpe_pairs(s, d):
+        from linkgraph.operators.tokenizer import pair_stats, word_counts
+
+        top = pair_stats(word_counts(_docs(s, d)))
+        return top.orderBy(
+            F.col("n").desc(), F.col("left_sym").asc(), F.col("right_sym").asc()
+        ).limit(20)
+
+    q["bpe_top_pairs_docs"] = _bpe_pairs
+
     # --- BlockRank (Kamvar/Haveliwala/Manning/Golub 2003): host-block
     # PageRank spread uniformly over each host's pages as the page-
     # level power-iteration start — the two-level Common-Crawl
@@ -4987,6 +5004,27 @@ SELECT p.src, p.dst, CAST(est.est_distance AS BIGINT) AS est_distance
 FROM pairs p LEFT JOIN est ON p.src = est.src AND p.dst = est.dst
 """,
         "lm_perplexity_docs": LM_PPL_SQL,
+        # BPE round-1 pair statistics: end-of-word marker fused onto
+        # the last character, overlapping adjacent pairs, count-then-
+        # lexicographic total order
+        "bpe_top_pairs_docs": f"""
+WITH wc AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+    FROM ({DOCS})
+  ) GROUP BY 1),
+sym AS (
+  SELECT list_transform(range(1, length(word) + 1),
+           i -> CASE WHEN i = length(word) THEN substr(word, i, 1) || '</w>'
+                     ELSE substr(word, i, 1) END) AS s, c
+  FROM wc WHERE length(word) > 0),
+pr AS (
+  SELECT s[i] AS left_sym, s[i + 1] AS right_sym, sum(c) AS n
+  FROM sym, unnest(range(1, len(s))) AS t(i)
+  GROUP BY 1, 2)
+SELECT left_sym, right_sym, CAST(n AS BIGINT) AS n
+FROM pr ORDER BY n DESC, left_sym ASC, right_sym ASC LIMIT 20
+""",
         "webgraph_blockrank": _blockrank_sql(3),
         "local_community_suppco": _local_community_sql(3),
     }

@@ -121,6 +121,12 @@ from linkgraph.operators.landmarks import (
     select_landmarks,
 )
 from linkgraph.operators.leiden import leiden, refine_connected
+from linkgraph.operators.tokenizer import (
+    bpe_encode,
+    bpe_merges,
+    pair_stats,
+    word_counts,
+)
 
 __all__ = [
     "estimate_distances",
@@ -128,6 +134,10 @@ __all__ = [
     "select_landmarks",
     "leiden",
     "refine_connected",
+    "bpe_encode",
+    "bpe_merges",
+    "pair_stats",
+    "word_counts",
     "blockrank",
     "pagerank",
     "weakly_connected_components",
