@@ -2200,6 +2200,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_schedule_docs"] = _crawl_schedule
 
+    # --- robots.txt (RFC 9309): parse + longest-match evaluation, all
+    # Catalyst string/window ops. Robots bodies and frontier urls are
+    # synthesized with pure SQL expressions from nation/customer so the
+    # DuckDB oracle replays the identical parse. Hosts n20..n24 have no
+    # robots row (the allowed-by-default path); agent='linkbot'
+    # exercises the specific-group-overrides-* rule.
+    def _robots_input(s, d):
+        from linkgraph.operators.crawl import robots_rules
+
+        nat = _read(s, d, "nation").filter(F.col("n_nationkey") < 20)
+        k = F.col("n_nationkey").cast("long") % 4
+        body = (
+            F.when(k == 0, F.lit(
+                "User-agent: *\nDisallow: /private\nAllow: /private/pub\n"))
+            .when(k == 1, F.lit(
+                "User-agent: linkbot\nDisallow: /tmp*\nUser-agent: *\nDisallow: /\n"))
+            .when(k == 2, F.lit(
+                "# robots\nUser-agent: *\nAllow: /doc$\nDisallow: /doc\n"
+                "User-agent: other\nDisallow: /zz\n"))
+            .otherwise(F.lit("User-agent: *\nDisallow:\n"))
+        )
+        robots = nat.select(
+            F.concat(
+                F.lit("n"), F.col("n_nationkey").cast("string"), F.lit(".example")
+            ).alias("host"),
+            body.alias("body"),
+        )
+        return robots_rules(robots, agent="linkbot")
+
+    q["robots_rules_nations"] = lambda s, d: _robots_input(s, d)
+
+    def _robots_frontier(s, d):
+        from linkgraph.operators.crawl import robots_allowed
+
+        cust = _read(s, d, "customer")
+        j = F.col("c_custkey").cast("long") % 6
+        path = (
+            F.when(j == 0, F.concat(F.lit("/private/pub/p"),
+                                    F.col("c_custkey").cast("string")))
+            .when(j == 1, F.lit("/private/x"))
+            .when(j == 2, F.concat(F.lit("/tmp/t"),
+                                   F.col("c_custkey").cast("string")))
+            .when(j == 3, F.lit("/doc"))
+            .when(j == 4, F.lit("/doc2"))
+            .otherwise(F.concat(F.lit("/ok/o"),
+                                F.col("c_custkey").cast("string")))
+        )
+        urls = cust.select(
+            F.concat(
+                F.lit("n"), F.col("c_nationkey").cast("string"), F.lit(".example")
+            ).alias("host"),
+            path.alias("path"),
+        ).distinct()
+        return robots_allowed(urls, _robots_input(s, d))
+
+    q["robots_allowed_frontier"] = _robots_frontier
+
     # --- per-host link insularity over the synthetic crawl snapshot
     def _host_insularity(s, d):
         from linkgraph.sources.edges import host_insularity
@@ -3551,6 +3608,72 @@ FROM cond"""
     )
 
 
+_ROBOTS_RULES_CTES = r"""
+robots AS (
+  SELECT 'n' || CAST(n_nationkey AS VARCHAR) || '.example' AS host,
+         CASE CAST(n_nationkey AS BIGINT) % 4
+           WHEN 0 THEN 'User-agent: *' || chr(10) || 'Disallow: /private'
+                || chr(10) || 'Allow: /private/pub' || chr(10)
+           WHEN 1 THEN 'User-agent: linkbot' || chr(10) || 'Disallow: /tmp*'
+                || chr(10) || 'User-agent: *' || chr(10) || 'Disallow: /'
+                || chr(10)
+           WHEN 2 THEN '# robots' || chr(10) || 'User-agent: *' || chr(10)
+                || 'Allow: /doc$' || chr(10) || 'Disallow: /doc' || chr(10)
+                || 'User-agent: other' || chr(10) || 'Disallow: /zz'
+                || chr(10)
+           ELSE 'User-agent: *' || chr(10) || 'Disallow:' || chr(10)
+         END AS body
+  FROM nation WHERE n_nationkey < 20),
+rlines AS (
+  SELECT host,
+         unnest(string_split_regex(body, '\r?\n')) AS raw,
+         unnest(generate_series(1, len(string_split_regex(body, '\r?\n'))))
+           AS pos
+  FROM robots),
+rparsed AS (
+  SELECT host, pos,
+         lower(trim(substr(l, 1, strpos(l, ':') - 1))) AS key,
+         trim(substr(l, strpos(l, ':') + 1)) AS val
+  FROM (SELECT host, pos, regexp_replace(raw, '#.*', '') AS l FROM rlines)
+  WHERE strpos(l, ':') > 0),
+rkept AS (
+  SELECT * FROM rparsed WHERE key IN ('user-agent', 'allow', 'disallow')),
+rmarked AS (
+  SELECT *, CASE WHEN key = 'user-agent'
+                  AND coalesce(lag(key) OVER (PARTITION BY host ORDER BY pos),
+                               '') <> 'user-agent'
+                 THEN 1 ELSE 0 END AS startg
+  FROM rkept),
+rgrouped AS (
+  SELECT *, sum(startg) OVER (PARTITION BY host ORDER BY pos) AS gid
+  FROM rmarked),
+ragents AS (
+  SELECT host, gid,
+         max(CASE WHEN lower(val) = 'linkbot' THEN 1 ELSE 0 END) AS named,
+         max(CASE WHEN val = '*' THEN 1 ELSE 0 END) AS star
+  FROM rgrouped WHERE key = 'user-agent' GROUP BY 1, 2),
+rhostnamed AS (SELECT host, max(named) AS any_named FROM ragents GROUP BY 1),
+reffective AS (
+  SELECT a.host, a.gid
+  FROM ragents a JOIN rhostnamed h ON a.host = h.host
+  WHERE (h.any_named = 1 AND a.named = 1)
+     OR (h.any_named = 0 AND a.star = 1)),
+rrules AS (
+  SELECT DISTINCT g.host, g.key AS rule, g.val AS path,
+    '^' || replace(
+             regexp_replace(
+               CASE WHEN g.val LIKE '%$'
+                    THEN substr(g.val, 1, length(g.val) - 1)
+                    ELSE g.val END,
+               '([.^$+?(){}\[\]|\\])', '\\\1', 'g'),
+             '*', '.*')
+        || CASE WHEN g.val LIKE '%$' THEN '$' ELSE '' END AS pattern,
+    CAST(length(g.val) AS BIGINT) AS specificity
+  FROM rgrouped g JOIN reffective e ON g.host = e.host AND g.gid = e.gid
+  WHERE g.key IN ('allow', 'disallow') AND length(g.val) > 0)
+"""
+
+
 def _blockrank_sql(iters: int = 3, alpha: float = 0.85) -> str:
     """Two-stage unrolled BlockRank over the pinned-extractor edge
     list: host-collapsed PageRank (stage A), the normalized
@@ -4789,6 +4912,37 @@ SELECT e.query_id, count(*) AS k_exact,
 FROM exact e LEFT JOIN approx a
   ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
 GROUP BY 1""",
+        "robots_rules_nations": f"""
+WITH {_ROBOTS_RULES_CTES}
+SELECT host, rule, path, pattern, specificity FROM rrules""",
+        "robots_allowed_frontier": f"""
+WITH {_ROBOTS_RULES_CTES},
+urls AS (
+  SELECT DISTINCT
+    'n' || CAST(c_nationkey AS VARCHAR) || '.example' AS host,
+    CASE CAST(c_custkey AS BIGINT) % 6
+      WHEN 0 THEN '/private/pub/p' || CAST(c_custkey AS VARCHAR)
+      WHEN 1 THEN '/private/x'
+      WHEN 2 THEN '/tmp/t' || CAST(c_custkey AS VARCHAR)
+      WHEN 3 THEN '/doc'
+      WHEN 4 THEN '/doc2'
+      ELSE '/ok/o' || CAST(c_custkey AS VARCHAR)
+    END AS path
+  FROM customer),
+matched AS (
+  SELECT u.host, u.path, r.rule, r.path AS rpath, r.specificity
+  FROM urls u LEFT JOIN rrules r
+    ON u.host = r.host AND regexp_matches(u.path, r.pattern)),
+sel AS (
+  SELECT host, path, rule, rpath,
+         row_number() OVER (PARTITION BY host, path
+                            ORDER BY specificity DESC NULLS LAST,
+                                     (rule = 'allow') DESC, rpath DESC) AS rn
+  FROM matched)
+SELECT host, path,
+       CASE WHEN rpath IS NULL THEN TRUE ELSE rule = 'allow' END AS allowed,
+       rpath AS rule_path
+FROM sel WHERE rn = 1""",
         "opic5_suppdir": _unrolled_opic_sql(SUPP_DIR, "id", 5),
         "alias_chains_suppliers": _alias_doubling_sql(8),
         "crawl_schedule_docs": """

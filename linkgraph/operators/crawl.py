@@ -341,6 +341,179 @@ def politeness_schedule(
     )
 
 
+def robots_rules(
+    robots: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """Parse robots.txt bodies into the effective rule table for one
+    crawler: DataFrame(host, rule, path, pattern, specificity).
+
+    RFC 9309 semantics (public spec; the reference has no crawl
+    surface — web-pipeline inventory, SURVEY §2.8b):
+
+    - lines are ``key: value`` with ``#`` comments stripped; only
+      ``user-agent`` / ``allow`` / ``disallow`` keys matter here;
+    - consecutive ``user-agent`` lines stack onto ONE group; a group's
+      rules run until the next group starts;
+    - per host, if any group names this ``agent`` (exact product-token
+      match, case-insensitive) only those groups apply, otherwise the
+      ``*`` groups apply — the RFC's most-specific-group rule;
+    - empty-path rules are no-ops and are dropped (``Disallow:`` means
+      allow-all);
+    - ``*`` in a path matches any char run, a trailing ``$`` anchors
+      the end; ``pattern`` is the equivalent anchored regex, built in
+      the Java∩RE2 dialect subset (escaped literals + ``.*`` + ``$``)
+      so Spark and DuckDB read it identically;
+    - ``specificity`` is the rule-path length — RFC 9309's
+      longest-match precedence key (``robots_allowed`` breaks ties
+      allow-over-disallow, also per RFC).
+
+    Scale shape: one posexplode of the line array, per-host windows
+    for group numbering — safe because robots.txt is capped at 500 KiB
+    by the RFC (crawlers enforce it), so a "partition" is at most a
+    few thousand lines; no join ever keys on anything bigger than the
+    per-host rule set. Everything is Catalyst string/window ops — zero
+    Python.
+    """
+    from pyspark.sql import Window
+
+    lines = (
+        robots.select(
+            F.col(host_col).alias("host"),
+            F.posexplode(F.split(F.col(body_col), "\r?\n")).alias("pos", "raw"),
+        )
+        .select(
+            "host", "pos", F.regexp_replace("raw", "#.*", "").alias("line")
+        )
+        .filter(F.instr("line", ":") > 0)
+        .select(
+            "host",
+            "pos",
+            F.lower(
+                F.trim(F.expr("substring(line, 1, instr(line, ':') - 1)"))
+            ).alias("key"),
+            F.trim(F.expr("substring(line, instr(line, ':') + 1)")).alias("val"),
+        )
+        .filter(F.col("key").isin("user-agent", "allow", "disallow"))
+    )
+    w = Window.partitionBy("host").orderBy("pos")
+    grouped = lines.select(
+        "host",
+        "pos",
+        "key",
+        "val",
+        F.sum(
+            F.when(
+                (F.col("key") == "user-agent")
+                & (F.coalesce(F.lag("key").over(w), F.lit("")) != "user-agent"),
+                1,
+            ).otherwise(0)
+        )
+        .over(w)
+        .alias("gid"),
+    )
+    agents = (
+        grouped.filter(F.col("key") == "user-agent")
+        .groupBy("host", "gid")
+        .agg(
+            F.max(
+                F.when(F.lower("val") == agent.lower(), True).otherwise(False)
+            ).alias("named"),
+            F.max(F.when(F.col("val") == "*", True).otherwise(False)).alias(
+                "star"
+            ),
+        )
+    )
+    host_named = agents.groupBy("host").agg(F.max("named").alias("any_named"))
+    effective = agents.join(host_named, "host").filter(
+        (F.col("any_named") & F.col("named"))
+        | (~F.col("any_named") & F.col("star"))
+    )
+    rules = (
+        grouped.filter(F.col("key").isin("allow", "disallow"))
+        .filter(F.length("val") > 0)
+        .join(effective.select("host", "gid"), ["host", "gid"], "left_semi")
+    )
+    # rule path -> anchored regex: strip a trailing $ (the anchor),
+    # escape regex specials, reinstate * as .* — the Java∩RE2 subset
+    anchored = F.col("val").endswith("$")
+    body = F.when(anchored, F.expr("substring(val, 1, length(val) - 1)")).otherwise(
+        F.col("val")
+    )
+    escaped = F.regexp_replace(
+        body, r"([.^$+?(){}\[\]|\\])", r"\\$1"
+    )
+    pattern = F.concat(
+        F.lit("^"),
+        F.regexp_replace(escaped, r"\*", ".*"),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+    return rules.select(
+        "host",
+        F.col("key").alias("rule"),
+        F.col("val").alias("path"),
+        pattern.alias("pattern"),
+        F.length("val").cast("long").alias("specificity"),
+    ).distinct()
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Evaluate a crawl frontier against a ``robots_rules`` table:
+    DataFrame(host, path, allowed, rule_path) — RFC 9309 precedence
+    (longest matching rule wins; allow beats disallow on equal
+    length; no matching rule, or no rules for the host, means
+    allowed). ``rule_path`` is the winning rule's path (NULL when
+    nothing matched).
+
+    Plan: one equi-join on host (the rules side is at most a few
+    hundred rows per host — robots.txt is size-capped — so fan-out is
+    bounded and a hub host's URLs still spread across tasks), the
+    regex match as a column-pattern ``rlike``, then one
+    map-side-combinable max_by per url. Deterministic: the winner
+    struct orders by (specificity, allow-flag, path).
+    """
+    u = urls.select(
+        F.col(host_col).alias("host"), F.col(path_col).alias("path")
+    )
+    r = rules.select(
+        F.col("host").alias("_rhost"),
+        F.col("rule").alias("_rule"),
+        F.col("path").alias("_rpath"),
+        F.col("pattern").alias("_pat"),
+        F.col("specificity").alias("_spec"),
+    )
+    joined = u.join(r, u.host == F.col("_rhost"), "left").withColumn(
+        "_hit", F.expr("path rlike _pat")
+    )
+    win = F.max(
+        F.when(
+            F.col("_hit"),
+            F.struct(
+                F.col("_spec").alias("s"),
+                (F.col("_rule") == "allow").alias("a"),
+                F.col("_rpath").alias("p"),
+            ),
+        )
+    ).alias("w")
+    return (
+        joined.groupBy("host", "path")
+        .agg(win)
+        .select(
+            "host",
+            "path",
+            F.coalesce(F.col("w.a"), F.lit(True)).alias("allowed"),
+            F.col("w.p").alias("rule_path"),
+        )
+    )
+
+
 def edge_delta(
     old: DataFrame,
     new: DataFrame,

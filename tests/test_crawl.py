@@ -219,3 +219,113 @@ def test_politeness_schedule_null_priority_sorts_last(spark):
         for rank, (i, _) in enumerate(sorted(items, key=key), start=1):
             want[(h, i)] = rank
     assert got == want
+
+
+# --- robots.txt (RFC 9309) ---------------------------------------------------
+
+import re as _re
+
+from linkgraph.operators.crawl import robots_allowed, robots_rules
+
+
+def _robots_replica(body, agent):
+    """Pinned pure-Python RFC 9309 evaluator: returns effective
+    (rule, path) list for ``agent`` (longest-match evaluation done by
+    the caller)."""
+    groups, cur_agents, cur_rules, in_agents = [], [], [], False
+    for raw in _re.split(r"\r?\n", body):
+        line = raw.split("#", 1)[0]
+        if ":" not in line:
+            continue
+        key, val = line.split(":", 1)
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if not in_agents:
+                if cur_agents:
+                    groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules, in_agents = [], [], True
+            cur_agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            in_agents = False
+            if val:
+                cur_rules.append((key, val))
+    if cur_agents:
+        groups.append((cur_agents, cur_rules))
+    named = [g for g in groups if agent.lower() in g[0]]
+    use = named if named else [g for g in groups if "*" in g[0]]
+    return [r for g in use for r in g[1]]
+
+
+def _match_replica(rules, path):
+    """RFC precedence: longest matching rule, allow wins ties."""
+    best = None
+    for rule, rpath in rules:
+        anchored = rpath.endswith("$")
+        body = rpath[:-1] if anchored else rpath
+        pat = "^" + ".*".join(_re.escape(p) for p in body.split("*"))
+        if anchored:
+            pat += "$"
+        if _re.search(pat, path):
+            key = (len(rpath), rule == "allow")
+            if best is None or key > best[0]:
+                best = (key, rule == "allow", rpath)
+    if best is None:
+        return True, None
+    return best[1], best[2]
+
+
+ROBOTS_FIXTURE = [
+    ("a.com", "User-agent: *\nDisallow: /private\nAllow: /private/pub\n"),
+    # specific-agent group overrides the * group entirely
+    ("b.com", "User-agent: linkbot\nDisallow: /tmp*\nUser-agent: *\nDisallow: /\n"),
+    # $ anchor vs prefix at different specificity; other-agent group ignored
+    ("c.com", "# c\nUser-agent: *\nAllow: /a$\nDisallow: /a\nUser-agent: other\nDisallow: /x\n"),
+    # empty Disallow = allow-all (rule dropped)
+    ("d.com", "User-agent: *\nDisallow:\n"),
+    # stacked user-agent lines share one group; comments mid-line
+    ("e.com", "User-agent: other\nUser-agent: *\nDisallow: /x # nope\nAllow: /x/ok\n"),
+    # regex specials in paths must be escaped, * is the only wildcard
+    ("f.com", "User-agent: *\nDisallow: /a.b\nDisallow: /c(d)/*e$\n"),
+]
+
+URLS_FIXTURE = [
+    ("a.com", "/private/pub/x"), ("a.com", "/private/y"), ("a.com", "/open"),
+    ("b.com", "/tmp/z"), ("b.com", "/anything"),
+    ("c.com", "/a"), ("c.com", "/ab"), ("c.com", "/x"),
+    ("d.com", "/q"),
+    ("e.com", "/x/ok/1"), ("e.com", "/x/no"),
+    ("f.com", "/a.b/z"), ("f.com", "/aXb"), ("f.com", "/c(d)/qqe"), ("f.com", "/c(d)/qqef"),
+    ("nobots.com", "/free"),
+]
+
+
+def test_robots_rules_and_allowed_match_rfc_replica(spark):
+    robots = spark.createDataFrame(ROBOTS_FIXTURE, "host string, body string")
+    urls = spark.createDataFrame(URLS_FIXTURE, "host string, path string")
+    rules = robots_rules(robots, agent="linkbot")
+    got = {
+        (r.host, r.path): (r.allowed, r.rule_path)
+        for r in robots_allowed(urls, rules).collect()
+    }
+    bodies = dict(ROBOTS_FIXTURE)
+    assert set(got) == set(URLS_FIXTURE)
+    for host, path in URLS_FIXTURE:
+        eff = _robots_replica(bodies[host], "linkbot") if host in bodies else []
+        want = _match_replica(eff, path)
+        assert got[(host, path)] == want, (host, path, got[(host, path)], want)
+
+
+def test_robots_rules_table_shape(spark):
+    robots = spark.createDataFrame(ROBOTS_FIXTURE, "host string, body string")
+    rows = robots_rules(robots, agent="linkbot").collect()
+    # b.com keeps ONLY the named group's rule; d.com contributes none
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r.host, set()).add((r.rule, r.path, r.specificity))
+    assert by_host["b.com"] == {("disallow", "/tmp*", 5)}
+    assert "d.com" not in by_host
+    assert ("allow", "/a$", 3) in by_host["c.com"]
+    # patterns are anchored and escaped
+    pats = {r.path: r.pattern for r in rows}
+    assert pats["/a.b"] == "^/a\\.b"
+    assert pats["/c(d)/*e$"] == "^/c\\(d\\)/.*e$"
