@@ -1137,6 +1137,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             LinkGraph(_hierarchy_edges(s, d), directed=True), max_iter=3
         ).state
     )
+    # --- label spreading (Zhou et al. 2004): region seeds diffuse
+    # their region key over the symmetrized hierarchy; 3 fixed rounds
+    # so the DuckDB oracle unrolls the exact F←αSF+(1−α)Y update
+    def _label_spreading_hier(s, d):
+        from linkgraph.operators.lpa import label_spreading_fixed_iterations
+
+        g = LinkGraph(_hierarchy_edges(s, d), directed=True)
+        seeds = _read(s, d, "region").select(
+            (F.col("r_regionkey").cast("long") + REG).alias("id"),
+            F.col("r_regionkey").cast("long").alias("label"),
+        )
+        return label_spreading_fixed_iterations(g, seeds, iterations=3).select(
+            "id", "label", F.round("score", 8).alias("score")
+        )
+
+    q["label_spreading_hierarchy"] = _label_spreading_hier
+
     q["triangle_counts"] = lambda s, d: triangle_counts(_supp_co(s, d))
     q["clustering_coefficients"] = lambda s, d: (
         clustering_coefficients(_supp_co(s, d)).select(
@@ -3608,6 +3625,45 @@ FROM cond"""
     )
 
 
+def _label_spreading_sql(iters: int = 3, alpha: float = 0.85) -> str:
+    """Unrolled Zhou-et-al. label spreading over the symmetrized
+    hierarchy from region seeds: F(0)=Y, F(k)=α·S·F(k−1)+(1−α)·Y with
+    S = D^-1/2 W D^-1/2 — the exact engine update
+    (operators/lpa.py label_spreading)."""
+    a, b = alpha, 1.0 - alpha
+    parts = [
+        f"""
+eh AS MATERIALIZED (
+  SELECT src, dst, weight FROM ({HIER})
+  UNION ALL
+  SELECT dst AS src, src AS dst, weight FROM ({HIER})),
+degs AS MATERIALIZED (SELECT src AS id, sum(weight) AS d FROM eh GROUP BY 1),
+ltrans AS MATERIALIZED (
+  SELECT e.src, e.dst, e.weight / sqrt(ds.d * dd.d) AS p
+  FROM eh e JOIN degs ds ON e.src = ds.id JOIN degs dd ON e.dst = dd.id),
+ly AS MATERIALIZED (
+  SELECT CAST(r_regionkey + 4000000 AS BIGINT) AS id,
+         CAST(r_regionkey AS BIGINT) AS label, 1.0 AS score FROM region)"""
+    ]
+    prev = "ly"
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""
+lf{k} AS MATERIALIZED (
+  SELECT coalesce(s.id, y.id) AS id, coalesce(s.label, y.label) AS label,
+         {a!r} * coalesce(s.sp, 0) + {b!r} * coalesce(y.score, 0) AS score
+  FROM (SELECT t.dst AS id, f.label, sum(f.score * t.p) AS sp
+        FROM {prev} f JOIN ltrans t ON f.id = t.src GROUP BY 1, 2) s
+  FULL OUTER JOIN ly y ON s.id = y.id AND s.label = y.label)"""
+        )
+        prev = f"lf{k}"
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"\nSELECT id, label, round(score, 8) AS score FROM {prev}"
+    )
+
+
 _ROBOTS_RULES_CTES = r"""
 robots AS (
   SELECT 'n' || CAST(n_nationkey AS VARCHAR) || '.example' AS host,
@@ -4071,6 +4127,7 @@ SELECT nm.n AS n_nodes, nm.m AS n_edges,
 FROM nm, tri, wdg, ass
 """,
         "lpa3_hierarchy": _lpa_sql(3),
+        "label_spreading_hierarchy": _label_spreading_sql(3, 0.85),
         "circular_layout": f"""
 {LAYOUT_IDX}
 SELECT id, round(cos(2 * pi() * i / n), 6) AS x,

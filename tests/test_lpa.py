@@ -197,3 +197,110 @@ def test_community_stats_directed_and_unlabeled(spark):
     assert got[0]["cut_edges"] == 1
     assert got[1]["volume"] == 1 and got[1]["cut_edges"] == 1
     assert abs(got[1]["conductance"] - 1.0) < 1e-12
+
+
+# --- label spreading (Zhou et al. 2004) --------------------------------------
+
+import numpy as np
+import pytest
+
+from linkgraph.operators.lpa import (
+    label_spreading,
+    label_spreading_fixed_iterations,
+    label_spreading_predict,
+)
+
+
+def _spreading_replica(edges, n_ids, seeds, alpha, iters=None):
+    """Dense numpy replica: F←αSF+(1−α)Y from F=Y; iters=None solves
+    the closed form (1−α)(I−αS)^{-1}Y."""
+    ids = sorted(n_ids)
+    ix = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    W = np.zeros((n, n))
+    for u, v, *w in edges:
+        wt = float(w[0]) if w else 1.0
+        W[ix[u], ix[v]] += wt
+        W[ix[v], ix[u]] += wt
+    d = W.sum(axis=1)
+    dinv = np.where(d > 0, 1.0 / np.sqrt(np.where(d > 0, d, 1.0)), 0.0)
+    S = dinv[:, None] * W * dinv[None, :]
+    labels = sorted({l for _, l in seeds})
+    lx = {l: j for j, l in enumerate(labels)}
+    Y = np.zeros((n, len(labels)))
+    for v, l in seeds:
+        Y[ix[v], lx[l]] = 1.0
+    if iters is None:
+        Fs = (1 - alpha) * np.linalg.solve(np.eye(n) - alpha * S, Y)
+    else:
+        Fs = Y.copy()
+        for _ in range(iters):
+            Fs = alpha * S @ Fs + (1 - alpha) * Y
+    return {(ids[i], labels[j]): Fs[i, j] for i in range(n) for j in range(len(labels))}
+
+
+SPREAD_EDGES = [
+    (1, 2), (2, 3), (3, 1),          # triangle, seed class 10
+    (3, 4), (4, 5), (5, 6), (6, 4),  # bridge into triangle, seed class 20
+    (6, 7, 3.0),                     # weighted spur
+]
+SPREAD_SEEDS = [(1, 10), (5, 20)]
+
+
+def test_label_spreading_fixed_matches_replica(spark):
+    g = graph_from_edges(spark, SPREAD_EDGES, directed=False)
+    seeds = spark.createDataFrame(SPREAD_SEEDS, "id long, label long")
+    got = {
+        (r.id, r.label): r.score
+        for r in label_spreading_fixed_iterations(
+            g, seeds, iterations=4, alpha=0.8, weighted=True
+        ).collect()
+    }
+    want = _spreading_replica(
+        SPREAD_EDGES, {u for e in SPREAD_EDGES for u in e[:2]},
+        SPREAD_SEEDS, 0.8, iters=4,
+    )
+    # engine state is sparse: every nonzero replica entry must be
+    # present and equal; engine rows must be a subset of the replica
+    for k, v in got.items():
+        assert v == pytest.approx(want[k], abs=1e-12)
+    for k, v in want.items():
+        if v > 0:
+            assert k in got, k
+
+
+def test_label_spreading_converges_to_closed_form(spark):
+    g = graph_from_edges(spark, SPREAD_EDGES, directed=False)
+    seeds = spark.createDataFrame(SPREAD_SEEDS, "id long, label long")
+    res = label_spreading(g, seeds, alpha=0.8, tol=1e-12, max_iter=200, weighted=True)
+    got = {(r.id, r.label): r.score for r in res.state.collect()}
+    want = _spreading_replica(
+        SPREAD_EDGES, {u for e in SPREAD_EDGES for u in e[:2]},
+        SPREAD_SEEDS, 0.8, iters=None,
+    )
+    for k, v in want.items():
+        if v > 1e-15:
+            assert got[k] == pytest.approx(v, abs=1e-9), k
+    pred = {r.id: r.label for r in label_spreading_predict(res.state).collect()}
+    assert pred[2] == 10 and pred[1] == 10
+    assert pred[6] == 20 and pred[7] == 20
+
+
+def test_label_spreading_directed_uses_weak_structure(spark):
+    # a directed chain diffuses BOTH ways (symmetrized), like LPA
+    g = graph_from_edges(spark, [(1, 2), (2, 3)], directed=True)
+    seeds = spark.createDataFrame([(3, 7)], "id long, label long")
+    got = {
+        (r.id, r.label): r.score
+        for r in label_spreading_fixed_iterations(g, seeds, 3, alpha=0.5).collect()
+    }
+    assert got[(1, 7)] > 0  # reached upstream against edge direction
+
+
+def test_label_spreading_rejects_bad_input(spark):
+    g = graph_from_edges(spark, [(1, 2)], directed=False)
+    two = spark.createDataFrame([(1, 5), (1, 6)], "id long, label long")
+    with pytest.raises(ValueError, match="one label per id"):
+        label_spreading(g, two)
+    with pytest.raises(ValueError, match="alpha"):
+        label_spreading(g, spark.createDataFrame([(1, 5)], "id long, label long"), alpha=1.0)
