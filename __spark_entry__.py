@@ -1736,6 +1736,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         LinkGraph(_hierarchy_edges(s, d), directed=False)
     )
     q["core_numbers_cliques"] = lambda s, d: core_numbers(_clique_graph(s, d))
+
+    # --- bridges / 2-edge-connected components on the clique bed:
+    # closed form — every customer leaf edge is a bridge, neither
+    # clique has one; 2ECCs are the two cliques + singleton leaves.
+    # The engine still runs the full pipeline (WCC → BFS forest →
+    # preorder intervals → low/high folding → second WCC).
+    def _bridges_cliques(s, d):
+        from linkgraph.operators.bridges import bridges
+
+        return bridges(_clique_graph(s, d))
+
+    q["bridges_cliques"] = _bridges_cliques
+
+    def _twoecc_cliques(s, d):
+        from linkgraph.operators.bridges import two_edge_components
+
+        return two_edge_components(_clique_graph(s, d))
+
+    q["two_edge_components_cliques"] = _twoecc_cliques
     q["k_core4_cliques"] = lambda s, d: k_core(_clique_graph(s, d), 4).edges
     # 4-clique census on the clique bed: the oriented-DAG enumeration
     # runs the full distributed 3-join; the oracle enumerates quads
@@ -4839,6 +4858,19 @@ FROM ({HIER}) GROUP BY 1, 2
 """,
         # closed-form cores of the clique construction: a c-clique's
         # vertices have core c-1; leaves have core 1
+        "bridges_cliques": """
+SELECT CAST(c_custkey AS BIGINT) AS src,
+       CAST(c_nationkey + 3000000 AS BIGINT) AS dst
+FROM customer""",
+        "two_edge_components_cliques": """
+SELECT CAST(c_custkey AS BIGINT) AS id,
+       CAST(c_custkey AS BIGINT) AS component FROM customer
+UNION ALL
+SELECT CAST(n_nationkey + 3000000 AS BIGINT), CAST(3000000 AS BIGINT)
+FROM nation
+UNION ALL
+SELECT CAST(r_regionkey + 4000000 AS BIGINT), CAST(4000000 AS BIGINT)
+FROM region""",
         "core_numbers_cliques": """
 SELECT CAST(c_custkey AS BIGINT) AS id, CAST(1 AS BIGINT) AS core FROM customer
 UNION ALL
