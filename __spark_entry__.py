@@ -1601,6 +1601,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _read(s, d, "embeddings"), threshold=0.35, exact=True
     )
 
+    # --- SemDeDup: within-cell cosine groups, keep the member least
+    # similar to its centroid (seeded quantizer = the oracle path)
+    def _semantic_dedup(s, d):
+        from linkgraph.operators.similarity import semantic_dedup
+
+        return semantic_dedup(_read(s, d, "embeddings"), threshold=0.35)
+
+    q["semantic_dedup_embeddings"] = _semantic_dedup
+
     # --- relational / window coverage on events
     q["events_agg"] = lambda s, d: (
         _read(s, d, "events")
@@ -2780,6 +2789,70 @@ def _kmeans_cells(s, d):
         cents1[r["cell"], r["i"]] = r["m"]
     a2 = emb.withColumn("cell", assign_col(cents1))
     return a2.groupBy("cell").agg(F.count("*").alias("n"))
+
+
+def _semdedup_sql(
+    dim: int = 64, k: int = 8, seed: int = 7, threshold: float = 0.35
+) -> str:
+    """SemDeDup oracle: seeded-centroid cell assignment (same baked
+    constants as the engine), within-cell cosine pairs, recursive
+    min-reach components, least-centroid-sim survivor."""
+    from linkgraph.operators.similarity import seeded_centroids
+
+    cents = seeded_centroids(dim, k, seed)
+    vals = ",\n".join(
+        f"({c}, {i + 1}, {float(cents[c][i])!r})"
+        for c in range(k)
+        for i in range(dim)
+    )
+    return f"""
+WITH RECURSIVE
+ex AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+norms AS MATERIALIZED (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1),
+cents(c, i, v) AS (VALUES
+{vals}),
+cdots AS (SELECT e.vec_id, ct.c, sum(e.x * ct.v) AS d
+          FROM ex e JOIN cents ct ON e.i = ct.i GROUP BY 1, 2),
+assigned AS MATERIALIZED (
+  SELECT vec_id, c AS cell, round(d / nrm, 9) AS csim FROM (
+    SELECT cd.vec_id, cd.c, cd.d, n.nrm,
+           row_number() OVER (PARTITION BY cd.vec_id
+                              ORDER BY cd.d DESC, cd.c ASC) AS rn
+    FROM cdots cd JOIN norms n ON cd.vec_id = n.vec_id) WHERE rn = 1),
+cellpairs AS (SELECT a.vec_id AS a, b.vec_id AS b
+              FROM assigned a JOIN assigned b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id),
+pdots AS (SELECT cp.a, cp.b, sum(xa.x * xb.x) AS dot
+          FROM cellpairs cp JOIN ex xa ON xa.vec_id = cp.a
+                            JOIN ex xb ON xb.vec_id = cp.b AND xa.i = xb.i
+          GROUP BY 1, 2),
+pairs AS MATERIALIZED (
+  SELECT p.a, p.b FROM pdots p
+  JOIN norms na ON p.a = na.vec_id JOIN norms nb ON p.b = nb.vec_id
+  WHERE round(p.dot / (na.nrm * nb.nrm), 6) >= {threshold}),
+sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
+                     UNION SELECT b, a FROM pairs),
+members AS (SELECT DISTINCT src AS id FROM sym),
+reach(id, r) AS (
+  SELECT id, id FROM members
+  UNION
+  SELECT reach.id, s.dst FROM reach JOIN sym s ON reach.r = s.src
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+labeled AS MATERIALIZED (
+  SELECT a.vec_id AS id, a.cell, a.csim,
+         coalesce(c.component, a.vec_id) AS cluster
+  FROM assigned a LEFT JOIN comp c ON a.vec_id = c.id),
+keepers AS (SELECT cluster, id AS keep_id FROM (
+  SELECT cluster, id,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY csim ASC, id ASC) AS rn
+  FROM labeled) WHERE rn = 1)
+SELECT l.id, CAST(l.cell AS INT) AS cell, l.cluster,
+       l.csim AS centroid_sim, l.id = kp.keep_id AS keep
+FROM labeled l JOIN keepers kp ON l.cluster = kp.cluster
+"""
 
 
 def _kmeans_cells_sql(dim: int = 64, k: int = 8, seed: int = 7) -> str:
@@ -4792,6 +4865,7 @@ SELECT doc_id,
 FROM m
 """,
         "kmeans_cells_embeddings": _kmeans_cells_sql(),
+        "semantic_dedup_embeddings": _semdedup_sql(),
         "langid_confusion": f"""
 WITH base AS (SELECT lang, {toks} AS t FROM documents),
 m AS (SELECT lang,

@@ -378,6 +378,96 @@ def embedding_near_duplicates(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 8,
+    centroids: np.ndarray | None = None,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public paper): semantic
+    deduplication over an embedding column — cluster the space with a
+    coarse quantizer, compare pairs ONLY within a cluster, connect
+    pairs with cosine ≥ threshold into duplicate groups, and keep one
+    representative per group: the member LEAST similar to its cluster
+    centroid (the paper's diversity-preserving rule), ties by smallest
+    id. Returns one row per vector:
+    DataFrame(id, cell, cluster, centroid_sim, keep).
+
+    Scale shape: cell assignment is pure column math against baked-in
+    centroid constants (zero shuffles); the pair scan is an equi-join
+    keyed by cell, so cost is Σ|cell|² /2 — the quantizer's job is
+    to keep cells balanced (pass trained ``kmeans_centroids`` for
+    that; the seeded default is the oracle-replayable path). Duplicate
+    groups close transitively through the engine's distributed WCC
+    (min-label component id = cluster id), exactly like the MinHash
+    ``dedup_clusters`` path — SemDeDup is its embedding-space sibling.
+    ``centroid_sim`` is rounded to 9 (and pair sims to 6) so survivor
+    selection replays exactly in SQL despite sum-order drift.
+    """
+    from linkgraph.graph import LinkGraph
+    from linkgraph.operators.components import weakly_connected_components
+
+    dim = len(df.select(vec_col).first()[0])
+    if centroids is None:
+        centroids = seeded_centroids(dim, n_cells, seed)
+    sims = _cell_sims_col(vec_col, centroids)
+    best = F.array_max(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda i: F.struct(
+                F.element_at(sims, i + 1).alias("s"), (-i).alias("negc")
+            ),
+        )
+    )
+    v = with_norm(df, vec_col).select(
+        F.col(id_col).cast("long").alias("id"),
+        _as_double(vec_col).alias("v"),
+        F.col("_norm").alias("n"),
+        (-best["negc"]).cast("int").alias("cell"),
+        F.round(best["s"] / F.col("_norm"), 9).alias("csim"),
+    )
+    a = v.select(
+        F.col("id").alias("a"), F.col("v").alias("va"), F.col("n").alias("na"), "cell"
+    )
+    b = v.select(
+        F.col("id").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb"), "cell"
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda ac, x: ac + x
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(dot / (F.col("na") * F.col("nb")), 6).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1.0).alias("weight")
+    )
+    wcc = weakly_connected_components(LinkGraph(edges, directed=False)).state
+    labeled = v.select("id", "cell", "csim").join(
+        wcc.withColumnRenamed("id", "_wid"), v.id == F.col("_wid"), "left"
+    ).select(
+        "id", "cell", "csim", F.coalesce("component", "id").alias("cluster")
+    )
+    survivors = labeled.groupBy("cluster").agg(
+        F.expr("min_by(id, struct(csim, id))").alias("_keep_id")
+    )
+    return (
+        labeled.join(survivors, "cluster")
+        .select(
+            "id",
+            "cell",
+            "cluster",
+            F.col("csim").alias("centroid_sim"),
+            (F.col("id") == F.col("_keep_id")).alias("keep"),
+        )
+    )
+
+
 def topk_recall(
     approx: DataFrame,
     exact: DataFrame,

@@ -182,3 +182,104 @@ def test_topk_recall(spark):
            for r in topk_recall(approx, exact).collect()}
     assert got[1] == (3, 2, 2 / 3)
     assert got[2] == (2, 0, 0.0)
+
+
+# --- SemDeDup (Abbas et al. 2023) --------------------------------------------
+
+import numpy as np
+import pytest
+
+from linkgraph.operators.similarity import semantic_dedup, seeded_centroids
+
+
+def _semdedup_replica(vecs, centroids, threshold):
+    ids = sorted(vecs)
+    cells, csims = {}, {}
+    for i in ids:
+        x = np.asarray(vecs[i], dtype=float)
+        dots = centroids @ x
+        c = int(np.argmax(dots))  # np.argmax ties → lowest index
+        cells[i] = c
+        csims[i] = round(float(dots[c] / np.linalg.norm(x)), 9)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in ids:
+        for j in ids:
+            if i < j and cells[i] == cells[j]:
+                a, b = np.asarray(vecs[i], float), np.asarray(vecs[j], float)
+                sim = round(
+                    float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6
+                )
+                if sim >= threshold:
+                    parent[find(i)] = find(j)
+    clusters = {}
+    for i in ids:
+        clusters.setdefault(find(i), []).append(i)
+    out = {}
+    for mem in clusters.values():
+        cl = min(mem)
+        keep = min(mem, key=lambda v: (csims[v], v))
+        for v in mem:
+            out[v] = (cells[v], cl, csims[v], v == keep)
+    return out
+
+
+def test_semantic_dedup_matches_replica(spark):
+    rng = np.random.RandomState(3)
+    dim = 16
+    base = rng.normal(size=(6, dim))
+    vecs = {}
+    vid = 0
+    for b in base:
+        # a family of near-duplicates around each base vector...
+        for _ in range(3):
+            vecs[vid] = (b + 0.01 * rng.normal(size=dim)).tolist()
+            vid += 1
+    for _ in range(8):  # ...plus isolated singletons
+        vecs[vid] = rng.normal(size=dim).tolist()
+        vid += 1
+    cents = seeded_centroids(dim, n_cells=4, seed=7)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r.id: (r.cell, r.cluster, r.centroid_sim, r.keep)
+        for r in semantic_dedup(
+            df, threshold=0.98, n_cells=4, seed=7
+        ).collect()
+    }
+    want = _semdedup_replica(vecs, cents, 0.98)
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0], ("cell", i)
+        assert got[i][1] == want[i][1], ("cluster", i)
+        assert got[i][2] == pytest.approx(want[i][2], abs=2e-9), ("csim", i)
+        assert got[i][3] == want[i][3], ("keep", i)
+    # dup families collapse: exactly one keeper per cluster
+    keeps = {}
+    for i, (_, cl, _, k) in got.items():
+        keeps.setdefault(cl, 0)
+        keeps[cl] += int(k)
+    assert all(v == 1 for v in keeps.values())
+
+
+def test_semantic_dedup_cross_cell_pairs_never_merge(spark):
+    # two identical vectors forced into different cells never pair:
+    # the paper's within-cluster comparison contract
+    rng = np.random.RandomState(5)
+    dim = 8
+    cents = seeded_centroids(dim, n_cells=2, seed=7)
+    a = cents[0] * 10.0
+    b = cents[1] * 10.0
+    df = spark.createDataFrame(
+        [(0, a.tolist()), (1, b.tolist())], "vec_id long, embedding array<double>"
+    )
+    rows = semantic_dedup(df, threshold=-1.0, n_cells=2, seed=7).collect()
+    assert {r.cluster for r in rows} == {0, 1}
+    assert all(r.keep for r in rows)
