@@ -2372,6 +2372,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lm_perplexity_docs"] = _lm_ppl
 
+    # --- DSIR (Xie et al. 2023): hashed-ngram importance weights of
+    # every corpus doc against the trusted %5 slice, and the
+    # Gumbel-top-k resample — the data-selection step between quality
+    # scoring and mixing
+    def _dsir_weights_docs(s, d):
+        from linkgraph.operators.sampling import dsir_weights
+
+        tgt = _read(s, d, "documents").filter(F.col("doc_id") % 5 == 0)
+        return dsir_weights(_docs(s, d), tgt, n_buckets=4096, add_k=0.5)
+
+    q["dsir_weights_docs"] = _dsir_weights_docs
+
+    def _dsir_select_docs(s, d):
+        from linkgraph.operators.sampling import dsir_select
+
+        tgt = _read(s, d, "documents").filter(F.col("doc_id") % 5 == 0)
+        return dsir_select(
+            _docs(s, d), tgt, k=25, seed=7, n_buckets=4096, add_k=0.5
+        )
+
+    q["dsir_select_docs"] = _dsir_select_docs
+
     # --- BPE tokenizer training, round-1 slice (Sennrich et al.
     # 2016): corpus → (word, count) vocabulary → adjacent character-
     # pair statistics whose argmax is the first merge rule. The full
@@ -3607,6 +3629,64 @@ meet AS (
   GROUP BY 1, 2, 3)
 SELECT u, v, sum({decay_case}) / {samples}.0 AS score
 FROM meet GROUP BY 1, 2"""
+    )
+
+
+def _dsir_sql(
+    n_buckets: int = 4096, add_k: float = 0.5, k: int | None = None, seed: int = 7
+) -> str:
+    """DSIR oracle: hashed unigram+bigram LMs on the %5 target slice
+    vs the raw corpus, per-doc log importance weight, optional
+    Gumbel-top-k (operators/sampling.py dsir_weights/dsir_select)."""
+    hb = f"{_md5int('g')} % {n_buckets}"
+    base = f"""
+WITH docs AS ({DOCS}),
+dtok AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM docs),
+ttok AS MATERIALIZED (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents WHERE doc_id % 5 = 0),
+dgr AS MATERIALIZED (
+  SELECT doc_id, {hb} AS h, count(*) AS c FROM (
+    SELECT doc_id, unnest(t) AS g FROM dtok
+    UNION ALL
+    SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+    FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+          FROM dtok)
+  ) GROUP BY 1, 2),
+tlm AS MATERIALIZED (
+  SELECT {hb} AS h, count(*) AS tc FROM (
+    SELECT unnest(t) AS g FROM ttok
+    UNION ALL
+    SELECT t[i] || ' ' || t[i + 1] AS g
+    FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM ttok)
+  ) GROUP BY 1),
+rlm AS MATERIALIZED (SELECT h, sum(c) AS rc FROM dgr GROUP BY 1),
+tt AS (SELECT CAST(sum(tc) AS DOUBLE) AS tt FROM tlm),
+rt AS (SELECT CAST(sum(rc) AS DOUBLE) AS rt FROM rlm),
+w AS MATERIALIZED (
+  SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_feats,
+         round(sum(d.c * (
+             ln((coalesce(t.tc, 0) + {add_k}) / (tt.tt + {add_k} * {n_buckets}))
+           - ln((coalesce(r.rc, 0) + {add_k}) / (rt.rt + {add_k} * {n_buckets}))
+         )), 9) AS logw
+  FROM dgr d LEFT JOIN tlm t ON d.h = t.h LEFT JOIN rlm r ON d.h = r.h, tt, rt
+  GROUP BY 1)"""
+    if k is None:
+        return base + "\nSELECT doc_id, n_feats, logw FROM w"
+    m = 9007199254740992
+    uh = _md5int(f"CAST(doc_id AS VARCHAR) || ':{seed}'")
+    return (
+        base
+        + f""",
+sel AS (SELECT doc_id, logw,
+               round(logw - ln(-ln((({uh} % {m}) + 0.5) / {m})), 6) AS key
+        FROM w),
+top AS (SELECT doc_id, logw, key,
+               CAST(row_number() OVER (ORDER BY key DESC, doc_id ASC) AS BIGINT)
+                 AS rank
+        FROM sel)
+SELECT doc_id, logw, key, rank FROM top WHERE rank <= {k}"""
     )
 
 
@@ -5321,6 +5401,8 @@ SELECT p.src, p.dst, CAST(est.est_distance AS BIGINT) AS est_distance
 FROM pairs p LEFT JOIN est ON p.src = est.src AND p.dst = est.dst
 """,
         "lm_perplexity_docs": LM_PPL_SQL,
+        "dsir_weights_docs": _dsir_sql(),
+        "dsir_select_docs": _dsir_sql(k=25, seed=7),
         # BPE round-1 pair statistics: end-of-word marker fused onto
         # the last character, overlapping adjacent pairs, count-then-
         # lexicographic total order

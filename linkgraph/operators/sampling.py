@@ -214,3 +214,138 @@ def weighted_sample(
         .orderBy(F.desc("wkey"), F.asc(id_col))
         .limit(int(k))
     )
+
+
+def _hashed_gram_features(
+    df: DataFrame, id_col: str | None, text_col: str, n_buckets: int
+) -> DataFrame:
+    """Hashed unigram+bigram bag-of-ngrams counts: (id?, h, c). The
+    DSIR feature space — grams hash into ``n_buckets`` via the
+    portable md5 hash, so both LM fitting and doc scoring run over
+    bounded-width tables whatever the vocabulary."""
+    from linkgraph.functions.text import tokens_col
+
+    keep = [F.col(id_col).cast("long").alias("id")] if id_col else []
+    t = df.select(*keep, tokens_col(F.col(text_col)).alias("t"))
+    grams = t.select(
+        *([F.col("id")] if id_col else []),
+        F.explode(
+            F.concat(
+                F.col("t"),
+                F.expr(
+                    "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+                    " (x, i) -> x || ' ' || t[i + 1])"
+                ),
+            )
+        ).alias("g"),
+    )
+    h = (md5int_col(F.col("g")) % n_buckets).alias("h")
+    if id_col:
+        return grams.select("id", h).groupBy("id", "h").agg(
+            F.count("*").alias("c")
+        )
+    return grams.select(h).groupBy("h").agg(F.count("*").alias("c"))
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023 — "Data
+    Selection for Language Models via Importance Resampling", public
+    paper): log w(doc) = Σ_features c_doc(h)·[ln p_target(h) −
+    ln p_raw(h)] under add-k-smoothed hashed-ngram unigram LMs fit on
+    the target (trusted, in-domain) and raw corpora. High log w =
+    the document looks like the target distribution. Returns
+    DataFrame(doc_id, n_feats, logw) — logw rounded to 9 so the score
+    replays in SQL despite sum-order drift.
+
+    Plan: tokenize + in-row bigram zip per side (no positional
+    self-join), three map-side-combined count aggs (doc features,
+    target LM, raw LM), then two hash joins keyed on the uniform
+    hashed-feature id — LM tables are n_buckets-wide, so AQE
+    broadcasts them when small and shuffles otherwise. Zero Python.
+    """
+    if add_k <= 0:
+        raise ValueError(f"add_k must be positive, got {add_k}")
+    doc_f = _hashed_gram_features(raw, id_col, text_col, n_buckets)
+    t_lm = _hashed_gram_features(target, None, text_col, n_buckets).withColumnRenamed(
+        "c", "tc"
+    )
+    r_lm = _hashed_gram_features(raw, None, text_col, n_buckets).withColumnRenamed(
+        "c", "rc"
+    )
+    t_tot = t_lm.agg(F.sum("tc").cast("double").alias("tt"))
+    r_tot = r_lm.agg(F.sum("rc").cast("double").alias("rt"))
+    k = float(add_k)
+    lam = (
+        F.log(
+            (F.coalesce("tc", F.lit(0)) + F.lit(k))
+            / (F.col("tt") + F.lit(k * n_buckets))
+        )
+        - F.log(
+            (F.coalesce("rc", F.lit(0)) + F.lit(k))
+            / (F.col("rt") + F.lit(k * n_buckets))
+        )
+    )
+    return (
+        doc_f.join(t_lm, "h", "left")
+        .join(r_lm, "h", "left")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.round(F.sum(F.col("c") * lam), 9).alias("logw"),
+        )
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """DSIR selection: sample ``k`` documents without replacement
+    with inclusion odds ∝ importance weight, via the Gumbel-top-k
+    trick the paper uses — key = log w + Gumbel(0,1), take the k
+    largest. The Gumbel noise is a pure (id, seed) hash (same
+    portable-hash discipline as stratified_sample), so the selected
+    set is identical at any parallelism. Returns
+    DataFrame(doc_id, logw, key, rank), rank 1..k by descending key.
+
+    The top-k is a TakeOrdered (never a global sort) — right for k up
+    to ~10^7; for resampling a constant FRACTION of a 10^12-doc
+    corpus, filter on a key threshold from percentile_approx instead
+    (exact DSIR semantics, approximate cut point).
+    """
+    w = dsir_weights(raw, target, id_col, text_col, n_buckets, add_k)
+    m = 9007199254740992  # 2^53: exact-double modulus for u ∈ (0,1)
+    u = (
+        md5int_col(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))) % m
+        + 0.5
+    ) / m
+    key = F.round(F.col("logw") - F.log(-F.log(u)), 6)
+    top = (
+        w.select(id_col, "logw", key.alias("key"))
+        .orderBy(F.desc("key"), F.asc(id_col))
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    # rank only the k selected rows — a bounded single-task window
+    return top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("key"), F.asc(id_col))
+        ).cast("long"),
+    )

@@ -171,3 +171,103 @@ def test_weighted_sample_zero_weights_lose(spark):
     df = spark.createDataFrame(rows, "doc_id long, w double")
     got = weighted_sample(df, "doc_id", "w", k=50, seed=0).collect()
     assert all(r.doc_id >= 50 for r in got)
+
+
+# --- DSIR importance resampling (Xie et al. 2023) -----------------------------
+
+import hashlib
+import math
+import re
+
+import pytest
+
+from linkgraph.operators.sampling import dsir_select, dsir_weights
+
+
+def _h(s):
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _feats(text, n_buckets):
+    toks = re.findall(r"[a-z0-9]+", text.lower())
+    grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    out = {}
+    for g in grams:
+        h = _h(g) % n_buckets
+        out[h] = out.get(h, 0) + 1
+    return out
+
+
+def _dsir_replica(raw, target, n_buckets, add_k):
+    t_lm, r_lm = {}, {}
+    for _, txt in target:
+        for h, c in _feats(txt, n_buckets).items():
+            t_lm[h] = t_lm.get(h, 0) + c
+    for _, txt in raw:
+        for h, c in _feats(txt, n_buckets).items():
+            r_lm[h] = r_lm.get(h, 0) + c
+    tt, rt = sum(t_lm.values()), sum(r_lm.values())
+    out = {}
+    for did, txt in raw:
+        f = _feats(txt, n_buckets)
+        lw = sum(
+            c
+            * (
+                math.log((t_lm.get(h, 0) + add_k) / (tt + add_k * n_buckets))
+                - math.log((r_lm.get(h, 0) + add_k) / (rt + add_k * n_buckets))
+            )
+            for h, c in f.items()
+        )
+        out[did] = (sum(f.values()), round(lw, 9))
+    return out
+
+
+RAW_DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "stock prices rallied as markets opened higher today"),
+    (3, "the dog chased the cat around the garden"),
+    (4, "buy cheap pills online casino bonus click here now"),
+    (5, "a recipe for bread uses flour water salt and yeast"),
+    (6, "markets fell after the bank raised rates again"),
+]
+TARGET_DOCS = [
+    (101, "markets rallied as investors cheered the bank decision"),
+    (102, "stock prices and interest rates moved higher today"),
+    (103, "the bank raised rates and markets reacted"),
+]
+
+
+def test_dsir_weights_match_replica(spark):
+    raw = spark.createDataFrame(RAW_DOCS, "doc_id long, text string")
+    tgt = spark.createDataFrame(TARGET_DOCS, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_feats, r.logw)
+        for r in dsir_weights(raw, tgt, n_buckets=512, add_k=0.5).collect()
+    }
+    want = _dsir_replica(RAW_DOCS, TARGET_DOCS, 512, 0.5)
+    assert set(got) == set(want)
+    for did in want:
+        assert got[did][0] == want[did][0]
+        assert got[did][1] == pytest.approx(want[did][1], abs=2e-9)
+    # in-domain docs outscore the spam doc
+    assert got[2][1] > got[4][1] and got[6][1] > got[4][1]
+
+
+def test_dsir_select_gumbel_topk_deterministic(spark):
+    raw = spark.createDataFrame(RAW_DOCS, "doc_id long, text string")
+    tgt = spark.createDataFrame(TARGET_DOCS, "doc_id long, text string")
+    a = [(r.doc_id, r.rank) for r in dsir_select(raw, tgt, k=3, seed=7, n_buckets=512).collect()]
+    b = [(r.doc_id, r.rank) for r in dsir_select(raw, tgt, k=3, seed=7, n_buckets=512).collect()]
+    assert sorted(a) == sorted(b) and len(a) == 3
+    # replica of the gumbel key on the replica weights
+    want = _dsir_replica(RAW_DOCS, TARGET_DOCS, 512, 0.5)
+    m = 9007199254740992
+    keys = {}
+    for did, (_, lw) in want.items():
+        u = (_h(f"{did}:7") % m + 0.5) / m
+        keys[did] = round(lw - math.log(-math.log(u)), 6)
+    expect = sorted(keys, key=lambda d: (-keys[d], d))[:3]
+    assert sorted(d for d, _ in a) == sorted(expect)
+    # different seed may pick a different set, same cardinality
+    c = dsir_select(raw, tgt, k=3, seed=8, n_buckets=512).collect()
+    assert len(c) == 3
