@@ -1764,6 +1764,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return two_edge_components(_clique_graph(s, d))
 
     q["two_edge_components_cliques"] = _twoecc_cliques
+
+    # --- articulation points / biconnected components (Tarjan–Vishkin
+    # auxiliary-graph connectivity over the BFS forest's tree edges):
+    # closed form on the clique bed — the BFS root of the customer
+    # component is the min customer, so its nation's parent edge is a
+    # singleton block, the rest of the nation clique is one block
+    # labeled by its min remaining nation, every other leaf edge is
+    # its own block, and the cut vertices are exactly the nations
+    # (each separates its customer leaves from the clique).
+    def _artpoints_cliques(s, d):
+        from linkgraph.operators.bridges import articulation_points
+
+        return articulation_points(_clique_graph(s, d))
+
+    q["articulation_points_cliques"] = _artpoints_cliques
+
+    def _bcc_cliques(s, d):
+        from linkgraph.operators.bridges import biconnected_components
+
+        return biconnected_components(_clique_graph(s, d))
+
+    q["biconnected_components_cliques"] = _bcc_cliques
     q["k_core4_cliques"] = lambda s, d: k_core(_clique_graph(s, d), 4).edges
     # 4-clique census on the clique bed: the oriented-DAG enumeration
     # runs the full distributed 3-join; the oracle enumerates quads
@@ -5025,6 +5047,40 @@ FROM nation
 UNION ALL
 SELECT CAST(r_regionkey + 4000000 AS BIGINT), CAST(4000000 AS BIGINT)
 FROM region""",
+        "articulation_points_cliques": """
+SELECT DISTINCT CAST(c_nationkey + 3000000 AS BIGINT) AS id FROM customer
+""",
+        # block labels are the auxiliary WCC's min child-endpoint id:
+        # nstar = the nation of the min customer (the BFS root's
+        # parent edge → its own singleton block), the nation clique
+        # takes the min OTHER nation, the region clique the min
+        # non-root region, every other customer edge itself
+        "biconnected_components_cliques": """
+WITH cmin AS (SELECT min(c_custkey) AS ck FROM customer),
+nstar AS (SELECT CAST(c_nationkey + 3000000 AS BIGINT) AS id
+          FROM customer WHERE c_custkey = (SELECT ck FROM cmin)),
+natblock AS (SELECT CAST(3000000 + min(n_nationkey) AS BIGINT) AS b
+             FROM nation
+             WHERE CAST(n_nationkey + 3000000 AS BIGINT) <> (SELECT id FROM nstar)),
+regblock AS (SELECT CAST(4000000 + min(r_regionkey) AS BIGINT) AS b
+             FROM region
+             WHERE r_regionkey <> (SELECT min(r_regionkey) FROM region))
+SELECT CAST(c_custkey AS BIGINT) AS src,
+       CAST(c_nationkey + 3000000 AS BIGINT) AS dst,
+       CAST(c_custkey AS BIGINT) AS block
+FROM customer WHERE c_custkey <> (SELECT ck FROM cmin)
+UNION ALL
+SELECT CAST(ck AS BIGINT), (SELECT id FROM nstar), (SELECT id FROM nstar)
+FROM cmin
+UNION ALL
+SELECT CAST(a.n_nationkey + 3000000 AS BIGINT),
+       CAST(b.n_nationkey + 3000000 AS BIGINT), (SELECT b FROM natblock)
+FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+UNION ALL
+SELECT CAST(a.r_regionkey + 4000000 AS BIGINT),
+       CAST(b.r_regionkey + 4000000 AS BIGINT), (SELECT b FROM regblock)
+FROM region a JOIN region b ON a.r_regionkey < b.r_regionkey
+""",
         "core_numbers_cliques": """
 SELECT CAST(c_custkey AS BIGINT) AS id, CAST(1 AS BIGINT) AS core FROM customer
 UNION ALL

@@ -221,26 +221,12 @@ def _forest_intervals(tree: DataFrame) -> DataFrame:
     return out
 
 
-def bridges(graph: LinkGraph, max_iter: int = 10_000) -> DataFrame:
-    """DataFrame(src, dst) — every bridge of the simple undirected
-    view, canonical src < dst. Matches ``networkx.bridges``."""
-    tree = spanning_forest(graph, max_iter=max_iter)
-    iv = _forest_intervals(tree).persist()
-    iv.count()
-    tree_edges = iv.filter("parent IS NOT NULL").select(
-        F.least("parent", "id").alias("src"), F.greatest("parent", "id").alias("dst")
-    )
-    und = (
-        graph.edges.select(
-            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
-        )
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    nontree = und.join(tree_edges, ["src", "dst"], "left_anti")
-    nontree_sym = nontree.unionAll(
-        nontree.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+def _subtree_lowhigh(iv: DataFrame, nontree_sym: DataFrame) -> DataFrame:
+    """(id, parent, depth, tin, tout) + symmetrized non-tree edges →
+    + (low, high): per vertex, the min/max preorder time reachable
+    from its SUBTREE through a non-tree edge (own tin included),
+    folded bottom-up — one filtered join + map-side-combined agg per
+    depth level, lineage hard-cut every 3rd level."""
     nbr = (
         nontree_sym.join(
             iv.select(F.col("id").alias("_n"), F.col("tin").alias("_ntin")),
@@ -277,6 +263,30 @@ def bridges(graph: LinkGraph, max_iter: int = 10_000) -> DataFrame:
         )
         if d % 3 == 0 or d == 1:
             state = chain.cut(state)
+    return state
+
+
+def bridges(graph: LinkGraph, max_iter: int = 10_000) -> DataFrame:
+    """DataFrame(src, dst) — every bridge of the simple undirected
+    view, canonical src < dst. Matches ``networkx.bridges``."""
+    tree = spanning_forest(graph, max_iter=max_iter)
+    iv = _forest_intervals(tree).persist()
+    iv.count()
+    tree_edges = iv.filter("parent IS NOT NULL").select(
+        F.least("parent", "id").alias("src"), F.greatest("parent", "id").alias("dst")
+    )
+    und = (
+        graph.edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nontree = und.join(tree_edges, ["src", "dst"], "left_anti")
+    nontree_sym = nontree.unionAll(
+        nontree.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    state = _subtree_lowhigh(iv, nontree_sym)
     out = (
         state.filter("parent IS NOT NULL")
         .filter((F.col("low") >= F.col("tin")) & (F.col("high") <= F.col("tout")))
@@ -312,3 +322,166 @@ def two_edge_components(graph: LinkGraph, max_iter: int = 10_000) -> DataFrame:
     verts = graph.vertices.select("id")
     g2 = LinkGraph(rest, verts, directed=False)
     return weakly_connected_components(g2, max_iter=max_iter).state
+
+
+def _tree_blocks(graph: LinkGraph, max_iter: int) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared Tarjan–Vishkin core: returns ``(iv, blocks, nontree)``
+    where ``iv`` is the PERSISTED interval table (caller unpersists),
+    ``blocks`` is DataFrame(id, component) assigning every non-root
+    vertex's tree edge e_v = (parent(v), v) its biconnected
+    component, and ``nontree`` is the canonical non-tree edge set.
+
+    Tarjan & Vishkin (SIAM J. Comput. 1985) reduce biconnectivity to
+    connectivity on an auxiliary graph over the spanning forest's
+    tree edges; their two rules need only subtree intervals and
+    low/high, never DFS edge classification, so the engine's rooted
+    BFS forest qualifies:
+
+    - rule (i): a non-tree edge {u, w} with NEITHER endpoint an
+      ancestor of the other joins e_u — e_w (its fundamental cycle
+      contains both; the rest of the cycle's tree path is picked up
+      by rule (ii) chains).
+    - rule (ii): tree edge e_w joins its parent edge e_v (v =
+      parent(w), v non-root) iff subtree(w) has a non-tree edge
+      leaving subtree(v) — i.e. low(w) < tin(v) or high(w) > tout(v).
+      A non-tree edge from subtree(w) to v ITSELF lands exactly on
+      tin(v) and correctly does NOT join (its cycle stops at v).
+
+    Components of the auxiliary graph = biconnected components; the
+    auxiliary WCC runs with pointer jumping because a length-n cycle
+    collapses to a length-n auxiliary path (min-label alone would
+    need n rounds where jumping needs O(log n))."""
+    tree = spanning_forest(graph, max_iter=max_iter)
+    iv = _forest_intervals(tree).persist()
+    iv.count()
+    tree_edges = iv.filter("parent IS NOT NULL").select(
+        F.least("parent", "id").alias("src"), F.greatest("parent", "id").alias("dst")
+    )
+    und = (
+        graph.edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nontree = und.join(tree_edges, ["src", "dst"], "left_anti")
+    nontree_sym = nontree.unionAll(
+        nontree.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    state = _subtree_lowhigh(iv, nontree_sym)
+    piv = iv.filter("parent IS NOT NULL").select(
+        F.col("id").alias("_v"),
+        F.col("tin").alias("_vtin"),
+        F.col("tout").alias("_vtout"),
+    )
+    rule2 = (
+        state.filter(F.col("depth") >= 2)
+        .join(piv, state.parent == F.col("_v"))
+        .filter((F.col("low") < F.col("_vtin")) | (F.col("high") > F.col("_vtout")))
+        .select(F.col("id").alias("src"), F.col("_v").alias("dst"))
+    )
+    tu = iv.select(
+        F.col("id").alias("src"), F.col("tin").alias("_utin"), F.col("tout").alias("_utout")
+    )
+    tw = iv.select(
+        F.col("id").alias("dst"), F.col("tin").alias("_wtin"), F.col("tout").alias("_wtout")
+    )
+    # a root is the ancestor of its whole component, so rule (i)'s
+    # unrelatedness filter never admits a root endpoint — every
+    # auxiliary vertex below is a genuine tree-edge key
+    rule1 = (
+        nontree.join(tu, "src")
+        .join(tw, "dst")
+        .filter(
+            ~((F.col("_wtin") >= F.col("_utin")) & (F.col("_wtin") <= F.col("_utout")))
+        )
+        .filter(
+            ~((F.col("_utin") >= F.col("_wtin")) & (F.col("_utin") <= F.col("_wtout")))
+        )
+        .select("src", "dst")
+    )
+    aux_verts = iv.filter("parent IS NOT NULL").select("id")
+    gaux = LinkGraph(
+        rule2.unionByName(rule1).withColumn("weight", F.lit(1.0)),
+        aux_verts,
+        directed=False,
+    )
+    blocks = weakly_connected_components(gaux, max_iter=max_iter, jump=True).state
+    return iv, blocks, nontree
+
+
+def biconnected_components(graph: LinkGraph, max_iter: int = 10_000) -> DataFrame:
+    """DataFrame(src, dst, block) — every edge of the simple
+    undirected view (canonical src < dst) labeled with its biconnected
+    component. Block ids are deterministic: the min vertex id among
+    the block's tree-edge child endpoints (the auxiliary WCC's
+    min-label). Edge partition matches
+    ``networkx.biconnected_component_edges``; a bridge is exactly a
+    single-edge block, so this strictly refines ``bridges``."""
+    iv, blocks, nontree = _tree_blocks(graph, max_iter=max_iter)
+    tb = blocks.select(F.col("id").alias("_b"), F.col("component").alias("block"))
+    out_tree = (
+        iv.filter("parent IS NOT NULL")
+        .join(tb, iv.id == F.col("_b"))
+        .select(
+            F.least("parent", "id").alias("src"),
+            F.greatest("parent", "id").alias("dst"),
+            "block",
+        )
+    )
+    # a non-tree edge takes its deeper (larger-tin) endpoint's block:
+    # for an ancestor edge that is the descendant end (the cycle's
+    # tree edges all chain to it); for a cross edge rule (i) made the
+    # two ends agree, so either would do
+    tins = iv.select(F.col("id").alias("_t"), F.col("tin").alias("_tin"))
+    deep = (
+        nontree.join(tins.withColumnRenamed("_t", "src").withColumnRenamed("_tin", "_utin"), "src")
+        .join(tins.withColumnRenamed("_t", "dst").withColumnRenamed("_tin", "_wtin"), "dst")
+        .select(
+            "src",
+            "dst",
+            F.when(F.col("_wtin") > F.col("_utin"), F.col("dst"))
+            .otherwise(F.col("src"))
+            .alias("_k"),
+        )
+    )
+    out_non = deep.join(tb, deep._k == F.col("_b")).select("src", "dst", "block")
+    from linkgraph.plans.iterate import truncate_lineage
+
+    result = truncate_lineage(out_tree.unionByName(out_non))
+    iv.unpersist()
+    return result
+
+
+def articulation_points(graph: LinkGraph, max_iter: int = 10_000) -> DataFrame:
+    """DataFrame(id) — every cut vertex of the simple undirected view
+    (removal disconnects its component). Matches
+    ``networkx.articulation_points``. Readout over the tree-edge
+    blocks: a non-root v is a cut vertex iff some child edge lies in
+    a different block than v's own parent edge; a root iff its child
+    edges span ≥ 2 blocks (leaves and isolated vertices have no child
+    edges and never qualify)."""
+    iv, blocks, _ = _tree_blocks(graph, max_iter=max_iter)
+    kb = (
+        iv.filter("parent IS NOT NULL")
+        .select("id", "parent")
+        .join(blocks, "id")
+        .select("parent", F.col("component").alias("cb"))
+    )
+    agg = kb.groupBy("parent").agg(
+        F.countDistinct("cb").alias("nb"), F.min("cb").alias("one_cb")
+    )
+    pb = blocks.select(F.col("id").alias("parent"), F.col("component").alias("pblock"))
+    out = (
+        agg.join(pb, "parent", "left")
+        .filter(
+            (F.col("nb") >= 2)
+            | (F.col("pblock").isNotNull() & (F.col("one_cb") != F.col("pblock")))
+        )
+        .select(F.col("parent").alias("id"))
+    )
+    from linkgraph.plans.iterate import truncate_lineage
+
+    result = truncate_lineage(out)
+    iv.unpersist()
+    return result
