@@ -2394,6 +2394,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lm_perplexity_docs"] = _lm_ppl
 
+    # --- interpolated Kneser-Ney trigram perplexity (the KenLM-shaped
+    # smoothing CCNet actually ships: absolute discounting on top,
+    # continuation type-counts below). Same train slice and rounding
+    # protocol as the bigram entry.
+    def _kn_ppl(s, d):
+        from linkgraph.operators.terms import kn_trigram_perplexity
+
+        train = _read(s, d, "documents").filter(F.col("doc_id") % 5 == 0)
+        res = kn_trigram_perplexity(_docs(s, d), train, discount=0.75, add_k=0.5)
+        a9 = F.round("avg_logprob", 9)
+        return res.select(
+            "doc_id", "n_trigrams", a9.alias("avg_logprob"),
+            F.round(F.exp(-a9), 4).alias("perplexity"),
+        )
+
+    q["kn_perplexity_docs"] = _kn_ppl
+
     # --- DSIR (Xie et al. 2023): hashed-ngram importance weights of
     # every corpus doc against the trusted %5 slice, and the
     # Gumbel-top-k resample — the data-selection step between quality
@@ -3740,6 +3757,66 @@ agg AS (
          round(avg(lp), 9) AS avg_logprob
   FROM scored GROUP BY 1)
 SELECT dd.doc_id, a.n_bigrams, a.avg_logprob,
+       round(exp(-a.avg_logprob), 4) AS perplexity
+FROM (SELECT DISTINCT doc_id FROM docs) dd
+LEFT JOIN agg a ON a.doc_id = dd.doc_id
+"""
+
+# interpolated Kneser-Ney trigram replay (operators/terms.py
+# kn_trigram_perplexity): trigram counts + type/continuation counts
+# from the train slice, the three-level interpolation inlined as
+# nested computed columns, identical operand order so the round-9
+# avg_logprob lands bit-stable on both engines
+KN_PPL_SQL = f"""
+WITH docs AS ({DOCS}),
+dtok AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM docs),
+ttok AS MATERIALIZED (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents WHERE doc_id % 5 = 0),
+tri AS MATERIALIZED (
+  SELECT t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3, count(*) AS c3
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 2)) AS i FROM ttok)
+  GROUP BY 1, 2, 3),
+hist AS MATERIALIZED (
+  SELECT w1, w2, sum(c3) AS h2, count(*) AS a3 FROM tri GROUP BY 1, 2),
+tc AS MATERIALIZED (SELECT w2, w3, count(*) AS t2 FROM tri GROUP BY 1, 2),
+lvl2 AS MATERIALIZED (
+  SELECT w2, sum(t2) AS n2, count(*) AS n3 FROM tc GROUP BY 1),
+uc AS MATERIALIZED (SELECT w3, count(*) AS t1 FROM tc GROUP BY 1),
+sc AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM tc) AS tt,
+              (SELECT CAST(count(DISTINCT w) AS DOUBLE)
+               FROM (SELECT unnest(t) AS w FROM ttok)) AS v),
+dtri AS MATERIALIZED (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM dtok)),
+joined AS (
+  SELECT d.doc_id, c.c3, h.h2, h.a3, b.t2 AS tb, l.n2, l.n3,
+         (coalesce(u.t1, 0) + 0.5)
+           / ((SELECT tt FROM sc) + 0.5 * ((SELECT v FROM sc) + 1)) AS p1
+  FROM dtri d
+  LEFT JOIN tri c ON c.w1 = d.w1 AND c.w2 = d.w2 AND c.w3 = d.w3
+  LEFT JOIN hist h ON h.w1 = d.w1 AND h.w2 = d.w2
+  LEFT JOIN tc b ON b.w2 = d.w2 AND b.w3 = d.w3
+  LEFT JOIN lvl2 l ON l.w2 = d.w2
+  LEFT JOIN uc u ON u.w3 = d.w3),
+lvl AS (
+  SELECT doc_id, c3, h2, a3,
+         CASE WHEN n2 IS NULL THEN p1
+              ELSE (greatest(coalesce(tb, 0) - 0.75, 0) + 0.75 * n3 * p1) / n2
+         END AS p2
+  FROM joined),
+scored AS (
+  SELECT doc_id,
+         ln(CASE WHEN h2 IS NULL THEN p2
+                 ELSE (greatest(coalesce(c3, 0) - 0.75, 0) + 0.75 * a3 * p2) / h2
+            END) AS lp
+  FROM lvl),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         round(avg(lp), 9) AS avg_logprob
+  FROM scored GROUP BY 1)
+SELECT dd.doc_id, a.n_trigrams, a.avg_logprob,
        round(exp(-a.avg_logprob), 4) AS perplexity
 FROM (SELECT DISTINCT doc_id FROM docs) dd
 LEFT JOIN agg a ON a.doc_id = dd.doc_id
@@ -5457,6 +5534,7 @@ SELECT p.src, p.dst, CAST(est.est_distance AS BIGINT) AS est_distance
 FROM pairs p LEFT JOIN est ON p.src = est.src AND p.dst = est.dst
 """,
         "lm_perplexity_docs": LM_PPL_SQL,
+        "kn_perplexity_docs": KN_PPL_SQL,
         "dsir_weights_docs": _dsir_sql(),
         "dsir_select_docs": _dsir_sql(k=25, seed=7),
         # BPE round-1 pair statistics: end-of-word marker fused onto

@@ -361,3 +361,120 @@ def lm_perplexity(
             F.exp(-F.col("avg_logprob")).alias("perplexity"),
         )
     )
+
+
+def kn_trigram_perplexity(
+    docs: DataFrame,
+    train: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """DataFrame(id_col, n_trigrams, avg_logprob, perplexity): each
+    document's perplexity under an interpolated Kneser-Ney TRIGRAM
+    model fit on ``train`` — the KenLM-shaped upgrade of
+    ``lm_perplexity``'s add-k bigram (Kneser & Ney, ICASSP 1995; Chen
+    & Goodman, CSL 1999): absolute discounting at the top order, and
+    CONTINUATION counts (type counts, "how many distinct contexts
+    precede this gram") at the backoff orders, so frequent-but-
+    context-narrow words ("Francisco") stop inflating the backoff.
+
+    With D = ``discount``, counts from ``train``'s within-document
+    trigrams (c3, h2 = Σ_w3 c3, a3 = distinct w3 after (w1,w2)),
+    trigram-TYPE continuation counts (t2(w2,w3) = distinct w1,
+    n2(w2) = Σ_w3 t2, n3(w2) = distinct w3 after w2, t1(w3) =
+    distinct w2, T = Σ_w3 t1) and V = distinct train tokens:
+
+        P1(w3)       = (t1 + k) / (T + k·(V+1))
+        P2(w3|w2)    = (max(t2-D, 0) + D·n3·P1) / n2   [n2=0 → P1]
+        P3(w3|w1,w2) = (max(c3-D, 0) + D·a3·P2) / h2   [h2=0 → P2]
+
+    Each level sums to exactly 1 over the vocabulary plus one unseen
+    slot (the add-k floor at the bottom keeps every word strictly
+    positive, KenLM's <unk> role), so perplexities are comparable
+    across documents with different OOV rates. avg_logprob = mean
+    ln P3 over the document's within-document trigrams; documents
+    with < 3 tokens carry NULLs (kept so the filter join is total).
+
+    Plan shape (10^12 docs): one tokenize + in-row zip per side, four
+    map-side-combined count aggregations over ``train`` (each keyed
+    on a gram, never a doc), then five hash joins against gram-keyed
+    count tables — vocabulary-sized, so AQE broadcasts small LMs and
+    shuffles web-sized ones. No Python anywhere.
+    """
+    if not 0.0 <= discount < 1.0:
+        raise ValueError(f"discount must be in [0, 1), got {discount}")
+    if add_k <= 0:
+        raise ValueError(f"add_k must be positive, got {add_k}")
+    D = float(discount)
+    k = float(add_k)
+
+    def trigrams(df, *keep):
+        t = df.select(*keep, tokens_col(F.col(text_col)).alias("t"))
+        return t.select(
+            *keep,
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, greatest(size(t) - 2, 0)),"
+                    " (x, i) -> struct(x AS w1, t[i + 1] AS w2, t[i + 2] AS w3))"
+                )
+            ).alias("p"),
+        ).select(*keep, "p.w1", "p.w2", "p.w3")
+
+    tri = trigrams(train).groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
+    hist = tri.groupBy("w1", "w2").agg(
+        F.sum("c3").alias("h2"), F.count("*").alias("a3")
+    )
+    t2 = tri.groupBy("w2", "w3").agg(F.count("*").alias("t2"))
+    lvl2 = t2.groupBy("w2").agg(F.sum("t2").alias("n2"), F.count("*").alias("n3"))
+    t1 = t2.groupBy("w3").agg(F.count("*").alias("t1"))
+    scalars = t2.agg(F.count("*").cast("double").alias("tt")).crossJoin(
+        train.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+        .agg(F.countDistinct("w").cast("double").alias("v"))
+    )
+
+    doc_tri = trigrams(docs, id_col)
+    p1 = (F.coalesce(F.col("t1"), F.lit(0)) + F.lit(k)) / (
+        F.col("tt") + F.lit(k) * (F.col("v") + 1)
+    )
+    p2 = F.when(
+        F.col("n2").isNull(), p1
+    ).otherwise(
+        (
+            F.greatest(F.coalesce(F.col("t2"), F.lit(0)) - F.lit(D), F.lit(0.0))
+            + F.lit(D) * F.col("n3") * p1
+        )
+        / F.col("n2")
+    )
+    p3 = F.when(
+        F.col("h2").isNull(), p2
+    ).otherwise(
+        (
+            F.greatest(F.coalesce(F.col("c3"), F.lit(0)) - F.lit(D), F.lit(0.0))
+            + F.lit(D) * F.col("a3") * p2
+        )
+        / F.col("h2")
+    )
+    scored = (
+        doc_tri.join(tri, ["w1", "w2", "w3"], "left")
+        .join(hist, ["w1", "w2"], "left")
+        .join(t2, ["w2", "w3"], "left")
+        .join(lvl2, ["w2"], "left")
+        .join(t1, ["w3"], "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(id_col, F.log(p3).alias("lp"))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_trigrams"), F.avg("lp").alias("avg_logprob"))
+    )
+    return (
+        docs.select(id_col)
+        .distinct()
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            "n_trigrams",
+            "avg_logprob",
+            F.exp(-F.col("avg_logprob")).alias("perplexity"),
+        )
+    )
