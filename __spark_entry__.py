@@ -2423,6 +2423,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dsir_weights_docs"] = _dsir_weights_docs
 
+    # --- discriminative quality filter (GPT-3 §A trained an LR of
+    # trusted-vs-crawl docs; fastText filters are the same shape):
+    # en-vs-rest logistic regression on hashed ngrams, 3 full-batch
+    # GD steps run as dataflow — weights and document scores replay
+    # value-exactly in the unrolled SQL
+    def _lr_parts(s, d):
+        from linkgraph.operators.classifier import hashed_text_features, logreg_train
+
+        docs = _read(s, d, "documents")
+        labels = docs.select(
+            "doc_id",
+            F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        )
+        feats = hashed_text_features(docs, n_buckets=256)
+        return docs, feats, logreg_train(feats, labels, iters=3, lr=0.5, l2=0.01)
+
+    def _lr_weights(s, d):
+        _, _, w = _lr_parts(s, d)
+        return w.select("h", F.round("weight", 6).alias("weight"))
+
+    q["quality_classifier_weights"] = _lr_weights
+
+    def _lr_scores(s, d):
+        from linkgraph.operators.classifier import logreg_score
+
+        docs, feats, w = _lr_parts(s, d)
+        return logreg_score(feats, w, docs=docs).select(
+            "doc_id", F.round("score", 6).alias("score")
+        )
+
+    q["quality_classifier_scores"] = _lr_scores
+
     def _dsir_select_docs(s, d):
         from linkgraph.operators.sampling import dsir_select
 
@@ -3821,6 +3853,79 @@ SELECT dd.doc_id, a.n_trigrams, a.avg_logprob,
 FROM (SELECT DISTINCT doc_id FROM docs) dd
 LEFT JOIN agg a ON a.doc_id = dd.doc_id
 """
+
+
+def _logreg_sql(
+    n_buckets: int = 256,
+    iters: int = 3,
+    lr: float = 0.5,
+    l2: float = 0.01,
+    scores: bool = False,
+) -> str:
+    """Unrolled full-batch logistic-regression GD replay
+    (operators/classifier.py logreg_train/logreg_score): L1-normalized
+    hashed unigram+bigram features + a per-doc bias bucket (−1),
+    en-vs-rest labels, one (margins → residuals → gradient → update)
+    CTE block per iteration, identical operand order to the engine."""
+    hb = f"{_md5int('g')} % {n_buckets}"
+    parts = [
+        f"""
+WITH dtok AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+grams AS MATERIALIZED (
+  SELECT doc_id, {hb} AS h, count(*) AS c FROM (
+    SELECT doc_id, unnest(t) AS g FROM dtok
+    UNION ALL
+    SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+    FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+          FROM dtok)
+  ) GROUP BY 1, 2),
+tot AS MATERIALIZED (SELECT doc_id, sum(c) AS n FROM grams GROUP BY 1),
+feats AS MATERIALIZED (
+  SELECT doc_id, h, CAST(c AS DOUBLE) / n AS x
+  FROM grams JOIN tot USING (doc_id)
+  UNION ALL
+  SELECT doc_id, CAST(-1 AS BIGINT) AS h, 1.0 AS x FROM documents),
+labels AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM labels),
+w0 AS MATERIALIZED (SELECT DISTINCT h, 0.0 AS weight FROM feats)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+m{i} AS MATERIALIZED (
+  SELECT f.doc_id, sum(f.x * w.weight) AS m
+  FROM feats f JOIN w{i} w USING (h) GROUP BY 1),
+r{i} AS MATERIALIZED (
+  SELECT l.doc_id,
+         1.0 / (1.0 + exp(-coalesce(m.m, 0.0))) - l.y AS r
+  FROM labels l LEFT JOIN m{i} m USING (doc_id)),
+g{i} AS MATERIALIZED (
+  SELECT f.h, sum(f.x * r.r) / (SELECT n FROM nn) AS g
+  FROM feats f JOIN r{i} r USING (doc_id) GROUP BY 1),
+w{i + 1} AS MATERIALIZED (
+  SELECT w.h,
+         w.weight - {lr} * (coalesce(g.g, 0.0) + {l2} * w.weight) AS weight
+  FROM w{i} w LEFT JOIN g{i} g USING (h))"""
+        )
+    if not scores:
+        parts.append(f"\nSELECT h, round(weight, 6) AS weight FROM w{iters}")
+    else:
+        parts.append(
+            f""",
+mfin AS MATERIALIZED (
+  SELECT f.doc_id, sum(f.x * w.weight) AS m
+  FROM feats f JOIN w{iters} w USING (h) WHERE f.h <> -1 GROUP BY 1),
+bb AS (SELECT coalesce(sum(weight), 0.0) AS b FROM w{iters} WHERE h = -1)
+SELECT d.doc_id,
+       round(1.0 / (1.0 + exp(-(coalesce(m.m, 0.0) + (SELECT b FROM bb)))), 6)
+         AS score
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN mfin m USING (doc_id)"""
+        )
+    return "".join(parts)
 
 
 def _local_community_sql(k: int = 3, alpha: float = 0.85) -> str:
@@ -5536,6 +5641,8 @@ FROM pairs p LEFT JOIN est ON p.src = est.src AND p.dst = est.dst
         "lm_perplexity_docs": LM_PPL_SQL,
         "kn_perplexity_docs": KN_PPL_SQL,
         "dsir_weights_docs": _dsir_sql(),
+        "quality_classifier_weights": _logreg_sql(),
+        "quality_classifier_scores": _logreg_sql(scores=True),
         "dsir_select_docs": _dsir_sql(k=25, seed=7),
         # BPE round-1 pair statistics: end-of-word marker fused onto
         # the last character, overlapping adjacent pairs, count-then-
