@@ -1809,6 +1809,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # densest subgraph of the clique bed is the nation clique at
     # density (n-1)/2 — a closed-form fact the full peel must hit
     q["densest_subgraph_cliques"] = lambda s, d: densest_subgraph(_clique_graph(s, d))
+
+    # --- FRAUDAR suspicious block (weighted bipartite peel, column
+    # weights 1/ln(c+indeg)) on the customer→supplier graph diluted
+    # with low-weight "ghost" spokes (one per customer into its
+    # nation) so the best-g snapshot sits mid-peel, not at round 0;
+    # the oracle replays every peel round in unrolled SQL and picks
+    # the same earliest-best snapshot
+    def _fraudar_cs(s, d):
+        from linkgraph.operators.densest import suspicious_block
+
+        spokes = _read(s, d, "customer").select(
+            (F.col("c_custkey").cast("long") + 5_000_000).alias("src"),
+            (F.col("c_nationkey").cast("long") + NAT).alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+        bed = LinkGraph(
+            tpch_edges(s, d).unionAll(spokes), directed=True
+        )
+        res = suspicious_block(bed, epsilon=0.25)
+        return res.select(
+            "side", "id", F.round("suspiciousness", 6).alias("suspiciousness")
+        )
+
+    q["fraudar_block_custsupp"] = _fraudar_cs
     # truss peeling on the same closed-form bed: the nation K25's
     # edges have support 23 (truss 25), the region K5's support 3
     # (truss 5), customer leaf edges support 0 (truss 2) — the full
@@ -3928,6 +3952,70 @@ LEFT JOIN mfin m USING (doc_id)"""
     return "".join(parts)
 
 
+def _fraudar_sql(epsilon: float = 0.25, c: float = 5.0, rounds: int = 16) -> str:
+    """Unrolled FRAUDAR batch-peel replay (operators/densest.py
+    suspicious_block) over customer→supplier plus the ghost spokes:
+    fixed 9-dp column weights, per-round weighted degrees vs the
+    2(1+eps)·g threshold, earliest-best snapshot. ``rounds`` bounds
+    the unroll: each round keeps < nv/(1+eps) nodes and the sf peels
+    drain in ≤ 4; rounds past drain are empty no-ops."""
+    mult = 2.0 * (1.0 + epsilon)
+    parts = [
+        f"""
+WITH eraw AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM ({CUST_SUPP})
+  UNION ALL
+  SELECT DISTINCT CAST(c_custkey + 5000000 AS BIGINT),
+                  CAST(c_nationkey + 3000000 AS BIGINT) FROM customer),
+ed0 AS MATERIALIZED (
+  SELECT e.src, e.dst, round(1.0 / ln({c} + i.d), 9) AS w
+  FROM eraw e
+  JOIN (SELECT dst, count(*) AS d FROM eraw GROUP BY 1) i ON e.dst = i.dst),
+rem0 AS MATERIALIZED (
+  SELECT DISTINCT 0 AS side, src AS id FROM ed0
+  UNION ALL
+  SELECT DISTINCT 1 AS side, dst AS id FROM ed0)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+wd{r} AS MATERIALIZED (
+  SELECT side, id, sum(w) AS wd FROM (
+    SELECT 0 AS side, src AS id, w FROM ed{r}
+    UNION ALL SELECT 1 AS side, dst AS id, w FROM ed{r}) GROUP BY 1, 2),
+pr{r} AS MATERIALIZED (
+  SELECT v.side, v.id, coalesce(w.wd, 0.0) AS wd
+  FROM rem{r} v LEFT JOIN wd{r} w ON v.side = w.side AND v.id = w.id),
+st{r} AS (SELECT CAST(count(*) AS DOUBLE) AS nv,
+                 coalesce(sum(wd), 0.0) AS swd FROM pr{r}),
+rem{r + 1} AS MATERIALIZED (
+  SELECT side, id FROM pr{r}
+  WHERE wd > {mult} * ((SELECT swd FROM st{r}) / 2.0 / (SELECT nv FROM st{r}))),
+ed{r + 1} AS MATERIALIZED (
+  SELECT e.* FROM ed{r} e
+  JOIN rem{r + 1} a ON a.side = 0 AND a.id = e.src
+  JOIN rem{r + 1} b ON b.side = 1 AND b.id = e.dst)"""
+        )
+    rho_rows = "\n  UNION ALL ".join(
+        f"SELECT {r} AS r, (SELECT swd FROM st{r}) / 2.0 / (SELECT nv FROM st{r})"
+        f" AS rho, (SELECT nv FROM st{r}) AS nv"
+        for r in range(rounds)
+    )
+    snap_rows = "\n  UNION ALL ".join(
+        f"SELECT {r} AS r, side, id FROM rem{r}" for r in range(rounds)
+    )
+    parts.append(
+        f""",
+rhos AS ({rho_rows}),
+best AS (SELECT r, rho FROM rhos WHERE nv > 0 ORDER BY rho DESC, r ASC LIMIT 1),
+snaps AS ({snap_rows})
+SELECT s.side, CAST(s.id AS BIGINT) AS id,
+       round((SELECT rho FROM best), 6) AS suspiciousness
+FROM snaps s WHERE s.r = (SELECT r FROM best)"""
+    )
+    return "".join(parts)
+
+
 def _local_community_sql(k: int = 3, alpha: float = 0.85) -> str:
     """ACL sweep-cut replay over symmetrized supp_co: single-seed
     sparse PPR (the _ppr_batch_sql recurrence), degree-normalized
@@ -5330,6 +5418,7 @@ SELECT a.id, b.id, 1.0 FROM
         "maximal_matching_suppco": _matching_sql(),
         # closed form: the peel's best-density snapshot on the clique
         # bed is the nation clique, density (n-1)/2 exactly
+        "fraudar_block_custsupp": _fraudar_sql(),
         "densest_subgraph_cliques": """
 SELECT CAST(n_nationkey + 3000000 AS BIGINT) AS id,
        CAST((SELECT count(*) FROM nation) - 1 AS DOUBLE) / 2.0 AS density

@@ -94,3 +94,98 @@ def densest_subgraph(
     if best is None:
         return spark.createDataFrame([], "id long, density double")
     return best.withColumn("density", F.lit(float(best_rho)))
+
+
+def suspicious_block(
+    graph: LinkGraph,
+    epsilon: float = 0.05,
+    col_weight_c: float = 5.0,
+    max_rounds: int = 10_000,
+) -> DataFrame:
+    """DataFrame(side, id, suspiciousness): the FRAUDAR dense-block
+    readout (Hooi et al., KDD 2016 — camouflage-resistant link-farm /
+    fake-engagement detection), the weighted bipartite sibling of
+    ``densest_subgraph``. The directed edge set is read as a
+    bipartite graph (side 0 = source role, side 1 = target role; a
+    page appearing in both roles is two nodes), every edge gets the
+    paper's column weight 1/ln(c + indeg(dst)) — mass pointed at an
+    already-popular target is cheap camouflage, so it counts less —
+    and the same Bahmani-style batch peel as ``densest_subgraph``
+    maximizes g(S) = Σ w(edges inside S) / |S|. Returns the
+    best-g snapshot (both sides) with the achieved suspiciousness
+    repeated per row; a 2(1+epsilon)-approximation of the optimum.
+
+    Deterministic cross-engine: column weights are rounded to 9
+    decimals at definition (the peel thresholds are then generic
+    reals, never ulp-ties), the snapshot rule is strict improvement
+    (earliest best round wins), and the driver contract replays the
+    whole peel in unrolled SQL. Nodes enter with their full-graph
+    weighted degree — column weights are fixed up front (the paper's
+    definition), never recomputed mid-peel."""
+    echain, vchain, bchain = LineageChain(), LineageChain(), LineageChain()
+    e0 = graph.edges.select("src", "dst").distinct()
+    indeg = e0.groupBy("dst").agg(F.count("*").alias("_d"))
+    ewt = echain.cut(
+        e0.join(indeg, "dst").select(
+            "src",
+            "dst",
+            F.round(
+                F.lit(1.0) / F.log(F.lit(float(col_weight_c)) + F.col("_d")), 9
+            ).alias("w"),
+        )
+    )
+    verts = vchain.cut(
+        ewt.select(F.lit(0).alias("side"), F.col("src").alias("id"))
+        .distinct()
+        .unionAll(
+            ewt.select(F.lit(1).alias("side"), F.col("dst").alias("id")).distinct()
+        )
+    )
+    best_rho = -1.0
+    best: DataFrame | None = None
+    for r in range(max_rounds + 1):
+        wd = (
+            ewt.select(F.lit(0).alias("side"), F.col("src").alias("id"), "w")
+            .unionAll(
+                ewt.select(F.lit(1).alias("side"), F.col("dst").alias("id"), "w")
+            )
+            .groupBy("side", "id")
+            .agg(F.sum("w").alias("wd"))
+        )
+        present = verts.join(wd, ["side", "id"], "left").select(
+            "side", "id", F.coalesce("wd", F.lit(0.0)).alias("wd")
+        )
+        row = present.agg(F.count("*").alias("v"), F.sum("wd").alias("swd")).collect()[
+            0
+        ]
+        nv = int(row["v"])
+        if nv == 0:
+            break
+        if r == max_rounds:
+            raise ConvergenceError(
+                f"suspicious_block did not drain the node pool in "
+                f"{max_rounds} rounds"
+            )
+        rho = float(row["swd"] or 0.0) / 2.0 / nv
+        if rho > best_rho:
+            best_rho = rho
+            best = bchain.cut(verts)
+        # min weighted degree <= average = 2*rho <= threshold, so the
+        # pool strictly shrinks every round: O(log n / eps) rounds
+        thresh = 2.0 * (1.0 + epsilon) * rho
+        verts = vchain.cut(
+            present.filter(F.col("wd") > thresh).select("side", "id")
+        )
+        k0 = verts.filter("side = 0").select(F.col("id").alias("kid"))
+        k1 = verts.filter("side = 1").select(F.col("id").alias("kid"))
+        ewt = echain.cut(
+            ewt.join(k0, ewt.src == F.col("kid"), "left_semi").join(
+                k1, F.col("dst") == F.col("kid"), "left_semi"
+            )
+        )
+    echain.release()
+    vchain.release()
+    spark = graph.vertices.sparkSession
+    if best is None:
+        return spark.createDataFrame([], "side int, id long, suspiciousness double")
+    return best.withColumn("suspiciousness", F.lit(float(best_rho)))
