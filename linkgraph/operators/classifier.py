@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.operators.sampling import _hashed_gram_features
-from linkgraph.plans.iterate import truncate_lineage
+from linkgraph.plans.iterate import PeelCheckpoint, truncate_lineage
 
 INTERCEPT = -1  # bucket id of the bias feature (hash buckets are >= 0)
 
@@ -69,6 +69,9 @@ def logreg_train(
     l2: float = 0.0,
     intercept: bool = True,
     partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
+    resume: bool = True,
 ) -> DataFrame:
     """DataFrame(h, weight): logistic-regression weights after
     ``iters`` full-batch gradient steps from w = 0.
@@ -83,7 +86,14 @@ def logreg_train(
     ``INTERCEPT`` (= −1) to EVERY labeled document — so a tokenless
     document still carries the bias (margin = w_b, standard LR);
     with ``intercept=False`` it counts toward N but is absent from
-    every gradient sum and scores σ(0) = 0.5."""
+    every gradient sum and scores σ(0) = 0.5.
+
+    ``checkpoint_dir``/``checkpoint_every``: durable per-step commits
+    of the weight frame (the whole loop state — features and labels
+    are recomputed from the caller's deterministic inputs); a
+    restarted call with the same dir continues GD from the committed
+    step. A checkpoint trained past the requested ``iters`` raises
+    (the model on disk is NOT the model asked for)."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     if lr <= 0:
@@ -105,10 +115,22 @@ def logreg_train(
     n = float(y.count())
     if n == 0:
         raise ValueError("labels is empty")
-    w = truncate_lineage(
-        feats.select("h").distinct().withColumn("weight", F.lit(0.0))
-    )
-    for _ in range(iters):
+    ckpt = PeelCheckpoint(checkpoint_dir, spark) if checkpoint_dir else None
+    meta = ckpt.latest() if (ckpt and resume) else None
+    start = 0
+    if meta is not None:
+        start = int(meta["extra"]["it"])
+        if start > iters:
+            raise ValueError(
+                f"checkpoint at step {start} is past the requested iters={iters}; "
+                "pass a larger iters to extend training or a fresh checkpoint_dir"
+            )
+        w = ckpt.load(meta)["w"]
+    else:
+        w = truncate_lineage(
+            feats.select("h").distinct().withColumn("weight", F.lit(0.0))
+        )
+    for it in range(start, iters):
         margins = (
             feats.join(F.broadcast(w), "h")
             .groupBy("id")
@@ -136,6 +158,8 @@ def logreg_train(
                 ).alias("weight"),
             )
         )
+        if ckpt and checkpoint_every and (it + 1) % checkpoint_every == 0:
+            ckpt.commit(it + 1, {"w": w}, extra={"it": it + 1})
     feats.unpersist()
     y.unpersist()
     return w

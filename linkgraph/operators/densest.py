@@ -101,6 +101,9 @@ def suspicious_block(
     epsilon: float = 0.05,
     col_weight_c: float = 5.0,
     max_rounds: int = 10_000,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
+    resume: bool = True,
 ) -> DataFrame:
     """DataFrame(side, id, suspiciousness): the FRAUDAR dense-block
     readout (Hooi et al., KDD 2016 — camouflage-resistant link-farm /
@@ -121,29 +124,48 @@ def suspicious_block(
     (earliest best round wins), and the driver contract replays the
     whole peel in unrolled SQL. Nodes enter with their full-graph
     weighted degree — column weights are fixed up front (the paper's
-    definition), never recomputed mid-peel."""
+    definition), never recomputed mid-peel.
+
+    ``checkpoint_dir``/``checkpoint_every``: durable per-round commits
+    of the full loop state (remaining pool, filtered weighted edges,
+    best snapshot so far + its g); a restarted call with the same dir
+    continues the peel from the committed round — the north rule's
+    resumability contract (plans/iterate.PeelCheckpoint)."""
+    from linkgraph.plans.iterate import PeelCheckpoint
+
     echain, vchain, bchain = LineageChain(), LineageChain(), LineageChain()
-    e0 = graph.edges.select("src", "dst").distinct()
-    indeg = e0.groupBy("dst").agg(F.count("*").alias("_d"))
-    ewt = echain.cut(
-        e0.join(indeg, "dst").select(
-            "src",
-            "dst",
-            F.round(
-                F.lit(1.0) / F.log(F.lit(float(col_weight_c)) + F.col("_d")), 9
-            ).alias("w"),
-        )
-    )
-    verts = vchain.cut(
-        ewt.select(F.lit(0).alias("side"), F.col("src").alias("id"))
-        .distinct()
-        .unionAll(
-            ewt.select(F.lit(1).alias("side"), F.col("dst").alias("id")).distinct()
-        )
-    )
+    spark = graph.vertices.sparkSession
+    ckpt = PeelCheckpoint(checkpoint_dir, spark) if checkpoint_dir else None
+    meta = ckpt.latest() if (ckpt and resume) else None
     best_rho = -1.0
     best: DataFrame | None = None
-    for r in range(max_rounds + 1):
+    r0 = 0
+    if meta is not None:
+        # skip the (eager) weighting + side split entirely on resume
+        frames = ckpt.load(meta)
+        verts, ewt, best = frames["verts"], frames["ewt"], frames["best"]
+        best_rho = float(meta["extra"]["best_rho"])
+        r0 = int(meta["extra"]["round"])
+    else:
+        e0 = graph.edges.select("src", "dst").distinct()
+        indeg = e0.groupBy("dst").agg(F.count("*").alias("_d"))
+        ewt = echain.cut(
+            e0.join(indeg, "dst").select(
+                "src",
+                "dst",
+                F.round(
+                    F.lit(1.0) / F.log(F.lit(float(col_weight_c)) + F.col("_d")), 9
+                ).alias("w"),
+            )
+        )
+        verts = vchain.cut(
+            ewt.select(F.lit(0).alias("side"), F.col("src").alias("id"))
+            .distinct()
+            .unionAll(
+                ewt.select(F.lit(1).alias("side"), F.col("dst").alias("id")).distinct()
+            )
+        )
+    for r in range(r0, max_rounds + 1):
         wd = (
             ewt.select(F.lit(0).alias("side"), F.col("src").alias("id"), "w")
             .unionAll(
@@ -183,9 +205,14 @@ def suspicious_block(
                 k1, F.col("dst") == F.col("kid"), "left_semi"
             )
         )
+        if ckpt and checkpoint_every and (r + 1) % checkpoint_every == 0:
+            ckpt.commit(
+                r + 1,
+                {"verts": verts, "ewt": ewt, "best": best},
+                extra={"round": r + 1, "best_rho": best_rho},
+            )
     echain.release()
     vchain.release()
-    spark = graph.vertices.sparkSession
     if best is None:
         return spark.createDataFrame([], "side int, id long, suspiciousness double")
     return best.withColumn("suspiciousness", F.lit(float(best_rho)))

@@ -208,3 +208,72 @@ def test_hyperball_resume_extends_horizon(spark, tmp_path):
     )
     assert got == want
     assert _latest_meta(d)["round"] >= 3  # continued, not restarted
+
+
+def test_logreg_resume_after_kill(spark, tmp_path):
+    # 1 committed GD step, then resume to 3 — equals the
+    # uninterrupted 3-step model exactly; a checkpoint trained PAST
+    # the requested iters refuses loudly
+    from linkgraph.operators.classifier import hashed_text_features, logreg_train
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc"), (2, "bb cc dd"), (3, "zz yy xx"), (4, "xx zz yy")],
+        "doc_id long, text string",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1.0), (2, 1.0), (3, 0.0), (4, 0.0)], "doc_id long, y double"
+    )
+    feats = hashed_text_features(docs, n_buckets=32)
+    want = {
+        r.h: r.weight
+        for r in logreg_train(feats, labels, iters=3, lr=0.5, l2=0.01).collect()
+    }
+    d = str(tmp_path / "lr")
+    logreg_train(
+        feats, labels, iters=1, lr=0.5, l2=0.01,
+        checkpoint_dir=d, checkpoint_every=1,
+    )
+    assert _latest_meta(d)["extra"]["it"] == 1
+    got = {
+        r.h: r.weight
+        for r in logreg_train(
+            feats, labels, iters=3, lr=0.5, l2=0.01,
+            checkpoint_dir=d, checkpoint_every=1,
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for h in want:
+        assert abs(got[h] - want[h]) < 1e-12, h
+    assert _latest_meta(d)["extra"]["it"] == 3
+    with pytest.raises(ValueError, match="past the requested"):
+        logreg_train(feats, labels, iters=2, checkpoint_dir=d)
+
+
+def test_fraudar_resume_after_kill(spark, tmp_path):
+    # the peel needs 4 rounds on this input; kill after round 1's
+    # durable commit, resume, and match the uninterrupted snapshot
+    import random
+
+    from linkgraph.operators.densest import suspicious_block
+
+    rng = random.Random(3)
+    es = set()
+    while len(es) < 80:
+        es.add((rng.randrange(30), 1000 + rng.randrange(20)))
+    for s in range(6):
+        for d2 in range(6):
+            es.add((100 + s, 2000 + d2))
+    g = graph_from_edges(spark, sorted(es), directed=True)
+    want_rows = suspicious_block(g, epsilon=0.1).collect()
+    want = {(r.side, r.id) for r in want_rows}
+    d = str(tmp_path / "fraudar")
+    with pytest.raises(ConvergenceError):
+        suspicious_block(
+            g, epsilon=0.1, max_rounds=1, checkpoint_dir=d, checkpoint_every=1
+        )
+    assert _latest_meta(d)["extra"]["round"] == 1
+    rows = suspicious_block(
+        g, epsilon=0.1, checkpoint_dir=d, checkpoint_every=1
+    ).collect()
+    assert {(r.side, r.id) for r in rows} == want
+    assert abs(rows[0].suspiciousness - want_rows[0].suspiciousness) < 1e-12
