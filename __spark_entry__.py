@@ -2435,6 +2435,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kn_perplexity_docs"] = _kn_ppl
 
+    # --- Okapi BM25 top-k retrieval over the dup-including corpus,
+    # queries = the first 60 chars of every %100==1 document; scores
+    # rounded to 6 BEFORE ranking so the top-k set replays exactly
+    def _bm25(s, d):
+        from linkgraph.operators.terms import bm25_scores
+
+        queries = _read(s, d, "documents").filter(F.col("doc_id") % 100 == 1).select(
+            F.col("doc_id").alias("query_id"),
+            F.substring("text", 1, 60).alias("text"),
+        )
+        return bm25_scores(_docs(s, d), queries, top_k=10)
+
+    q["bm25_topk_docs"] = _bm25
+
     # --- DSIR (Xie et al. 2023): hashed-ngram importance weights of
     # every corpus doc against the trusted %5 slice, and the
     # Gumbel-top-k resample — the data-selection step between quality
@@ -3816,6 +3830,51 @@ SELECT dd.doc_id, a.n_bigrams, a.avg_logprob,
        round(exp(-a.avg_logprob), 4) AS perplexity
 FROM (SELECT DISTINCT doc_id FROM docs) dd
 LEFT JOIN agg a ON a.doc_id = dd.doc_id
+"""
+
+# Okapi BM25 replay (operators/terms.py bm25_scores): identical
+# operand order inside the per-term part, round-6 scores ranked
+# (score DESC, doc ASC) — the window equals the engine's salted
+# two-level top-k on the rounded key
+BM25_SQL = f"""
+WITH docs AS ({DOCS}),
+ids AS (SELECT DISTINCT doc_id FROM docs),
+toks AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM docs),
+tf AS MATERIALIZED (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+lens AS MATERIALIZED (
+  SELECT i.doc_id, coalesce(l.dl, 0) AS dl
+  FROM ids i LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1) l
+  ON i.doc_id = l.doc_id),
+sc AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM lens),
+dfreq AS MATERIALIZED (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+qt AS MATERIALIZED (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT doc_id AS query_id,
+           unnest(regexp_extract_all(lower(substr(text, 1, 60)), '[a-z0-9]+'))
+             AS term
+    FROM documents WHERE doc_id % 100 = 1)),
+scored AS (
+  SELECT q.query_id, t.doc_id,
+         round(sum(
+           ln(1 + ((SELECT n FROM sc) - d.df + 0.5) / (d.df + 0.5))
+             * (t.tf * 2.2)
+             / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / (SELECT avgdl FROM sc)))
+         ), 6) AS score
+  FROM qt q
+  JOIN dfreq d ON q.term = d.term
+  JOIN tf t ON t.term = q.term
+  JOIN lens l ON l.doc_id = t.doc_id
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id ASC) AS BIGINT)
+           AS rank
+  FROM scored)
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10
 """
 
 # interpolated Kneser-Ney trigram replay (operators/terms.py
@@ -5729,6 +5788,7 @@ FROM pairs p LEFT JOIN est ON p.src = est.src AND p.dst = est.dst
 """,
         "lm_perplexity_docs": LM_PPL_SQL,
         "kn_perplexity_docs": KN_PPL_SQL,
+        "bm25_topk_docs": BM25_SQL,
         "dsir_weights_docs": _dsir_sql(),
         "quality_classifier_weights": _logreg_sql(),
         "quality_classifier_scores": _logreg_sql(scores=True),

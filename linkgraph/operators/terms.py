@@ -478,3 +478,107 @@ def kn_trigram_perplexity(
             F.exp(-F.col("avg_logprob")).alias("perplexity"),
         )
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """DataFrame(query_id, doc_id, score, rank): Okapi BM25 top-k
+    retrieval (Robertson & Walker, SIGIR'94) — the lexical ranking
+    behind retrieval-based decontamination and nearest-neighbor text
+    lookup over a training corpus.
+
+    score(q, d) = Σ_{t ∈ distinct(q) ∩ d} idf(t) · tf·(k1+1) /
+    (tf + k1·(1 − b + b·len_d/avgdl)) with the non-negative idf
+    ln(1 + (N − df + ½)/(df + ½)); N = |docs|, avgdl over ALL docs
+    (tokenless docs count with length 0). Query terms enter once
+    (bag-of-words query, no query-tf component). Scores are rounded
+    to 6 decimals BEFORE ranking and ties break on ascending doc id,
+    so the top-k set is deterministic across engines and runs.
+
+    Plan shape (10^12 docs, few queries): the term equi-join IS the
+    inverted index — no index structure is materialized; candidates
+    fan out only for docs sharing a query term. The per-query top-k
+    is the salted two-level pattern (smallest k per (query, salt),
+    then the ≤16k survivors merge), so a stopword query that matches
+    the whole corpus never concentrates one aggregation cell.
+    """
+    if top_k <= 0:
+        raise ValueError("top_k must be positive")
+    ids = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    lens = ids.join(
+        toks.groupBy("doc_id").agg(F.count("*").alias("dl")), "doc_id", "left"
+    ).select("doc_id", F.coalesce("dl", F.lit(0)).alias("dl"))
+    scalars = lens.agg(
+        F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(tokens_col(F.col(query_text_col))).alias("term"),
+    ).distinct()
+    part = (
+        F.col("idf")
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        qterms.join(
+            dfreq.crossJoin(F.broadcast(scalars)).select(
+                "term",
+                "avgdl",
+                F.log(
+                    1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                ).alias("idf"),
+            ),
+            "term",
+        )
+        .join(tf, "term")
+        .join(lens, "doc_id")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(part), 6).alias("score"))
+    )
+    k = int(top_k)
+    lvl1 = (
+        scored.withColumn("_s", F.xxhash64("doc_id") % 16)
+        .groupBy("query_id", "_s")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct((-F.col("score")).alias("ns"), F.col("doc_id"))
+                    )
+                ),
+                1,
+                k,
+            ).alias("c")
+        )
+    )
+    return (
+        lvl1.groupBy("query_id")
+        .agg(
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("c"))), 1, k
+            ).alias("c")
+        )
+        .select("query_id", F.posexplode("c").alias("pos", "e"))
+        .select(
+            "query_id",
+            F.col("e.doc_id").alias("doc_id"),
+            (-F.col("e.ns")).alias("score"),
+            (F.col("pos") + 1).cast("long").alias("rank"),
+        )
+    )

@@ -103,3 +103,81 @@ def test_entropy_signals_matches_replica(spark):
     # orderings: varied text above degenerate above empty
     assert got[1]["word_entropy"] > got[2]["word_entropy"] >= 0.0
     assert got[4]["word_entropy"] == got[4]["bigram_entropy"] == 0.0
+
+
+# --- Okapi BM25 top-k retrieval ----------------------------------------------
+
+
+def test_bm25_matches_pure_python(spark):
+    import re
+
+    from linkgraph.operators.terms import bm25_scores
+
+    DOCS = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the lazy dog sleeps all day"),
+        (3, "quick quick quick fox"),
+        (4, "an unrelated document about spark dataflow engines"),
+        (5, ""),  # tokenless: counts toward N and avgdl at length 0
+    ]
+    QS = [(100, "quick fox"), (101, "lazy dog"), (102, "zzz")]
+
+    def toks(s):
+        return re.findall(r"[a-z0-9]+", s.lower())
+
+    k1, b = 1.2, 0.75
+    N = len(DOCS)
+    tf, dl = {}, {}
+    for d, t in DOCS:
+        ws = toks(t)
+        dl[d] = len(ws)
+        for w in ws:
+            tf[(d, w)] = tf.get((d, w), 0) + 1
+    avgdl = sum(dl.values()) / N
+    dfq = {}
+    for (_, w) in tf:
+        dfq[w] = dfq.get(w, 0) + 1
+    want = {}
+    for qid, qt in QS:
+        sc = {}
+        for w in set(toks(qt)):
+            if w not in dfq:
+                continue
+            idf = math.log(1 + (N - dfq[w] + 0.5) / (dfq[w] + 0.5))
+            for d, _ in DOCS:
+                f = tf.get((d, w), 0)
+                if f:
+                    sc[d] = sc.get(d, 0.0) + idf * f * (k1 + 1) / (
+                        f + k1 * (1 - b + b * dl[d] / avgdl)
+                    )
+        ranked = sorted(
+            ((round(s, 6), d) for d, s in sc.items()), key=lambda x: (-x[0], x[1])
+        )
+        want[qid] = [(d, s, i + 1) for i, (s, d) in enumerate(ranked)]
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qs = spark.createDataFrame(QS, "query_id long, text string")
+    got = {}
+    for r in sorted(bm25_scores(docs, qs).collect(), key=lambda r: (r.query_id, r.rank)):
+        got.setdefault(r.query_id, []).append((r.doc_id, r.score, r.rank))
+    for qid, w in want.items():
+        g = got.get(qid, [])
+        assert len(g) == len(w), qid
+        for (wd, ws, wr), (gd, gs, gr) in zip(w, g):
+            assert wd == gd and wr == gr and abs(ws - gs) < 1e-9
+    assert 102 not in got  # no term overlap → no rows
+
+
+def test_bm25_top_k_truncates_and_ranks_deterministically(spark):
+    from linkgraph.operators.terms import bm25_scores
+
+    # 30 identical docs → identical scores; ties break on doc id asc
+    docs = spark.createDataFrame(
+        [(i, "same words here") for i in range(30)], "doc_id long, text string"
+    )
+    qs = spark.createDataFrame([(1, "words")], "query_id long, text string")
+    rows = sorted(bm25_scores(docs, qs, top_k=7).collect(), key=lambda r: r.rank)
+    assert [r.doc_id for r in rows] == list(range(7))
+    assert [r.rank for r in rows] == list(range(1, 8))
+    with pytest.raises(ValueError, match="top_k"):
+        bm25_scores(docs, qs, top_k=0)
