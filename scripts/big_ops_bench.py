@@ -619,6 +619,116 @@ def main() -> None:
             "edges_per_sec_per_iter": round(m / (wall / 5), 1),
         }
 
+    # Kneser-Ney trigram perplexity over the 2M-page scratch table:
+    # the KenLM-shaped CCNet filter — four gram-keyed count aggs on
+    # the train slice + five hash joins, zero Python
+    if want("kn_perplexity_pages"):
+        from linkgraph.operators.terms import kn_trigram_perplexity
+
+        docs_kn = spark.read.parquet(PAGES_BIG).select(
+            F.col("url").alias("doc_id"), F.col("text")
+        )
+        train_kn = docs_kn.filter(F.crc32("doc_id") % 10 == 0)
+        n_docs_kn = docs_kn.count()
+        t0 = time.time()
+        scored_kn = kn_trigram_perplexity(docs_kn, train_kn, id_col="doc_id")
+        row_kn = scored_kn.agg(
+            F.count("*").alias("n"), F.avg("perplexity").alias("mean_ppl")
+        ).collect()[0]
+        wall = time.time() - t0
+        results["kn_perplexity_pages"] = {
+            "sec": round(wall, 1),
+            "docs": n_docs_kn,
+            "scored": int(row_kn["n"]),
+            "mean_perplexity": round(float(row_kn["mean_ppl"]), 2),
+            "docs_per_sec": round(n_docs_kn / wall, 1),
+        }
+
+    # discriminative quality filter at corpus scale: hashed-ngram
+    # featurization of 2M pages + 3 full-batch GD steps (the E-sized
+    # feature table stays put; per-iteration shuffle = 4096 buckets)
+    if want("quality_classifier_pages"):
+        from linkgraph.operators.classifier import (
+            hashed_text_features,
+            logreg_train,
+        )
+
+        pages_qc = spark.read.parquet(PAGES_BIG).select(
+            F.xxhash64("url").alias("doc_id"), "text", "lang"
+        )
+        n_docs_qc = pages_qc.count()
+        t0 = time.time()
+        feats_qc = hashed_text_features(pages_qc, n_buckets=4096)
+        labels_qc = pages_qc.select(
+            "doc_id", F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y")
+        )
+        w_qc = logreg_train(feats_qc, labels_qc, iters=3, lr=0.5, l2=0.01)
+        nw = w_qc.count()
+        wall = time.time() - t0
+        results["quality_classifier_pages"] = {
+            "sec": round(wall, 1),
+            "docs": n_docs_qc,
+            "weights": nw,
+            "gd_iters": 3,
+            "docs_per_sec": round(n_docs_qc * 3 / wall, 1),
+        }
+
+    # articulation points on the hub-heavy Zipf graph: BFS spanning
+    # forest + two interval sweeps + low/high fold + the pointer-
+    # jumped auxiliary WCC — the full Tarjan-Vishkin pipeline at 40M
+    # edges
+    if want("articulation_zipf"):
+        from linkgraph.operators.bridges import articulation_points
+
+        zg8 = random_edges(
+            spark, 2_000_000, 40_000_000, seed=5, zipf_s=1.2, partitions=64
+        )
+        # the avg-degree-40 core is whp 2-connected (0 cut vertices —
+        # indistinguishable from a silent no-op), so attach 100k
+        # pendant leaves: each anchor MUST come back as a cut vertex,
+        # making the scale run self-evidencing
+        pend = spark.range(100_000).select(
+            (F.col("id") + 3_000_000).alias("src"),
+            F.col("id").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+        gb = LinkGraph(
+            zg8.select("src", "dst", "weight").unionAll(pend), directed=False
+        )
+        t0 = time.time()
+        n_art = articulation_points(gb).count()
+        wall = time.time() - t0
+        assert n_art >= 100_000, n_art
+        results["articulation_zipf"] = {
+            "sec": round(wall, 1),
+            "graph": "40M zipf(1.2) edges / 2M vertices + 100k pendant leaves",
+            "articulation_points": n_art,
+            "edges_per_sec": round(40_100_000 / wall, 1),
+        }
+
+    # FRAUDAR suspicious block on the Zipf graph's bipartite view:
+    # column-weighted batch peel, thresholds from one agg per round
+    if want("fraudar_zipf"):
+        from linkgraph.operators.densest import suspicious_block
+
+        zg9 = random_edges(
+            spark, 2_000_000, 40_000_000, seed=5, zipf_s=1.2, partitions=64
+        )
+        gf = LinkGraph(zg9.select("src", "dst", "weight"), directed=True)
+        t0 = time.time()
+        blk = suspicious_block(gf, epsilon=0.05)
+        row_f = blk.agg(
+            F.count("*").alias("v"), F.max("suspiciousness").alias("g")
+        ).collect()[0]
+        wall = time.time() - t0
+        results["fraudar_zipf"] = {
+            "sec": round(wall, 1),
+            "graph": "40M zipf(1.2) edges / 2M vertices (bipartite view)",
+            "block_nodes": int(row_f["v"]),
+            "suspiciousness": round(float(row_f["g"]), 2),
+            "edges_per_sec": round(40_000_000 / wall, 1),
+        }
+
     # best-over-runs: hypervisor-neighbor jitter swings identical runs
     # up to 4x here; keep each operator's fastest observed wall.
     # The machine-readable state is a COMMITTED sibling of BIGOPS.md —
@@ -722,6 +832,21 @@ Notes:
   per round one co-partitioned cash⋈transition join + one
   map-side-combined dst sum + a 1-row dangling-mass broadcast —
   PageRank's exact shuffle shape, so its scale analysis carries over.
+- kn_perplexity_pages fits the interpolated Kneser-Ney trigram LM on
+  the 1/10 train slice and scores all 2M pages: four gram-keyed
+  map-side-combined count aggs + five hash joins, zero Python.
+- quality_classifier_pages trains the hashed-ngram logistic
+  regression (4096 buckets + bias) with 3 full-batch GD steps over
+  2M pages: the feature table is cached doc-partitioned once; each
+  step's only shuffle is the bucket-keyed gradient sum.
+- articulation_zipf runs the full Tarjan-Vishkin pipeline (BFS
+  spanning forest, preorder intervals, low/high fold, pointer-jumped
+  auxiliary WCC) on the 40M-edge Zipf graph — every sweep is one
+  filtered join + map-side-combined agg per depth level.
+- fraudar_zipf peels the Zipf graph's bipartite view under the
+  column-weighted 2(1+eps)·g threshold (weights 1/ln(5+indeg) fixed
+  up front): one weighted-degree agg + one threshold filter + two
+  semi-joins per round, best-g snapshot kept.
 
 Generated by scripts/big_ops_bench.py.
 """
