@@ -902,6 +902,58 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _pq_topk_sql(
+    k: int = 5, m: int = 4, n_codes: int = 8, dim: int = 64, seed: int = 11
+) -> str:
+    """PQ/ADC oracle (operators/similarity.py pq_encode + pq_topk):
+    the seeded codebooks are the SAME constants the engine bakes into
+    its column expressions; encode = per-(vec, subspace) argmin of
+    squared L2 (ties to the lowest code), ADC = joining each query's
+    own distance rows to the corpus codes on (subspace, code) — the
+    lookup-table sum without materializing a LUT. Round-6 distances
+    rank (asc, neighbor asc), matching the engine exactly."""
+    from linkgraph.operators.similarity import seeded_pq_codebooks
+
+    books = seeded_pq_codebooks(dim, m, n_codes, seed)
+    dsub = dim // m
+    vals = ",\n".join(
+        f"({s}, {c}, {j}, {float(books[s][c][j])!r})"
+        for s in range(m)
+        for c in range(n_codes)
+        for j in range(dsub)
+    )
+    return f"""
+WITH ex AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+sx AS MATERIALIZED (
+  SELECT vec_id, (i - 1) // {dsub} AS s, (i - 1) % {dsub} AS j, x FROM ex),
+cb(s, c, j, v) AS (VALUES
+{vals}),
+dists AS MATERIALIZED (
+  SELECT e.vec_id, cb.s, cb.c, sum((e.x - cb.v) * (e.x - cb.v)) AS d
+  FROM sx e JOIN cb ON e.s = cb.s AND e.j = cb.j GROUP BY 1, 2, 3),
+codes AS MATERIALIZED (
+  SELECT vec_id, s, c FROM (
+    SELECT vec_id, s, c,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, c ASC) AS rn
+    FROM dists) WHERE rn = 1),
+adc AS (
+  SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id,
+         round(sum(q.d), 6) AS adist
+  FROM (SELECT * FROM dists WHERE vec_id < 5) q
+  JOIN codes cd ON cd.s = q.s AND cd.c = q.c AND cd.vec_id <> q.vec_id
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, neighbor_id, adist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adist ASC, neighbor_id ASC) AS rank
+  FROM adc)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adist
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _lpa_sql(k: int = 3) -> str:
     """Unrolled k-round deterministic synchronous LPA over the
     symmetrized hierarchy graph (unweighted votes, ties to min)."""
@@ -1738,6 +1790,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n_cells=8,
         nprobe=2,
     )
+
+    # --- PQ/ADC top-k (Jégou et al. 2011): seeded codebooks shared
+    # as constants with the SQL replay; the corpus is scanned as
+    # m-byte codes, each query carries its own m×k distance LUT
+    def _pq_topk(s, d):
+        from linkgraph.operators.similarity import pq_topk
+
+        return pq_topk(
+            _read(s, d, "embeddings"),
+            _read(s, d, "embeddings").filter("vec_id < 5"),
+            k=5,
+            m=4,
+            n_codes=8,
+            seed=11,
+        )
+
+    q["pq_topk_embeddings"] = _pq_topk
     # A forest's MSF is itself: run full Borůvka on the hierarchy
     # forest where the answer has a closed SQL form. (General-graph
     # MSF is NetworkX-verified in tests/test_mst.py.)
@@ -5515,6 +5584,7 @@ FROM customer
         "pagerank_converged": _pagerank_converged_sql(50),
         "ann_cosine_topk": _ann_topk_sql(5),
         "ivf_cosine_topk": _ivf_topk_sql(5),
+        "pq_topk_embeddings": _pq_topk_sql(),
         "ann_recall_ivf": f"""
 WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
                    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),

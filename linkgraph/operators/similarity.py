@@ -503,3 +503,200 @@ def topk_recall(
             (F.coalesce("hits", F.lit(0)) / F.col("k_exact")).alias("recall"),
         )
     )
+
+
+# --- product quantization (Jégou, Douze & Schmid, TPAMI 2011) ---------------
+
+
+def seeded_pq_codebooks(
+    dim: int, m: int = 4, k: int = 8, seed: int = 11
+) -> np.ndarray:
+    """Data-independent PQ codebooks, shape (m, k, dim/m): seeded
+    normal subvector centroids. Reproducible as SQL constants, so PQ
+    encode + ADC search are oracle-checkable end-to-end (the trained
+    path, ``pq_train``, is pytest-verified instead)."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(m, k, dim // m))
+
+
+def _subvec(vec_col: str, s: int, dsub: int):
+    return F.slice(_as_double(vec_col), s * dsub + 1, dsub)
+
+
+def _sub_dists_col(vec_col: str, s: int, book: np.ndarray):
+    """Array of squared L2 distances from subvector s to each of the
+    k centroids of its codebook — pure column math."""
+    dsub = book.shape[1]
+    sub = _subvec(vec_col, s, dsub)
+    cols = []
+    for c in book:
+        cent = F.array(*[F.lit(float(x)) for x in c])
+        cols.append(
+            F.aggregate(
+                F.zip_with(sub, cent, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+    return F.array(*cols)
+
+
+def _argmin_code(dists, k: int):
+    """Index of the smallest entry, ties to the lowest code."""
+    best = F.array_min(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: F.struct(F.element_at(dists, i + 1).alias("d"), i.alias("c")),
+        )
+    )
+    return best["c"].cast("int")
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DataFrame(id_col, codes array<int>): each vector compressed to
+    m codebook indices (nearest centroid per subspace, squared-L2,
+    ties to the lowest code). The 10^12-scale representation: a
+    64-dim float vector becomes m bytes; everything is JVM column
+    math fused into the scan."""
+    m, k, _ = codebooks.shape
+    codes = F.array(
+        *[
+            _argmin_code(_sub_dists_col(vec_col, s, codebooks[s]), k)
+            for s in range(m)
+        ]
+    )
+    return df.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> np.ndarray:
+    """Train PQ codebooks with per-subspace distributed Lloyd's:
+    assignment is the baked-literal nearest-centroid expression (one
+    pass over the exploded (id, sub, subvec) rows, all m subspaces at
+    once), update is a (sub, code)-keyed mean of subvector components
+    (map-side combined; m·k result rows collect to the driver — the
+    model is small, the data never moves). Empty clusters keep their
+    previous centroid. Deterministic: seeded init, argmin ties to the
+    lowest code."""
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("pq_train: empty input")
+    dim = len(first[0])
+    dsub = dim // m
+    books = seeded_pq_codebooks(dim, m, k, seed)
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"), _subvec(vec_col, s, dsub).alias("v")
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select("id", "e.s", "e.v").persist()
+    ex.count()
+    for _ in range(n_iter):
+        # when-chain so subspace s uses ITS codebook in the argmin
+        expr = None
+        for s in range(m):
+            dists = F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("v"),
+                            F.array(*[F.lit(float(x)) for x in books[s][c]]),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                    for c in range(k)
+                ]
+            )
+            this = _argmin_code(dists, k)
+            expr = this if expr is None else F.when(F.col("s") == F.lit(s), this).otherwise(expr)
+        assigned = ex.select("s", F.col("v"), expr.alias("c"))
+        means = (
+            assigned.groupBy("s", "c")
+            .agg(*[F.avg(F.element_at("v", j + 1)).alias(f"x{j}") for j in range(dsub)])
+            .collect()
+        )
+        for r in means:
+            books[r["s"]][r["c"]] = [r[f"x{j}"] for j in range(dsub)]
+    ex.unpersist()
+    return books
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    codebooks: np.ndarray | None = None,
+    m: int = 4,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: (query_id, neighbor_id, rank,
+    adist). The corpus lives as m-byte codes; each query precomputes
+    its m×k lookup table of subspace distances ONCE (column math on
+    the query row), and every candidate's approximate distance is m
+    table lookups — the ADC scan of Jégou et al. Ranking uses the
+    6-dp-rounded distance (ascending, ties to the lowest neighbor
+    id), so the top-k set is deterministic across engines.
+
+    Scale shape: the code table is the scan operand (25× smaller than
+    the raw vectors at 64-dim float → 4 codes); queries broadcast
+    with their LUTs; at 10^12 vectors compose with the IVF cells
+    (ivf_cosine_topk) so only probed cells are ADC-scanned. Pass
+    trained ``codebooks`` from pq_train, or omit for the seeded
+    quantizer (the oracle path)."""
+    first = corpus.select(vec_col).first()
+    if first is None:
+        raise ValueError("pq_topk: empty corpus")
+    dim = len(first[0])
+    if codebooks is None:
+        codebooks = seeded_pq_codebooks(dim, m, n_codes, seed)
+    mm, kk, _ = codebooks.shape
+    codes = pq_encode(corpus, codebooks, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    lut = F.array(
+        *[_sub_dists_col(vec_col, s, codebooks[s]) for s in range(mm)]
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), lut.alias("lut"))
+    adist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(mm - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.get(F.get(F.col("lut"), s), F.get(F.col("codes"), s)),
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(adist, 6).alias("adist"))
+    )
+    win = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adist")
+    )

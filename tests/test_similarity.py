@@ -283,3 +283,104 @@ def test_semantic_dedup_cross_cell_pairs_never_merge(spark):
     rows = semantic_dedup(df, threshold=-1.0, n_cells=2, seed=7).collect()
     assert {r.cluster for r in rows} == {0, 1}
     assert all(r.keep for r in rows)
+
+
+# --- product quantization (encode / train / ADC top-k) -----------------------
+
+
+def _np_pq_encode(X, B):
+    import numpy as np
+
+    m, k, d = B.shape
+    out = []
+    for x in X.astype(np.float64):
+        out.append(
+            [
+                int(((B[s] - x[s * d:(s + 1) * d]) ** 2).sum(axis=1).argmin())
+                for s in range(m)
+            ]
+        )
+    return out
+
+
+def _pq_fixture(spark, n=40, dim=16, seed=0):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    V = rng.normal(size=(n, dim)).astype(np.float32)
+    rows = [(i, [float(x) for x in V[i]]) for i in range(n)]
+    return V, spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_encode_matches_numpy(spark):
+    from linkgraph.operators.similarity import pq_encode, seeded_pq_codebooks
+
+    V, df = _pq_fixture(spark)
+    books = seeded_pq_codebooks(16, 4, 4, seed=11)
+    want = _np_pq_encode(V, books)
+    got = {r.vec_id: list(r.codes) for r in pq_encode(df, books).collect()}
+    assert all(got[i] == want[i] for i in range(len(V)))
+
+
+def test_pq_train_matches_numpy_lloyd(spark):
+    import numpy as np
+
+    from linkgraph.operators.similarity import pq_train, seeded_pq_codebooks
+
+    V, df = _pq_fixture(spark)
+    m, k, iters = 4, 4, 3
+    B = seeded_pq_codebooks(16, m, k, 11).copy()
+    d = 16 // m
+    X = V.astype(np.float64)
+    for _ in range(iters):
+        for s in range(m):
+            sub = X[:, s * d:(s + 1) * d]
+            a = ((sub[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+            for c in range(k):
+                if (a == c).any():
+                    B[s][c] = sub[a == c].mean(axis=0)
+    got = pq_train(df, m=m, k=k, n_iter=iters, seed=11)
+    assert np.allclose(B, got, atol=1e-9)
+
+
+def test_pq_topk_matches_numpy_adc(spark):
+    import numpy as np
+
+    from linkgraph.operators.similarity import pq_topk, seeded_pq_codebooks
+
+    V, df = _pq_fixture(spark)
+    books = seeded_pq_codebooks(16, 4, 4, seed=11)
+    codes = _np_pq_encode(V, books)
+    m, kc, d = books.shape
+    want = {}
+    for qi in (0, 1, 2):
+        x = V[qi].astype(np.float64)
+        lut = [
+            np.array(
+                [((books[s][c] - x[s * d:(s + 1) * d]) ** 2).sum() for c in range(kc)]
+            )
+            for s in range(m)
+        ]
+        sc = sorted(
+            (round(sum(lut[s][codes[ni][s]] for s in range(m)), 6), ni)
+            for ni in range(len(V))
+            if ni != qi
+        )
+        want[qi] = [(ni, r + 1) for r, (_, ni) in enumerate(sc[:5])]
+    got = {}
+    rows = pq_topk(df, df.filter("vec_id < 3"), k=5, codebooks=books)
+    for r in sorted(rows.collect(), key=lambda r: (r.query_id, r.rank)):
+        got.setdefault(r.query_id, []).append((r.neighbor_id, r.rank))
+    assert got == want
+
+
+def test_pq_validation(spark):
+    from linkgraph.operators.similarity import pq_topk, pq_train, seeded_pq_codebooks
+
+    with pytest.raises(ValueError, match="divisible"):
+        seeded_pq_codebooks(10, 4, 8)
+    _, df = _pq_fixture(spark)
+    with pytest.raises(ValueError, match="empty"):
+        pq_train(df.filter("vec_id < 0"))
+    with pytest.raises(ValueError, match="empty"):
+        pq_topk(df.filter("vec_id < 0"), df)
