@@ -2269,6 +2269,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["opic5_suppdir"] = _opic5
 
+    # --- crawl freshness: Cho & Garcia-Molina change-rate estimation
+    # over per-user event histories (url ↔ user, change flag = value
+    # threshold), then the uniform and proportional recrawl budgets
+    def _crawl_obs(s, d):
+        return _read(s, d, "events").select(
+            F.col("user_id").alias("url"),
+            # NTZ -> epoch seconds via UTC session (the sessionize trick)
+            F.col("ts").cast("timestamp_ltz").cast("double").alias("ts"),
+            (F.col("value") > 50).alias("changed"),
+        )
+
+    def _change_rates(s, d):
+        from linkgraph.operators.crawl import change_rates
+
+        return change_rates(_crawl_obs(s, d)).select(
+            "url", "n", "x",
+            F.round("interval_s", 6).alias("interval_s"),
+            F.round("lambda_hat", 9).alias("lambda_hat"),
+        )
+
+    q["change_rates_events"] = _change_rates
+
+    def _freshness(s, d):
+        from linkgraph.operators.crawl import change_rates, freshness_schedule
+
+        sched = freshness_schedule(
+            change_rates(_crawl_obs(s, d)), 100.0, policy="proportional"
+        )
+        return sched.select(
+            "url",
+            F.round("lambda_hat", 9).alias("lambda_hat"),
+            F.round("revisit_every_s", 6).alias("revisit_every_s"),
+            F.round("expected_freshness", 9).alias("expected_freshness"),
+        )
+
+    q["freshness_schedule_events"] = _freshness
+
     # --- crawl-snapshot delta: two deterministic crawls of the SAME
     # url space (seeds 42/43 → identical pages, different link sets),
     # edge sets classified added/removed/changed/kept and rolled up
@@ -5643,6 +5680,48 @@ SELECT host, path,
        rpath AS rule_path
 FROM sel WHERE rn = 1""",
         "opic5_suppdir": _unrolled_opic_sql(SUPP_DIR, "id", 5),
+        # Cho & Garcia-Molina improved estimator + freshness replay —
+        # identical operand order; lambda stays UNROUNDED inside the
+        # schedule (only outputs round)
+        "change_rates_events": """
+WITH obs AS (SELECT user_id AS url, CAST(epoch(ts) AS DOUBLE) AS t,
+                    (value > 50) AS ch FROM events),
+g AS (SELECT url, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN ch THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             max(t) - min(t) AS span
+      FROM obs GROUP BY 1)
+SELECT CAST(url AS BIGINT) AS url, n, x,
+       round(CASE WHEN n >= 2 THEN span / (n - 1) END, 6) AS interval_s,
+       round(CASE WHEN n >= 2 AND span / (n - 1) > 0
+                  THEN -ln((n - x + 0.5) / (n + 0.5)) / (span / (n - 1))
+             END, 9) AS lambda_hat
+FROM g
+""",
+        "freshness_schedule_events": """
+WITH obs AS (SELECT user_id AS url, CAST(epoch(ts) AS DOUBLE) AS t,
+                    (value > 50) AS ch FROM events),
+g AS (SELECT url, count(*) AS n,
+             sum(CASE WHEN ch THEN 1 ELSE 0 END) AS x,
+             max(t) - min(t) AS span
+      FROM obs GROUP BY 1),
+rates AS (SELECT url,
+                 CASE WHEN n >= 2 AND span / (n - 1) > 0
+                      THEN -ln((n - x + 0.5) / (n + 0.5)) / (span / (n - 1))
+                 END AS lam
+          FROM g),
+tot AS (SELECT coalesce(sum(lam), 0.0) AS sl FROM rates),
+sched AS (
+  SELECT url, lam,
+         CASE WHEN 100.0 * lam / (SELECT sl FROM tot) > 0
+              THEN 86400.0 / (100.0 * lam / (SELECT sl FROM tot)) END AS delta
+  FROM rates)
+SELECT CAST(url AS BIGINT) AS url, round(lam, 9) AS lambda_hat,
+       round(delta, 6) AS revisit_every_s,
+       round(CASE WHEN lam * delta > 0
+                  THEN (1.0 - exp(-(lam * delta))) / (lam * delta)
+                  WHEN lam * delta = 0 THEN 1.0 END, 9) AS expected_freshness
+FROM sched
+""",
         "alias_chains_suppliers": _alias_doubling_sql(8),
         "crawl_schedule_docs": """
 SELECT source AS host, doc_id,

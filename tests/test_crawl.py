@@ -329,3 +329,70 @@ def test_robots_rules_table_shape(spark):
     pats = {r.path: r.pattern for r in rows}
     assert pats["/a.b"] == "^/a\\.b"
     assert pats["/c(d)/*e$"] == "^/c\\(d\\)/.*e$"
+
+
+# --- change-rate estimation + freshness scheduling ---------------------------
+
+
+def test_change_rates_matches_closed_form(spark):
+    import math
+
+    from linkgraph.operators.crawl import change_rates
+
+    # url 1: 5 accesses 100s apart, 2 changes; url 2: every access
+    # changed (estimator stays finite); url 3: single access → NULLs
+    rows = (
+        [(1, 1000.0 + 100 * i, i in (1, 3)) for i in range(5)]
+        + [(2, 2000.0 + 50 * i, True) for i in range(4)]
+        + [(3, 9000.0, True)]
+    )
+    obs = spark.createDataFrame(rows, "url long, ts double, changed boolean")
+    got = {r.url: r for r in change_rates(obs).collect()}
+    r1 = -math.log((5 - 2 + 0.5) / 5.5)
+    assert got[1].n == 5 and got[1].x == 2
+    assert abs(got[1].interval_s - 100.0) < 1e-9
+    assert abs(got[1].lambda_hat - r1 / 100.0) < 1e-12
+    r2 = -math.log(0.5 / 4.5)
+    assert abs(got[2].lambda_hat - r2 / 50.0) < 1e-12
+    assert got[3].interval_s is None and got[3].lambda_hat is None
+
+
+def test_freshness_schedule_policies(spark):
+    import math
+
+    from linkgraph.operators.crawl import change_rates, freshness_schedule
+
+    rows = [(1, 100.0 * i, i % 2 == 1) for i in range(10)] + [
+        (2, 1000.0 * i, i in (3,)) for i in range(10)
+    ]
+    obs = spark.createDataFrame(rows, "url long, ts double, changed boolean")
+    rates = change_rates(obs)
+    lam = {r.url: r.lambda_hat for r in rates.collect()}
+
+    uni = {r.url: r for r in freshness_schedule(rates, 4.0, "uniform").collect()}
+    # 2 urls, 4 fetches/day → every 0.5 day each
+    assert abs(uni[1].revisit_every_s - 43200.0) < 1e-6
+    for u in (1, 2):
+        ld = lam[u] * uni[u].revisit_every_s
+        assert abs(uni[u].expected_freshness - (1 - math.exp(-ld)) / ld) < 1e-12
+
+    prop = {
+        r.url: r for r in freshness_schedule(rates, 4.0, "proportional").collect()
+    }
+    tot = lam[1] + lam[2]
+    for u in (1, 2):
+        freq = 4.0 * lam[u] / tot
+        assert abs(prop[u].revisit_every_s - 86400.0 / freq) < 1e-6
+
+    # the paper's headline: uniform total freshness >= proportional
+    assert (
+        uni[1].expected_freshness + uni[2].expected_freshness
+        >= prop[1].expected_freshness + prop[2].expected_freshness
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="policy"):
+        freshness_schedule(rates, 4.0, "optimal")
+    with _pytest.raises(ValueError, match="budget"):
+        freshness_schedule(rates, 0.0)
