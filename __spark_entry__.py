@@ -37,6 +37,7 @@ from linkgraph.functions.text import (
     token_count_col,
 )
 from linkgraph.operators.components import (
+    connected_components_alternating,
     strongly_connected_components,
     weakly_connected_components,
 )
@@ -1175,6 +1176,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["wcc_hierarchy"] = lambda s, d: (
         weakly_connected_components(
+            LinkGraph(_hierarchy_edges(s, d), directed=True)
+        ).state
+    )
+    q["wcc_alternating_hierarchy"] = lambda s, d: (
+        connected_components_alternating(
             LinkGraph(_hierarchy_edges(s, d), directed=True)
         ).state
     )
@@ -4539,6 +4545,20 @@ SELECT verts.id,
 FROM verts LEFT JOIN agg ON verts.id = agg.id
 """,
         "wcc_hierarchy": f"""
+WITH RECURSIVE e AS ({HIER}),
+sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+v AS (SELECT DISTINCT src AS id FROM sym),
+reach(id, r) AS (
+  SELECT id, id FROM v
+  UNION
+  SELECT reach.id, s.dst FROM reach JOIN sym s ON reach.r = s.src
+)
+SELECT id, min(r) AS component FROM reach GROUP BY id
+""",
+        # same min-id-per-weak-component semantics as wcc_hierarchy —
+        # the star-contraction algorithm must agree with the
+        # transitive-closure oracle exactly
+        "wcc_alternating_hierarchy": f"""
 WITH RECURSIVE e AS ({HIER}),
 sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
 v AS (SELECT DISTINCT src AS id FROM sym),

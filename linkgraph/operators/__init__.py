@@ -27,7 +27,11 @@ from linkgraph.operators.spectral import (
     salsa,
 )
 from linkgraph.operators.truss import k_truss, truss_numbers
-from linkgraph.operators.components import strongly_connected_components, weakly_connected_components
+from linkgraph.operators.components import (
+    connected_components_alternating,
+    strongly_connected_components,
+    weakly_connected_components,
+)
 from linkgraph.operators.kcore import core_numbers, k_core
 from linkgraph.operators.layout import (
     circular_layout,
@@ -142,6 +146,7 @@ __all__ = [
     "pagerank",
     "weakly_connected_components",
     "strongly_connected_components",
+    "connected_components_alternating",
     "label_propagation",
     "triangle_counts",
     "clustering_coefficients",

@@ -1,4 +1,5 @@
 import networkx as nx
+import pytest
 
 from conftest import collect_map, graph_from_edges
 from linkgraph.operators.components import (
@@ -176,3 +177,72 @@ def test_wcc_warm_start_additions_only(spark):
             assert c[v] == m
     # warm start converges in no more rounds than cold (usually fewer)
     assert warm1.iterations <= cold1.iterations
+
+
+# --- alternating large-star / small-star WCC (Kiveris et al. 2014) ----------
+
+
+def test_alternating_cc_two_components(two_components):
+    from linkgraph.operators.components import connected_components_alternating
+
+    got = collect_map(
+        connected_components_alternating(two_components).state, "id", "component"
+    )
+    assert _partition(got) == {frozenset({1, 2}), frozenset({3, 4})}
+    assert got[1] == 1 and got[2] == 1 and got[3] == 3
+
+
+def test_alternating_cc_random_vs_networkx(spark):
+    import numpy as np
+
+    from linkgraph.operators.components import connected_components_alternating
+
+    rng = np.random.RandomState(4242)
+    edges = {(int(rng.randint(0, 120)), int(rng.randint(0, 120))) for _ in range(200)}
+    edges = [(a, b) for a, b in edges if a != b]
+    g = graph_from_edges(spark, edges, vertices=range(120))
+    G = nx.DiGraph()
+    G.add_nodes_from(range(120))
+    G.add_edges_from(edges)
+    got = collect_map(
+        connected_components_alternating(g).state, "id", "component"
+    )
+    want = {}
+    for c in nx.weakly_connected_components(G):
+        m = min(c)
+        for v in c:
+            want[v] = m
+    assert got == want  # labels exactly min-id, isolated vertices included
+
+
+def test_alternating_cc_deep_chain_logsq_rounds(spark):
+    """A 300-vertex path needs ~300 min-label rounds but converges in
+    O(log^2 n) star-contraction rounds (measured: 10)."""
+    from linkgraph.operators.components import connected_components_alternating
+
+    g = graph_from_edges(spark, [(i, i + 1) for i in range(300)], directed=False)
+    res = connected_components_alternating(g, max_iter=16)
+    assert res.iterations <= 16
+    labels = collect_map(res.state, "id", "component")
+    assert set(labels.values()) == {0}
+    assert len(labels) == 301
+
+
+def test_alternating_cc_resume_after_kill(spark, tmp_path):
+    from linkgraph.operators.components import connected_components_alternating
+    from linkgraph.plans.iterate import ConvergenceError
+
+    g = graph_from_edges(spark, [(i, i + 1) for i in range(120)], directed=False)
+    want = collect_map(
+        connected_components_alternating(g).state, "id", "component"
+    )
+    d = str(tmp_path / "altcc")
+    with pytest.raises(ConvergenceError):
+        connected_components_alternating(
+            g, max_iter=3, checkpoint_dir=d, checkpoint_every=1
+        )
+    res = connected_components_alternating(
+        g, checkpoint_dir=d, checkpoint_every=1
+    )
+    assert res.stats[0].resumed  # continued from the durable edge frame
+    assert collect_map(res.state, "id", "component") == want
