@@ -57,6 +57,7 @@ from linkgraph.operators.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_col,
+    simhash_hamming_pairs,
 )
 from linkgraph.operators.centrality import (
     betweenness_centrality,
@@ -1230,6 +1231,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["simhash"] = lambda s, d: _docs(s, d).select(
         "doc_id", simhash_col(F.col("text"), 16).alias("simhash")
+    )
+    q["simhash_hamming_docs"] = lambda s, d: simhash_hamming_pairs(
+        _docs(s, d), "doc_id", "text", bits=48, k=3
     )
     q["text_stats"] = lambda s, d: _docs(s, d).select(
         "doc_id",
@@ -4966,6 +4970,15 @@ FROM common JOIN sizes na ON common.a = na.doc_id JOIN sizes nb ON common.b = nb
 WHERE round(common * 1.0 / (na.n + nb.n - common), 6) >= 0.5
 """,
         "simhash": _simhash_sql(16),
+        # all-pairs Hamming ball — the block join is recall-lossless,
+        # so brute force is the exact oracle
+        "simhash_hamming_docs": f"""
+WITH sh AS MATERIALIZED ({_simhash_sql(48)})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
         "dedup_clusters": _dedup_clusters_sql(32, 8, 0.5),
         "training_corpus_filter": f"""
 WITH clusters AS MATERIALIZED ({_dedup_clusters_sql(32, 8, 0.5)}),

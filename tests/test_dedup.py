@@ -297,3 +297,63 @@ def test_remove_duplicated_spans(spark):
     # duplication must be CROSS-document: a doc repeating its own gram
     # keeps it
     assert got[5][1] == 0
+
+
+def test_simhash_hamming_pairs_vs_python_replica(spark):
+    """Manku block-join result == brute-force all-pairs Hamming ball
+    over a pure-Python SimHash replica, at an exact-width split
+    (48/4) and a remainder split (50 → widths 13,13,12,12)."""
+    import hashlib
+    import itertools
+    import re
+
+    from linkgraph.operators.dedup import simhash_hamming_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again every single day"
+    rows = [
+        (1, base),
+        (2, base),
+        (3, base.replace("lazy", "sleepy")),
+        (4, base.replace("quick", "slow").replace("dog", "cat")),
+        (5, "completely different content about spark shuffles and partitions at scale"),
+        (6, "another unrelated document mentioning graphs pagerank and components"),
+        (7, base + " with a small suffix appended"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def md5int(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def py_simhash(text, bits):
+        toks = re.findall(r"[a-z0-9]+", text.lower())
+        hs = [md5int(t) for t in toks]
+        acc = 0
+        for i in range(bits):
+            if 2 * sum(1 for h in hs if h & (1 << i)) > len(hs):
+                acc |= 1 << i
+        return acc
+
+    for bits, k in [(48, 3), (50, 3), (16, 4)]:
+        want = set()
+        sh = {i: py_simhash(t, bits) for i, t in rows}
+        for a, b in itertools.combinations(sorted(sh), 2):
+            d = bin(sh[a] ^ sh[b]).count("1")
+            if d <= k:
+                want.add((a, b, d))
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_hamming_pairs(df, "doc_id", "text", bits=bits, k=k).collect()
+        }
+        assert got == want, (bits, k, got, want)
+        assert any(p[0] == 1 and p[1] == 2 and p[2] == 0 for p in want)  # exact dup present
+
+
+def test_simhash_hamming_pairs_rejects_bad_width():
+    import pytest as _pytest
+
+    from linkgraph.operators.dedup import simhash_hamming_pairs
+
+    with _pytest.raises(ValueError):
+        simhash_hamming_pairs(None, "doc_id", "text", bits=64, k=3)
+    with _pytest.raises(ValueError):
+        simhash_hamming_pairs(None, "doc_id", "text", bits=3, k=3)
