@@ -537,6 +537,89 @@ s{i} AS MATERIALIZED (
     )
 
 
+def _wtf_sql(
+    ppr_k: int = 4,
+    cot: int = 6,
+    salsa_k: int = 5,
+    topk: int = 5,
+    alpha: float = 0.85,
+) -> str:
+    """Unrolled Who-to-Follow composite (operators/recommend.
+    who_to_follow): batched sparse PPR over the SYMMETRIZED
+    customer—supplier graph (seeds = 3 smallest ids, _ppr_batch_sql
+    semantics) → per-seed top-``cot`` circle of trust (round-9 rank,
+    id ties) → per-seed bipartite personalized SALSA, ``salsa_k``
+    rounds with per-seed L1 normalization → top-``topk`` authorities
+    minus the seed and its existing neighbors."""
+    pre = f"""
+WITH base AS MATERIALIZED (SELECT src, dst FROM ({CUST_SUPP})),
+e AS MATERIALIZED (SELECT src, dst, 1.0 AS w FROM base
+                   UNION ALL SELECT dst, src, 1.0 FROM base),
+outs AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
+trans AS MATERIALIZED (
+  SELECT e.src, e.dst, e.w / o.ow AS p FROM e JOIN outs o ON e.src = o.src),
+verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+seeds AS MATERIALIZED (SELECT id AS seed FROM verts ORDER BY id LIMIT 3),
+s0 AS (SELECT seed, seed AS id, 1.0 AS r FROM seeds)"""
+    its = []
+    for i in range(1, ppr_k + 1):
+        its.append(f""",
+s{i} AS MATERIALIZED (
+  SELECT seed, id, sum(r) AS r FROM (
+    SELECT s.seed, t.dst AS id, {alpha} * s.r * t.p AS r
+    FROM s{i-1} s JOIN trans t ON s.id = t.src
+    UNION ALL
+    SELECT s.seed, s.seed AS id, {alpha} * sum(s.r) AS r
+    FROM s{i-1} s WHERE s.id NOT IN (SELECT src FROM trans) GROUP BY s.seed
+    UNION ALL
+    SELECT seed, seed AS id, {1.0 - alpha} AS r FROM seeds
+  ) GROUP BY 1, 2)""")
+    its.append(f""",
+cot AS MATERIALIZED (
+  SELECT seed, id FROM (
+    SELECT seed, id, row_number() OVER (
+      PARTITION BY seed ORDER BY round(r, 9) DESC, id ASC) AS rn
+    FROM s{ppr_k}) WHERE rn <= {cot}),
+bip AS MATERIALIZED (
+  SELECT c.seed, e.src, e.dst FROM cot c JOIN e ON c.id = e.src),
+bod AS (SELECT seed, src, 1.0 / count(*) AS wa FROM bip GROUP BY 1, 2),
+bid AS (SELECT seed, dst, 1.0 / count(*) AS wh FROM bip GROUP BY 1, 2),
+bw AS MATERIALIZED (
+  SELECT b.seed, b.src, b.dst, o.wa, i.wh FROM bip b
+  JOIN bod o ON b.seed = o.seed AND b.src = o.src
+  JOIN bid i ON b.seed = i.seed AND b.dst = i.dst),
+nh AS (SELECT seed, 1.0 / count(DISTINCT src) AS h0 FROM bw GROUP BY 1),
+h0 AS MATERIALIZED (
+  SELECT DISTINCT b.seed, b.src AS id, n.h0 AS hub
+  FROM bw b JOIN nh n ON b.seed = n.seed)""")
+    for i in range(1, salsa_k + 1):
+        its.append(f""",
+ar{i} AS (SELECT b.seed, b.dst, sum(h.hub * b.wa) AS r
+          FROM h{i-1} h JOIN bw b ON h.seed = b.seed AND h.id = b.src
+          GROUP BY 1, 2),
+a{i} AS MATERIALIZED (
+  SELECT seed, dst AS id,
+         r / sum(r) OVER (PARTITION BY seed) AS authority FROM ar{i}),
+hr{i} AS (SELECT b.seed, b.src, sum(a.authority * b.wh) AS r
+          FROM a{i} a JOIN bw b ON a.seed = b.seed AND a.id = b.dst
+          GROUP BY 1, 2),
+h{i} AS MATERIALIZED (
+  SELECT seed, src AS id,
+         r / sum(r) OVER (PARTITION BY seed) AS hub FROM hr{i})""")
+    post = f"""
+SELECT seed, id, score, pos FROM (
+  SELECT a.seed, a.id, round(a.authority, 9) AS score,
+         row_number() OVER (
+           PARTITION BY a.seed
+           ORDER BY round(a.authority, 9) DESC, a.id ASC) AS pos
+  FROM a{salsa_k} a
+  WHERE a.id <> a.seed
+    AND NOT EXISTS (SELECT 1 FROM e WHERE e.src = a.seed AND e.dst = a.id))
+WHERE pos <= {topk}
+"""
+    return pre + "".join(its) + post
+
+
 def _salsa_sql(k: int = 5) -> str:
     """Unrolled k-iteration SALSA (degree-normalized alternating walk,
     per-step L1 normalization — operators/spectral.salsa) over the
@@ -2075,6 +2158,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ppr_batch_suppdir"] = _ppr_batch
+
+    def _wtf(s, d):
+        from linkgraph.operators.recommend import who_to_follow
+
+        # undirected customer—supplier graph: the collaborative-
+        # filtering shape (recommend customers who buy from the same
+        # suppliers); the dense supp graphs have no unfollowed
+        # candidates at small SF
+        g = LinkGraph(tpch_edges(s, d), directed=False)
+        seeds = (
+            g.vertices.orderBy("id").limit(3).select(F.col("id").alias("seed"))
+        )
+        return who_to_follow(g, seeds, ppr_k=4, cot_size=6, salsa_k=5, topk=5)
+
+    q["wtf_recommendations_custsupp"] = _wtf
 
     q["salsa5_cust_supp"] = lambda s, d: (
         salsa_fixed_iterations(_cust_supp(s, d), k=5).select(
@@ -4591,6 +4689,7 @@ FROM v LEFT JOIN mutual m ON v.id = m.v GROUP BY v.id
         "hits5_cust_supp": _hits_sql(5),
         "salsa5_cust_supp": _salsa_sql(5),
         "ppr_batch_suppdir": _ppr_batch_sql(4),
+        "wtf_recommendations_custsupp": _wtf_sql(4, 6, 5, 5),
         "eigenvector5_suppco": _eigen_sql(5),
         "katz5_suppdir": _katz_sql(5),
         "avg_nbr_degree_suppdir": f"""
