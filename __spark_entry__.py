@@ -2223,6 +2223,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).stats.select("h", "vertices", "sum_rho", "sum_pow")
     )
 
+    def _eff_diam(s, d):
+        from linkgraph.operators.anf import effective_diameter_table
+
+        return effective_diameter_table(
+            neighborhood_function(
+                LinkGraph(_hierarchy_edges(s, d), directed=True),
+                max_h=4,
+                n_sketches=4,
+                seed=0,
+            ),
+            q=0.9,
+        )
+
+    q["effective_diameter_hierarchy"] = _eff_diam
+
     # --- HyperBall geometric centralities (Boldi & Vigna 2013):
     # approximate harmonic / distance-sum / closeness for EVERY
     # vertex from the same FM sketches in O(diameter) rounds — the
@@ -3623,6 +3638,53 @@ v{i} AS MATERIALIZED (
         for k in range(h_rounds + 1)
     )
     return pre + "".join(its) + "\n" + levels
+
+
+def _eff_diam_sql(h_rounds: int = 4, r: int = 4, seed: int = 0, q: float = 0.9) -> str:
+    """Effective diameter readout over the _anf_sql sketch replay:
+    per-level N(h) estimate Σ_v 2^(mean rho)/φ rounded to 6 dp (the
+    engine rounds identically in effective_diameter_table), smallest
+    h reaching q·N(max_h)."""
+
+    def hj(j: int) -> str:
+        return (
+            "CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || "
+            f"':{j}:{seed}'), 1, 15)) AS BIGINT)"
+        )
+
+    bits = ", ".join(
+        f"(1::BIGINT << least(59, bit_count(({hj(j)} & -{hj(j)}) - 1))) AS s{j}"
+        for j in range(r)
+    )
+    rho = " + ".join(f"bit_count(((~s{j}) & (s{j} + 1)) - 1)" for j in range(r))
+    est = f"pow(2.0, ({rho}) / {float(r)!r}) / 0.77351"
+    pre = f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM ({HIER}) WHERE src <> dst),
+verts AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+v0 AS MATERIALIZED (SELECT id, {bits} FROM verts)"""
+    its = []
+    for i in range(1, h_rounds + 1):
+        gors = ", ".join(f"bit_or(u.s{j}) AS g{j}" for j in range(r))
+        merge = ", ".join(f"v.s{j} | coalesce(g.g{j}, 0) AS s{j}" for j in range(r))
+        its.append(f""",
+g{i} AS (SELECT e.src AS id, {gors} FROM e JOIN v{i-1} u ON e.dst = u.id GROUP BY 1),
+v{i} AS MATERIALIZED (
+  SELECT v.id, {merge} FROM v{i-1} v LEFT JOIN g{i} g ON v.id = g.id)""")
+    levels = "\nUNION ALL\n".join(
+        f"SELECT {k} AS h, round(sum({est}), 6) AS e FROM v{k}"
+        for k in range(h_rounds + 1)
+    )
+    return (
+        pre
+        + "".join(its)
+        + f""",
+lv AS MATERIALIZED (
+{levels})
+SELECT CAST(min(h) AS INT) AS eff_diameter
+FROM lv WHERE e >= {q} * (SELECT max(e) FROM lv)
+"""
+    )
 
 
 def _hyperball_sql(h_rounds: int = 4, r: int = 4, seed: int = 0) -> str:
@@ -5972,6 +6034,7 @@ SELECT media_id, width, height,
 FROM k
 """,
         "anf_hierarchy": _anf_sql(),
+        "effective_diameter_hierarchy": _eff_diam_sql(),
         "hyperball_hierarchy": _hyperball_sql(),
         "temporal_reachability": _temporal_sql(),
         "louvain_hierarchy": _louvain_sql(),

@@ -212,6 +212,20 @@ def effective_diameter(result: ANFResult, q: float = 0.9) -> int:
     return int(rows[-1]["h"])  # pragma: no cover - q <= 1 always hits
 
 
+def effective_diameter_table(result: ANFResult, q: float = 0.9) -> DataFrame:
+    """``effective_diameter`` as a 1-row DataFrame(eff_diameter) —
+    the contract-comparable form: estimates round to 6 dp BEFORE the
+    threshold test (both engines then compare identical doubles, so
+    the h readout replays exactly in SQL), and nothing collects."""
+    st = result.stats.select("h", F.round("est_pairs", 6).alias("e"))
+    mx = st.agg(F.max("e").alias("m"))
+    return (
+        st.crossJoin(mx)
+        .filter(F.col("e") >= F.lit(q) * F.col("m"))
+        .agg(F.min("h").cast("int").alias("eff_diameter"))
+    )
+
+
 def hyperball_centralities(
     graph: LinkGraph,
     max_h: int = 8,

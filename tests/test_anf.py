@@ -119,3 +119,15 @@ def test_effective_diameter_on_path(spark):
     ed = effective_diameter(res, q=0.99)
     assert 4 <= ed <= 5
     assert res.rounds_run <= 6
+
+
+def test_effective_diameter_table_matches_collect_readout(spark):
+    from linkgraph.operators.anf import effective_diameter_table
+
+    g = graph_from_edges(spark, [(i, i + 1) for i in range(1, 6)])
+    res = neighborhood_function(g, max_h=8, n_sketches=32)
+    for q in (0.9, 0.99):
+        got = effective_diameter_table(res, q=q).collect()[0]["eff_diameter"]
+        # identical to the driver-side readout (round-6 threshold only
+        # matters at exact rounding boundaries, absent here)
+        assert got == effective_diameter(res, q=q)
