@@ -2414,6 +2414,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["change_rates_events"] = _change_rates
 
+    def _url_seen(s, d):
+        from linkgraph.operators.crawl import url_seen_filter
+
+        seen = _read(s, d, "customer").select(
+            F.concat(
+                F.lit("http://h"),
+                (F.col("c_custkey") % 50).cast("long").cast("string"),
+                F.lit(".test/p"),
+                F.col("c_custkey").cast("long").cast("string"),
+            ).alias("url")
+        )
+        orders = _read(s, d, "orders")
+        dup = orders.select(
+            F.concat(
+                F.lit("http://h"),
+                (F.col("o_custkey") % 50).cast("long").cast("string"),
+                F.lit(".test/p"),
+                F.col("o_custkey").cast("long").cast("string"),
+            ).alias("url")
+        )
+        new = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+            F.concat(
+                F.lit("http://new.test/o"),
+                F.col("o_orderkey").cast("long").cast("string"),
+            ).alias("url")
+        )
+        frontier = dup.unionAll(new).distinct()
+        return url_seen_filter(
+            seen, frontier, shards=16, m_bits=1 << 14, k=4
+        ).select("url", "maybe_seen", "is_new")
+
+    q["url_seen_frontier"] = _url_seen
+
     def _freshness(s, d):
         from linkgraph.operators.crawl import change_rates, freshness_schedule
 
@@ -3638,6 +3671,49 @@ v{i} AS MATERIALIZED (
         for k in range(h_rounds + 1)
     )
     return pre + "".join(its) + "\n" + levels
+
+
+def _url_seen_sql(shards: int = 16, m_bits: int = 1 << 14, k: int = 4, seed: int = 0) -> str:
+    """Full bloom replay (operators/crawl.url_bloom /
+    bloom_might_contain / url_seen_filter): identical md5-derived bit
+    positions, 60-bit words (no 1<<63 — DuckDB raises on it), bit_or
+    bitmap, all-k-bits probe, plus the exact is_new anti-join."""
+    pos = lambda j: f"{_md5int(f'''url || ':{j}:{seed}' ''')} % {m_bits}"  # noqa: E731
+    shard = f"{_md5int(f'''url || ':s:{seed}' ''')} % {shards}"
+    sets = "\nUNION ALL\n".join(
+        f"SELECT url, {shard} AS shard, ({pos(j)}) // 60 AS word, "
+        f"1::BIGINT << (({pos(j)}) % 60) AS mask FROM seen"
+        for j in range(k)
+    )
+    probes = "\nUNION ALL\n".join(
+        f"SELECT url, {shard} AS shard, ({pos(j)}) // 60 AS word, "
+        f"1::BIGINT << (({pos(j)}) % 60) AS mask FROM frontier"
+        for j in range(k)
+    )
+    return f"""
+WITH seen AS MATERIALIZED (
+  SELECT 'http://h' || CAST(CAST(c_custkey % 50 AS BIGINT) AS VARCHAR)
+         || '.test/p' || CAST(CAST(c_custkey AS BIGINT) AS VARCHAR) AS url
+  FROM customer),
+frontier AS MATERIALIZED (
+  SELECT DISTINCT url FROM (
+    SELECT 'http://h' || CAST(CAST(o_custkey % 50 AS BIGINT) AS VARCHAR)
+           || '.test/p' || CAST(CAST(o_custkey AS BIGINT) AS VARCHAR) AS url
+    FROM orders
+    UNION ALL
+    SELECT 'http://new.test/o' || CAST(CAST(o_orderkey AS BIGINT) AS VARCHAR)
+    FROM orders WHERE o_orderkey % 13 = 0)),
+bloom AS MATERIALIZED (
+  SELECT shard, word, bit_or(mask) AS bits FROM (
+{sets}) GROUP BY 1, 2),
+probe AS (
+{probes})
+SELECT p.url,
+       bool_and((coalesce(b.bits, 0) & p.mask) <> 0) AS maybe_seen,
+       bool_and(p.url NOT IN (SELECT url FROM seen)) AS is_new
+FROM probe p LEFT JOIN bloom b ON p.shard = b.shard AND p.word = b.word
+GROUP BY p.url
+"""
 
 
 def _eff_diam_sql(h_rounds: int = 4, r: int = 4, seed: int = 0, q: float = 0.9) -> str:
@@ -6035,6 +6111,7 @@ FROM k
 """,
         "anf_hierarchy": _anf_sql(),
         "effective_diameter_hierarchy": _eff_diam_sql(),
+        "url_seen_frontier": _url_seen_sql(),
         "hyperball_hierarchy": _hyperball_sql(),
         "temporal_reachability": _temporal_sql(),
         "louvain_hierarchy": _louvain_sql(),

@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from linkgraph.functions.text import md5int_col
 from linkgraph.graph import LinkGraph
 from linkgraph.plans.iterate import LineageChain
 from linkgraph.plans.partitioning import shuffle_width
@@ -643,3 +644,138 @@ def freshness_schedule(
         delta.alias("revisit_every_s"),
         fresh.alias("expected_freshness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL-seen test: sharded Bloom prefilter for the crawl frontier
+# ---------------------------------------------------------------------------
+
+
+def _bloom_pos(url: Column, j: int, m_bits: int, seed: int) -> Column:
+    """Portable bloom bit position j for ``url`` — md5-derived (the
+    engine's cross-engine hash convention) so the exact bitmap
+    replays in ANSI SQL; swap to xxhash64 at production scale if the
+    oracle path isn't needed."""
+    return F.pmod(
+        md5int_col(F.concat(url, F.lit(f":{j}:{seed}"))), F.lit(m_bits)
+    ).cast("int")
+
+
+def _bloom_shard(url: Column, shards: int, seed: int) -> Column:
+    return F.pmod(
+        md5int_col(F.concat(url, F.lit(f":s:{seed}"))), F.lit(shards)
+    ).cast("int")
+
+
+def url_bloom(
+    seen: DataFrame,
+    url_col: str = "url",
+    shards: int = 64,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """DataFrame(shard, bm: map<int,bigint>) — a sharded Bloom filter
+    over the seen-URL set (the Mercator crawler's URL-seen test,
+    Heydon & Najork 1999; Bloom CACM'70), built entirely as column
+    math: k md5-derived bit positions per URL, one bit_or groupBy on
+    (shard, word) — 60-bit words, so every set-bit shift stays inside
+    a signed 64-bit lane and the bitmap replays in engines that raise
+    on 1<<63 —, one map_from_entries per shard. Occupied words
+    only, so the table's size tracks the SET bits, and the whole
+    filter broadcasts to the frontier scan.
+
+    Sharding is the 10^12-URL answer: one monolithic filter for a
+    trillion seen URLs cannot live in one task, but each shard
+    covers ~|seen|/shards URLs with its own m_bits-bit space —
+    size m_bits and shards together so per-shard load keeps the
+    false-positive rate (≈ (1 - e^(-k·n/m))^k) at target, and raise
+    shards, not m_bits, as the corpus grows.
+    """
+    url = F.col(url_col)
+    word_bits = []
+    for j in range(k):
+        p = _bloom_pos(url, j, m_bits, seed)
+        word_bits.append(
+            F.struct(
+                (p / 60).cast("int").alias("word"),
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), F.pmod(p, F.lit(60))
+                ).alias("b"),
+            )
+        )
+    return (
+        seen.select(
+            _bloom_shard(url, shards, seed).alias("shard"),
+            F.explode(F.array(*word_bits)).alias("wb"),
+        )
+        .select("shard", F.col("wb.word").alias("word"), F.col("wb.b").alias("b"))
+        .groupBy("shard", "word")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+        .groupBy("shard")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("word", "bits")))
+            ).alias("bm")
+        )
+    )
+
+
+def bloom_might_contain(
+    frontier: DataFrame,
+    bloom: DataFrame,
+    url_col: str = "url",
+    m_bits: int = 1 << 16,
+    k: int = 4,
+    shards: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """``frontier`` plus a ``maybe_seen`` column: true iff all k bloom
+    bits for the URL are set in its shard's bitmap. The bloom table
+    broadcasts (shards rows); the frontier never shuffles."""
+    url = F.col(url_col)
+    probed = frontier.withColumn("shard", _bloom_shard(url, shards, seed)).join(
+        F.broadcast(bloom), "shard", "left"
+    )
+    cond = F.lit(True)
+    for j in range(k):
+        p = _bloom_pos(url, j, m_bits, seed)
+        word = (p / 60).cast("int")
+        bit = F.call_function("shiftleft", F.lit(1).cast("long"), F.pmod(p, F.lit(60)))
+        cond = cond & (
+            F.coalesce(F.element_at(F.col("bm"), word), F.lit(0).cast("long"))
+            .bitwiseAND(bit)
+            != 0
+        )
+    return probed.withColumn("maybe_seen", cond).drop("shard", "bm")
+
+
+def url_seen_filter(
+    seen: DataFrame,
+    frontier: DataFrame,
+    url_col: str = "url",
+    shards: int = 64,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """Frontier rows with ``maybe_seen`` (bloom verdict) and ``is_new``
+    (EXACT: not in the seen set). Two-phase and exact: bloom has no
+    false negatives, so only the maybe_seen fraction (true dups +
+    ≈fpp of the rest) reaches the anti-join against the seen table —
+    at 10^12 seen URLs the definite-new majority of a crawl's
+    candidate frontier never shuffles at all.
+    """
+    probed = bloom_might_contain(
+        frontier, url_bloom(seen, url_col, shards, m_bits, k, seed),
+        url_col, m_bits, k, shards, seed,
+    )
+    maybe = probed.filter(F.col("maybe_seen"))
+    hits = maybe.join(
+        seen.select(F.col(url_col)).distinct(), url_col, "left_semi"
+    ).select(F.col(url_col).alias("_hit"))
+    confirmed = maybe.join(hits, maybe[url_col] == F.col("_hit"), "left").select(
+        *probed.columns, F.col("_hit").isNull().alias("is_new")
+    )
+    definite = probed.filter(~F.col("maybe_seen")).withColumn("is_new", F.lit(True))
+    return definite.unionByName(confirmed)

@@ -396,3 +396,47 @@ def test_freshness_schedule_policies(spark):
         freshness_schedule(rates, 4.0, "optimal")
     with _pytest.raises(ValueError, match="budget"):
         freshness_schedule(rates, 0.0)
+
+
+# --- Bloom URL-seen prefilter ------------------------------------------------
+
+
+def test_url_seen_filter_exact_vs_anti_join(spark):
+    """The two-phase bloom path returns EXACTLY the anti-join answer
+    (no false negatives by construction), and maybe_seen has no
+    false negatives either: every true dup is flagged maybe."""
+    from linkgraph.operators.crawl import url_seen_filter
+
+    seen = spark.createDataFrame(
+        [(f"http://h{i % 7}.test/p{i}",) for i in range(400)], "url string"
+    )
+    frontier = spark.createDataFrame(
+        [(f"http://h{i % 7}.test/p{i}",) for i in range(300, 700)]
+        + [(f"http://new{i}.test/x",) for i in range(50)],
+        "url string",
+    )
+    out = url_seen_filter(seen, frontier, shards=8, m_bits=1 << 12, k=4).collect()
+    assert len(out) == frontier.count()
+    seen_set = {r["url"] for r in seen.collect()}
+    for r in out:
+        assert r["is_new"] == (r["url"] not in seen_set)
+        if r["url"] in seen_set:
+            assert r["maybe_seen"]  # no false negatives, ever
+
+
+def test_url_bloom_false_positive_rate_sane(spark):
+    """With n/shards ≈ 50 urls per shard and m=4096, k=4 the FP rate
+    is ≈ (1-e^(-kn/m))^k ≈ 3e-5 — probe 500 fresh urls and allow a
+    generous margin."""
+    from linkgraph.operators.crawl import bloom_might_contain, url_bloom
+
+    seen = spark.createDataFrame(
+        [(f"http://seen.test/{i}",) for i in range(400)], "url string"
+    )
+    fresh = spark.createDataFrame(
+        [(f"http://fresh.test/{i}",) for i in range(500)], "url string"
+    )
+    bloom = url_bloom(seen, shards=8, m_bits=1 << 12, k=4)
+    probed = bloom_might_contain(fresh, bloom, m_bits=1 << 12, k=4, shards=8)
+    fp = probed.filter("maybe_seen").count()
+    assert fp <= 5
