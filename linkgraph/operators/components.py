@@ -215,10 +215,18 @@ def connected_components_alternating(
             .distinct()
             .persist()
         )
-        added = ss.join(prev, ["src", "dst"], "left_anti").count()
-        dropped = prev.join(ss, ["src", "dst"], "left_anti").count()
+        # exact symmetric difference in ONE action: rows appearing in
+        # exactly one of {prev, ss} (both are distinct sets, so a
+        # count of 1 after the union means one-sided)
+        sym_diff = (
+            prev.unionAll(ss)
+            .groupBy("src", "dst")
+            .count()
+            .filter(F.col("count") == 1)
+            .count()
+        )
         prev.unpersist()
-        return ss, float(added + dropped)
+        return ss, float(sym_diff)
 
     res = iterate(
         init,

@@ -729,6 +729,97 @@ def main() -> None:
             "edges_per_sec": round(40_000_000 / wall, 1),
         }
 
+    # alternating large-star/small-star CC on a DEEP graph: 200
+    # disjoint 50k-vertex chains (diameter 49,999) — plain min-label
+    # would need 50k rounds and is not run; the honest comparison is
+    # pointer-jumped min-label (O(log d) rounds, V rows/round) vs
+    # star contraction (O(log^2 n) rounds, shrinking edge state)
+    if want("altcc_chains"):
+        from linkgraph.operators.components import (
+            connected_components_alternating,
+        )
+
+        chain_len = 50_000
+        n_chain_v = 10_000_000
+        chains = (
+            spark.range(n_chain_v)
+            .filter((F.col("id") % chain_len) != chain_len - 1)
+            .select("id", (F.col("id") + 1).alias("dst"))
+            .select(F.col("id").alias("src"), "dst", F.lit(1.0).alias("weight"))
+            .repartition(64)
+            .persist()
+        )
+        n_chain_e = chains.count()
+        gc_ = LinkGraph(chains, directed=False)
+        t0 = time.time()
+        alt = connected_components_alternating(gc_, max_iter=40)
+        n_comp_alt = alt.state.select("component").distinct().count()
+        wall_alt = time.time() - t0
+        assert n_comp_alt == n_chain_v // chain_len, n_comp_alt
+        t0 = time.time()
+        jmp = weakly_connected_components(gc_, max_iter=40, jump=True)
+        n_comp_jmp = jmp.state.select("component").distinct().count()
+        wall_jmp = time.time() - t0
+        assert n_comp_jmp == n_comp_alt, (n_comp_jmp, n_comp_alt)
+        chains.unpersist()
+        results["altcc_chains"] = {
+            "sec": round(wall_alt, 1),
+            "graph": f"{n_chain_e:,} edges / 200 chains of {chain_len:,} (diameter {chain_len - 1:,})",
+            "rounds": alt.iterations,
+            "components": n_comp_alt,
+            "jump_label_sec": round(wall_jmp, 1),
+            "jump_label_rounds": jmp.iterations,
+            "edges_per_sec": round(n_chain_e / wall_alt, 1),
+        }
+
+    # Bloom URL-seen prefilter at 30M URLs: 20M seen, 10M-candidate
+    # frontier (5M true dups + 5M fresh); the bloom broadcasts and the
+    # definite-new majority never reaches the anti-join
+    if want("url_seen_30m"):
+        from linkgraph.operators.crawl import url_seen_filter
+
+        n_seen, n_dup, n_new = 20_000_000, 5_000_000, 5_000_000
+        mk = lambda df: df.select(  # noqa: E731
+            F.concat(
+                F.lit("http://h"),
+                (F.col("id") % 100_000).cast("string"),
+                F.lit(".test/p"),
+                F.col("id").cast("string"),
+            ).alias("url")
+        )
+        seen_df = mk(spark.range(n_seen)).repartition(64).persist()
+        seen_df.count()
+        frontier_df = (
+            mk(spark.range(n_dup))
+            .unionAll(mk(spark.range(n_seen + 7, n_seen + 7 + n_new)))
+            .repartition(64)
+            .persist()
+        )
+        n_frontier = frontier_df.count()
+        t0 = time.time()
+        out_us = url_seen_filter(
+            seen_df, frontier_df, shards=8192, m_bits=1 << 16, k=4
+        )
+        agg_us = out_us.agg(
+            F.count("*").alias("rows"),
+            F.sum(F.col("maybe_seen").cast("long")).alias("maybe"),
+            F.sum(F.col("is_new").cast("long")).alias("new"),
+        ).collect()[0]
+        wall = time.time() - t0
+        assert agg_us["rows"] == n_frontier
+        assert agg_us["new"] == n_new, agg_us
+        fp = int(agg_us["maybe"]) - n_dup
+        results["url_seen_30m"] = {
+            "sec": round(wall, 1),
+            "seen": n_seen,
+            "frontier": n_frontier,
+            "true_dups": n_dup,
+            "bloom_false_positives": fp,
+            "urls_per_sec": round((n_seen + n_frontier) / wall, 1),
+        }
+        seen_df.unpersist()
+        frontier_df.unpersist()
+
     # best-over-runs: hypervisor-neighbor jitter swings identical runs
     # up to 4x here; keep each operator's fastest observed wall.
     # The machine-readable state is a COMMITTED sibling of BIGOPS.md —
@@ -847,6 +938,17 @@ Notes:
   column-weighted 2(1+eps)·g threshold (weights 1/ln(5+indeg) fixed
   up front): one weighted-degree agg + one threshold filter + two
   semi-joins per round, best-g snapshot kept.
+- altcc_chains is the diameter-independence row: 200 disjoint
+  50k-vertex chains (diameter 49,999) where plain min-label WCC
+  would need 50k rounds; star contraction (Kiveris et al.) converges
+  in O(log² n) rounds on shrinking edge state, compared against
+  pointer-jumped min-label (O(log d) rounds, V rows/round) on the
+  same input.
+- url_seen_30m runs the sharded-Bloom URL-seen test: the 20M-URL
+  bloom builds with one bit_or groupBy, broadcasts (8192 shards ×
+  60-bit words), and only the maybe_seen sliver of the 10M-candidate
+  frontier (true dups + ~1% false positives) reaches the exact
+  anti-join.
 
 Generated by scripts/big_ops_bench.py.
 """
