@@ -1,6 +1,7 @@
 from linkgraph.sources.edges import anchor_text_stats, build_edges, build_host_edges, tpch_edges
 from linkgraph.sources.io import load_graph, save_graph
 from linkgraph.sources.pages import generate_pages_local, pages_dataframe
+from linkgraph.sources.snapshots import SnapshotError, SnapshotTable
 
 __all__ = [
     "anchor_text_stats",
@@ -11,4 +12,6 @@ __all__ = [
     "pages_dataframe",
     "save_graph",
     "load_graph",
+    "SnapshotError",
+    "SnapshotTable",
 ]
