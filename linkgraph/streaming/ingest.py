@@ -51,6 +51,46 @@ def incremental_edge_ingest(
     return writer.start()
 
 
+def snapshot_edge_ingest(
+    spark: SparkSession,
+    pages_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """``incremental_edge_ingest`` with the snapshot-log table as the
+    sink: each micro-batch's extracted edges land as ONE
+    ``SnapshotTable.commit_append`` — so downstream consumers get
+    snapshot isolation (a reader never sees half a batch), per-batch
+    time travel, and ``added_since`` incremental scans that line up
+    1:1 with micro-batches. The streaming checkpoint handles
+    source-progress exactly-once; the table's data-then-meta commit
+    protocol handles sink atomicity — a batch retried after a crash
+    mid-commit leaves only invisible orphan files. This is the
+    sandbox stand-in for writeStream → Iceberg table commits.
+
+    Returns the streaming query (caller awaits/stops it).
+    """
+    from linkgraph.sources.snapshots import SnapshotTable
+
+    table = SnapshotTable(table_root, spark=spark)
+    stream = (
+        spark.readStream.schema(PAGE_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(pages_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        table.commit_append(build_edges(batch_df, dedup=True))
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "10 minutes",

@@ -200,3 +200,43 @@ def test_streaming_rank_refresh_warm_start(spark, tmp_path):
     with open(os.path.join(work, "ranks", batches[-1], "_iterations.json")) as f:
         warm_iters = json.load(f)["iterations"]
     assert warm_iters < len(cold.stats)  # the warm start pays off
+
+
+def test_snapshot_edge_ingest_commits_per_batch(spark, tmp_path):
+    """Streaming into the snapshot-log table: stream == batch on the
+    same input, one snapshot per micro-batch, added_since lines up
+    with micro-batches, and a checkpointed restart appends nothing."""
+    from linkgraph.sources.snapshots import SnapshotTable
+    from linkgraph.streaming.ingest import snapshot_edge_ingest
+
+    pages_dir = str(tmp_path / "pages")
+    root = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    pages = pages_dataframe(spark, 80, n_domains=8)
+    pages.repartition(8).write.parquet(pages_dir)
+
+    q = snapshot_edge_ingest(spark, pages_dir, root, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    t = SnapshotTable(root)
+    n_snaps = t.latest()
+    assert n_snaps >= 2  # maxFilesPerTrigger=4 over 8 files → ≥2 batches
+
+    streamed = t.read(spark).groupBy("src", "dst").sum("weight")
+    batch = LinkGraph.from_pages(spark.read.parquet(pages_dir)).edges
+    s = {(r["src"], r["dst"], r["sum(weight)"]) for r in streamed.collect()}
+    b = {(r["src"], r["dst"], r["weight"]) for r in batch.collect()}
+    assert s == b
+
+    # incremental scans tile the table exactly: union of per-snapshot
+    # added_since == full read, disjoint file sets
+    total = 0
+    for sid in range(1, n_snaps + 1):
+        total += t.added_since(sid - 1, until=sid, spark=spark).count()
+    assert total == t.read(spark).count()
+
+    # restart on the same checkpoint: no input left → no new snapshot
+    q2 = snapshot_edge_ingest(spark, pages_dir, root, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    assert SnapshotTable(root).latest() == n_snaps
