@@ -1318,6 +1318,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash_hamming_docs"] = lambda s, d: simhash_hamming_pairs(
         _docs(s, d), "doc_id", "text", bits=48, k=3
     )
+
+    def _host_bp(s, d):
+        from linkgraph.operators.dedup import host_boilerplate
+
+        return host_boilerplate(_docs(s, d), k=5, min_docs=2, min_frac=0.05)
+
+    q["host_boilerplate_docs"] = _host_bp
+
+    def _host_bp_clean(s, d):
+        from linkgraph.operators.dedup import remove_host_boilerplate
+
+        return remove_host_boilerplate(_docs(s, d), k=5, min_docs=2, min_frac=0.05)
+
+    q["host_boilerplate_clean"] = _host_bp_clean
     q["text_stats"] = lambda s, d: _docs(s, d).select(
         "doc_id",
         token_count_col(F.col("text")).alias("n_tokens"),
@@ -5207,6 +5221,57 @@ FROM common JOIN sizes na ON common.a = na.doc_id JOIN sizes nb ON common.b = nb
 WHERE round(common * 1.0 / (na.n + nb.n - common), 6) >= 0.5
 """,
         "simhash": _simhash_sql(16),
+        # host-scoped template detection: per-(host, gram) doc counts
+        # against per-host doc totals, round-6 threshold
+        "host_boilerplate_docs": f"""
+WITH d AS ({DOCS}),
+base AS (SELECT source AS host, doc_id,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM d),
+sh AS MATERIALIZED (SELECT DISTINCT host, doc_id,
+       t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+         AS gram
+       FROM (SELECT host, doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+             FROM base WHERE len(t) >= 5)),
+hd AS (SELECT source AS host, count(DISTINCT doc_id) AS hd FROM d GROUP BY 1),
+cnt AS (SELECT host, gram, count(*) AS n_docs FROM sh GROUP BY 1, 2)
+SELECT c.host, c.gram, CAST(c.n_docs AS BIGINT) AS n_docs,
+       round(c.n_docs * 1.0 / h.hd, 6) AS doc_frac
+FROM cnt c JOIN hd h USING (host)
+WHERE c.n_docs >= 2 AND round(c.n_docs * 1.0 / h.hd, 6) >= 0.05
+""",
+        "host_boilerplate_clean": f"""
+WITH d AS ({DOCS}),
+base AS (SELECT source AS host, doc_id,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM d),
+shp AS MATERIALIZED (SELECT host, doc_id, i - 1 AS s,
+       t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+         AS gram
+       FROM (SELECT host, doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+             FROM base WHERE len(t) >= 5)),
+hd AS (SELECT source AS host, count(DISTINCT doc_id) AS hd FROM d GROUP BY 1),
+cnt AS (SELECT host, gram, count(DISTINCT doc_id) AS n_docs FROM shp GROUP BY 1, 2),
+flags AS MATERIALIZED (
+  SELECT c.host, c.gram FROM cnt c JOIN hd h USING (host)
+  WHERE c.n_docs >= 2 AND round(c.n_docs * 1.0 / h.hd, 6) >= 0.05),
+starts AS MATERIALIZED (
+  SELECT DISTINCT s.doc_id, s.s FROM shp s
+  JOIN flags f ON s.host = f.host AND s.gram = f.gram),
+toksv AS MATERIALIZED (
+  SELECT doc_id, unnest(t) AS w, unnest(generate_series(0, len(t) - 1)) AS j
+  FROM base WHERE len(t) > 0),
+cover AS (SELECT DISTINCT tk.doc_id, tk.j FROM toksv tk
+          JOIN starts st ON tk.doc_id = st.doc_id
+                        AND st.s <= tk.j AND tk.j < st.s + 5),
+keptt AS (SELECT t.doc_id,
+                 string_agg(t.w, ' ' ORDER BY t.j) AS clean,
+                 count(*) AS nk
+          FROM toksv t LEFT JOIN cover c ON t.doc_id = c.doc_id AND t.j = c.j
+          WHERE c.j IS NULL GROUP BY 1)
+SELECT b.doc_id AS id, CAST(len(b.t) AS BIGINT) AS n_tokens,
+       CAST(len(b.t) - coalesce(k.nk, 0) AS BIGINT) AS n_removed,
+       coalesce(k.clean, '') AS clean_text
+FROM base b LEFT JOIN keptt k ON b.doc_id = k.doc_id
+""",
         # all-pairs Hamming ball — the block join is recall-lossless,
         # so brute force is the exact oracle
         "simhash_hamming_docs": f"""

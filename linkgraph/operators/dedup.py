@@ -244,6 +244,111 @@ def dedup_clusters(
     )
 
 
+def _pos_grams(df: DataFrame, host_col: str, id_col: str, text_col: str, k: int) -> tuple:
+    """(base, grams): base = (host, id, t tokens array); grams =
+    (host, id, s 0-based start, gram) — shared by the host-boilerplate
+    detector and remover (same construction as
+    remove_duplicated_spans, plus the host key)."""
+    toks = tokens_col(F.col(text_col))
+    base = df.select(
+        F.col(host_col).alias("host"), F.col(id_col).alias("id"), toks.alias("t")
+    )
+    grams = base.select(
+        "host",
+        "id",
+        F.posexplode(
+            F.when(
+                F.size("t") >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (k - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, k)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("s", "gram"),
+    )
+    return base, grams
+
+
+def host_boilerplate(
+    df: DataFrame,
+    host_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+    min_frac: float = 0.5,
+) -> DataFrame:
+    """(host, gram, n_docs, doc_frac): token k-grams occurring in at
+    least ``min_frac`` of a host's documents (and ≥ ``min_docs``
+    absolutely) — template/boilerplate detection scoped to the host,
+    the navigation/footer remover of web-corpus pipelines. Corpus-wide
+    repeated-span stats (``duplicated_ngram_stats``) can't do this
+    job: a host's template is often unique to the host (missed
+    corpus-wide) while famous quotes repeat corpus-wide without
+    being boilerplate anywhere (over-fired).
+
+    Scale shape: one map-side gram explode, one (host, gram)-keyed
+    distinct+count (hot template VALUES combine map-side), one join
+    against the per-host doc-count agg. No pairwise anything.
+    ``doc_frac`` rounds to 6 dp (SQL-replayable thresholding).
+    """
+    _, grams = _pos_grams(df, host_col, id_col, text_col, k)
+    host_docs = df.groupBy(F.col(host_col).alias("host")).agg(
+        F.countDistinct(id_col).alias("hd")
+    )
+    return (
+        grams.select("host", "id", "gram")
+        .distinct()
+        .groupBy("host", "gram")
+        .agg(F.count("*").alias("n_docs"))
+        .join(host_docs, "host")
+        .withColumn("doc_frac", F.round(F.col("n_docs") / F.col("hd"), 6))
+        .filter((F.col("n_docs") >= min_docs) & (F.col("doc_frac") >= min_frac))
+        .select("host", "gram", "n_docs", "doc_frac")
+    )
+
+
+def remove_host_boilerplate(
+    df: DataFrame,
+    host_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+    min_frac: float = 0.5,
+) -> DataFrame:
+    """Excise every token covered by a host-boilerplate k-gram
+    (``host_boilerplate``'s flag set) and re-join the survivors:
+    (id, n_tokens, n_removed, clean_text) — the remove_duplicated_
+    spans rebuild, scoped per host. Pure Catalyst throughout."""
+    base, grams = _pos_grams(df, host_col, id_col, text_col, k)
+    flagged = host_boilerplate(
+        df, host_col, id_col, text_col, k, min_docs, min_frac
+    ).select("host", "gram")
+    starts = (
+        grams.join(flagged, ["host", "gram"], "left_semi")
+        .select("id", "s")
+        .distinct()
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("s")).alias("ss"))
+    )
+    joined = base.join(starts, "id", "left").withColumn(
+        "ss", F.coalesce("ss", F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.transform(F.col("t"), lambda w, i: F.struct(w.alias("w"), i.alias("i"))),
+        lambda x: ~F.exists(
+            F.col("ss"), lambda s: (s <= x["i"]) & (x["i"] < s + k)
+        ),
+    )
+    return joined.select(
+        "id",
+        F.size("t").cast("long").alias("n_tokens"),
+        (F.size("t") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(F.transform(kept, lambda x: x["w"]), " ").alias("clean_text"),
+    )
+
+
 def simhash_col(text, bits: int = 16):
     """Per-row SimHash over token hashes: bit i set iff a strict
     majority of tokens have bit i set in their md5int hash. Pure

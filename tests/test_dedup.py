@@ -357,3 +357,77 @@ def test_simhash_hamming_pairs_rejects_bad_width():
         simhash_hamming_pairs(None, "doc_id", "text", bits=64, k=3)
     with _pytest.raises(ValueError):
         simhash_hamming_pairs(None, "doc_id", "text", bits=3, k=3)
+
+
+def test_host_boilerplate_detect_and_remove(spark):
+    """Host-scoped template grams flagged (and removed) exactly per a
+    pure-Python replica; cross-host identical text is NOT flagged when
+    the host's doc_frac stays under threshold."""
+    import itertools
+    import re
+
+    from linkgraph.operators.dedup import host_boilerplate, remove_host_boilerplate
+
+    nav = "home about contact terms of service privacy policy"
+    rows = [
+        # host a: 4 docs sharing the nav template + distinct bodies
+        ("a", 1, nav + " welcome to our store selling garden tools"),
+        ("a", 2, nav + " our story began in a small workshop"),
+        ("a", 3, nav + " todays deals include rakes and shovels"),
+        ("a", 4, "a page without the template at all here now"),
+        # host b: the SAME nav text once — under b's threshold
+        ("b", 5, nav + " completely different host content"),
+        ("b", 6, "nothing shared with anything else whatsoever"),
+        ("b", 7, "more unique prose that repeats nowhere else"),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    k, min_docs, min_frac = 5, 2, 0.5
+
+    def toks(t):
+        return re.findall(r"[a-z0-9]+", t.lower())
+
+    def grams(t):
+        tt = toks(t)
+        return {
+            (i, " ".join(tt[i : i + k])) for i in range(len(tt) - k + 1)
+        } if len(tt) >= k else set()
+
+    by_host = {}
+    for h, i, t in rows:
+        by_host.setdefault(h, []).append((i, t))
+    want_flags = set()
+    for h, docs in by_host.items():
+        cnt = {}
+        for i, t in docs:
+            for g in {g for _, g in grams(t)}:
+                cnt[g] = cnt.get(g, 0) + 1
+        for g, n in cnt.items():
+            frac = round(n / len(docs), 6)
+            if n >= min_docs and frac >= min_frac:
+                want_flags.add((h, g, n, frac))
+    got_flags = {
+        (r["host"], r["gram"], r["n_docs"], r["doc_frac"])
+        for r in host_boilerplate(df, k=k, min_docs=min_docs, min_frac=min_frac).collect()
+    }
+    assert got_flags == want_flags
+    assert any(h == "a" for h, *_ in got_flags)
+    assert not any(h == "b" for h, *_ in got_flags)  # 1/3 < 0.5
+
+    flagged_by_host = {}
+    for h, g, _, _ in want_flags:
+        flagged_by_host.setdefault(h, set()).add(g)
+    want_clean = {}
+    for h, i, t in rows:
+        tt = toks(t)
+        covered = set()
+        for s, g in grams(t):
+            if g in flagged_by_host.get(h, set()):
+                covered.update(range(s, s + k))
+        keep = [w for j, w in enumerate(tt) if j not in covered]
+        want_clean[i] = (len(tt), len(tt) - len(keep), " ".join(keep))
+    got_clean = {
+        r["id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in remove_host_boilerplate(df, k=k, min_docs=min_docs, min_frac=min_frac).collect()
+    }
+    assert got_clean == want_clean
+    assert got_clean[1][1] > 0 and got_clean[4][1] == 0
