@@ -2769,6 +2769,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_classifier_scores"] = _lr_scores
 
+    # --- SGNS graph embeddings (the training stage of DeepWalk /
+    # node2vec — word2vec's skip-gram-negative-sampling objective run
+    # as dataflow, operators/embeddings.py): symmetric first-order
+    # pairs over the supplier-direct graph, hash init, hash-drawn
+    # uniform negatives, 2 deterministic full-batch steps with
+    # per-parameter mean gradients; the exploded (id, dim) readout
+    # replays value-exactly in the unrolled SQL
+    def _skipgram(s, d):
+        from linkgraph.operators.embeddings import (
+            edge_skipgram_pairs,
+            skipgram_train,
+        )
+
+        emb = skipgram_train(
+            edge_skipgram_pairs(_supp_dir(s, d)),
+            dim=4,
+            iters=2,
+            lr=0.5,
+            k_neg=1,
+            seed=11,
+        )
+        return emb.select("id", F.posexplode("vec").alias("j", "v")).select(
+            "id", "j", F.round("v", 6).alias("emb")
+        )
+
+    q["skipgram_embeddings_suppdir"] = _skipgram
+
     def _dsir_select_docs(s, d):
         from linkgraph.operators.sampling import dsir_select
 
@@ -4374,6 +4401,76 @@ SELECT d.doc_id,
 FROM (SELECT DISTINCT doc_id FROM documents) d
 LEFT JOIN mfin m USING (doc_id)"""
         )
+    return "".join(parts)
+
+
+def _skipgram_sql(
+    dim: int = 4, iters: int = 2, lr: float = 0.5, seed: int = 11
+) -> str:
+    """Unrolled SGNS full-batch replay (operators/embeddings.py
+    skipgram_train) over the symmetric supplier-direct pair set:
+    portable-hash init and negative draws, per-example dot products
+    grouped by a deterministic eid, per-parameter MEAN gradients, one
+    (dots → residuals → two gradient families → two updates) CTE
+    block per iteration over the exploded (id, dim, value) state."""
+    neg = _md5int(
+        f"'sgneg:{seed}:' || CAST(p.c AS VARCHAR) || ':' || "
+        "CAST(p.o AS VARCHAR) || ':0'"
+    )
+    init = _md5int(
+        f"'sgv:{seed}:' || CAST(id AS VARCHAR) || ':' || CAST(j AS VARCHAR)"
+    )
+    mod = 1_000_003
+    parts = [
+        f"""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT src AS c, dst AS o FROM (
+    SELECT src, dst FROM ({SUPP_DIR})
+    UNION ALL
+    SELECT dst, src FROM ({SUPP_DIR}))),
+vocab AS MATERIALIZED (
+  SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS i
+  FROM (SELECT DISTINCT c AS id FROM pairs)),
+nv AS (SELECT count(*) AS n FROM vocab),
+ex AS MATERIALIZED (
+  SELECT 'p:' || CAST(c AS VARCHAR) || ':' || CAST(o AS VARCHAR) AS eid,
+         c, o AS t, 1.0 AS y
+  FROM pairs
+  UNION ALL
+  SELECT 'n:' || CAST(p.c AS VARCHAR) || ':' || CAST(p.o AS VARCHAR) || ':0',
+         p.c, v.id, 0.0
+  FROM pairs p JOIN vocab v ON v.i = {neg} % (SELECT n FROM nv)),
+dims AS (SELECT unnest(generate_series(0, {dim - 1})) AS j),
+v0 AS MATERIALIZED (
+  SELECT id, j,
+         (CAST({init} % {mod} AS DOUBLE) / {mod} - 0.5) / {dim} AS val
+  FROM vocab, dims),
+u0 AS MATERIALIZED (SELECT id, j, 0.0 AS val FROM vocab, dims)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+d{i} AS MATERIALIZED (
+  SELECT e.eid, sum(v.val * u.val) AS dot
+  FROM ex e JOIN v{i} v ON v.id = e.c JOIN u{i} u ON u.id = e.t AND u.j = v.j
+  GROUP BY 1),
+r{i} AS MATERIALIZED (
+  SELECT e.c, e.t, 1.0 / (1.0 + exp(-d.dot)) - e.y AS r
+  FROM ex e JOIN d{i} d USING (eid)),
+gv{i} AS MATERIALIZED (
+  SELECT e.c AS id, u.j, avg(e.r * u.val) AS g
+  FROM r{i} e JOIN u{i} u ON u.id = e.t GROUP BY 1, 2),
+gu{i} AS MATERIALIZED (
+  SELECT e.t AS id, v.j, avg(e.r * v.val) AS g
+  FROM r{i} e JOIN v{i} v ON v.id = e.c GROUP BY 1, 2),
+v{i + 1} AS MATERIALIZED (
+  SELECT v.id, v.j, v.val - {lr} * coalesce(g.g, 0.0) AS val
+  FROM v{i} v LEFT JOIN gv{i} g ON g.id = v.id AND g.j = v.j),
+u{i + 1} AS MATERIALIZED (
+  SELECT u.id, u.j, u.val - {lr} * coalesce(g.g, 0.0) AS val
+  FROM u{i} u LEFT JOIN gu{i} g ON g.id = u.id AND g.j = u.j)"""
+        )
+    parts.append(f"\nSELECT id, j, round(val, 6) AS emb FROM v{iters}")
     return "".join(parts)
 
 
@@ -6277,6 +6374,7 @@ FROM pairs p LEFT JOIN est ON p.src = est.src AND p.dst = est.dst
         "bm25_topk_docs": BM25_SQL,
         "dsir_weights_docs": _dsir_sql(),
         "quality_classifier_weights": _logreg_sql(),
+        "skipgram_embeddings_suppdir": _skipgram_sql(),
         "quality_classifier_scores": _logreg_sql(scores=True),
         "dsir_select_docs": _dsir_sql(k=25, seed=7),
         # BPE round-1 pair statistics: end-of-word marker fused onto

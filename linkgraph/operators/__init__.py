@@ -103,6 +103,14 @@ from linkgraph.operators.cliques import (
 from linkgraph.operators.mirrors import mirror_pairs, outlink_minhash, outlink_sets
 from linkgraph.operators.triangles import clustering_coefficients, triangle_counts
 from linkgraph.operators.walks import node2vec_walks, random_walks
+from linkgraph.operators.embeddings import (
+    deepwalk_embeddings,
+    edge_skipgram_pairs,
+    skipgram_examples,
+    skipgram_train,
+    vocab_index,
+    walk_skipgram_pairs,
+)
 from linkgraph.operators.greedy import (
     greedy_coloring,
     maximal_independent_set,
@@ -246,4 +254,10 @@ __all__ = [
     "resolve_aliases",
     "politeness_schedule",
     "build_inverted_index",
+    "skipgram_train",
+    "skipgram_examples",
+    "walk_skipgram_pairs",
+    "edge_skipgram_pairs",
+    "deepwalk_embeddings",
+    "vocab_index",
 ]
