@@ -2796,6 +2796,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["skipgram_embeddings_suppdir"] = _skipgram
 
+    # --- balanced label-propagation partitioning (Ugander &
+    # Backstrom WSDM'13 / Spinner ICDE'17): 2 rounds of capacity-
+    # capped greedy label adoption over the symmetrized supplier-
+    # direct graph, rank admission (gain desc, id asc) against
+    # cap = ceil(V/p·(1+slack)); the (id, part) assignment and the
+    # resulting edge-locality row both replay in unrolled SQL
+    def _bal_part(s, d):
+        from linkgraph.operators.partition import balanced_partition
+
+        return balanced_partition(
+            _supp_dir(s, d), n_parts=4, max_iter=2, slack=0.2, seed=9
+        ).state
+
+    q["balanced_partition_suppdir"] = _bal_part
+
+    def _bal_part_locality(s, d):
+        from linkgraph.operators.partition import (
+            balanced_partition,
+            edge_locality,
+        )
+
+        g = _supp_dir(s, d)
+        parts = balanced_partition(
+            g, n_parts=4, max_iter=2, slack=0.2, seed=9
+        ).state
+        return edge_locality(g, parts).select(
+            "n_edges", "colocated", F.round("locality", 9).alias("locality")
+        )
+
+    q["partition_locality_suppdir"] = _bal_part_locality
+
     def _dsir_select_docs(s, d):
         from linkgraph.operators.sampling import dsir_select
 
@@ -4472,6 +4503,74 @@ u{i + 1} AS MATERIALIZED (
         )
     parts.append(f"\nSELECT id, j, round(val, 6) AS emb FROM v{iters}")
     return "".join(parts)
+
+
+def _balanced_partition_sql(
+    p: int = 4, rounds: int = 2, slack: float = 0.2, seed: int = 9
+) -> str:
+    """Unrolled balanced-label-propagation replay
+    (operators/partition.py balanced_partition, rank admission):
+    hash init, per-round neighbor-part counts → (cnt desc, cand asc)
+    argmax → positive-gain movers → per-target (gain desc, id asc)
+    rank admission against ceil(V/p·(1+slack)) capacity, identical
+    float order for the cap (V/p first, then ·(1+slack))."""
+    init = _md5int(f"'bp:{seed}:' || CAST(id AS VARCHAR)")
+    parts = [
+        f"""
+WITH e AS MATERIALIZED (
+  SELECT src, dst FROM ({SUPP_DIR})
+  UNION ALL
+  SELECT dst, src FROM ({SUPP_DIR})),
+verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+cap AS (SELECT CAST(ceil(CAST(count(*) AS DOUBLE) / {p} * {1.0 + slack}) AS BIGINT)
+               AS cap FROM verts),
+s0 AS MATERIALIZED (
+  SELECT id, CAST({init} % {p} AS INT) AS part FROM verts)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+c{r} AS MATERIALIZED (
+  SELECT e.dst AS id, s.part AS cand, count(*) AS cnt
+  FROM e JOIN s{r} s ON s.id = e.src GROUP BY 1, 2),
+b{r} AS MATERIALIZED (
+  SELECT id, cand AS best, cnt AS best_cnt FROM (
+    SELECT id, cand, cnt,
+           row_number() OVER (PARTITION BY id ORDER BY cnt DESC, cand ASC) AS rn
+    FROM c{r}) WHERE rn = 1),
+cur{r} AS MATERIALIZED (
+  SELECT c.id, max(CASE WHEN c.cand = s.part THEN c.cnt ELSE 0 END) AS cur_cnt
+  FROM c{r} c JOIN s{r} s USING (id) GROUP BY 1),
+mv{r} AS MATERIALIZED (
+  SELECT b.id, b.best, b.best_cnt - cur.cur_cnt AS gain
+  FROM b{r} b JOIN cur{r} cur USING (id) JOIN s{r} s USING (id)
+  WHERE b.best <> s.part AND b.best_cnt > cur.cur_cnt),
+sz{r} AS (SELECT part, count(*) AS n FROM s{r} GROUP BY 1),
+adm{r} AS MATERIALIZED (
+  SELECT id, best FROM (
+    SELECT m.id, m.best,
+           row_number() OVER (PARTITION BY m.best
+                              ORDER BY m.gain DESC, m.id ASC) AS rk,
+           greatest(0, (SELECT cap FROM cap) - coalesce(sz.n, 0)) AS room
+    FROM mv{r} m LEFT JOIN sz{r} sz ON sz.part = m.best)
+  WHERE rk <= room),
+s{r + 1} AS MATERIALIZED (
+  SELECT s.id, CAST(coalesce(a.best, s.part) AS INT) AS part
+  FROM s{r} s LEFT JOIN adm{r} a USING (id))"""
+        )
+    parts.append(f"\nSELECT id, part FROM s{rounds}")
+    return "".join(parts)
+
+
+def _partition_locality_sql() -> str:
+    return f"""
+WITH pa AS MATERIALIZED ({_balanced_partition_sql()}),
+ed AS (SELECT src, dst FROM ({SUPP_DIR}))
+SELECT count(*) AS n_edges,
+       count(CASE WHEN ps.part = pd.part THEN 1 END) AS colocated,
+       round(CAST(count(CASE WHEN ps.part = pd.part THEN 1 END) AS DOUBLE)
+             / count(*), 9) AS locality
+FROM ed JOIN pa ps ON ed.src = ps.id JOIN pa pd ON ed.dst = pd.id"""
 
 
 def _fraudar_sql(epsilon: float = 0.25, c: float = 5.0, rounds: int = 16) -> str:
@@ -6375,6 +6474,8 @@ FROM pairs p LEFT JOIN est ON p.src = est.src AND p.dst = est.dst
         "dsir_weights_docs": _dsir_sql(),
         "quality_classifier_weights": _logreg_sql(),
         "skipgram_embeddings_suppdir": _skipgram_sql(),
+        "balanced_partition_suppdir": _balanced_partition_sql(),
+        "partition_locality_suppdir": _partition_locality_sql(),
         "quality_classifier_scores": _logreg_sql(scores=True),
         "dsir_select_docs": _dsir_sql(k=25, seed=7),
         # BPE round-1 pair statistics: end-of-word marker fused onto

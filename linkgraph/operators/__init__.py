@@ -111,6 +111,7 @@ from linkgraph.operators.embeddings import (
     vocab_index,
     walk_skipgram_pairs,
 )
+from linkgraph.operators.partition import balanced_partition, edge_locality
 from linkgraph.operators.greedy import (
     greedy_coloring,
     maximal_independent_set,
@@ -260,4 +261,6 @@ __all__ = [
     "edge_skipgram_pairs",
     "deepwalk_embeddings",
     "vocab_index",
+    "balanced_partition",
+    "edge_locality",
 ]
