@@ -107,7 +107,7 @@ class SnapshotTable:
         spark = df.sparkSession
         committed = spark.read.parquet(data_dir)
         rows = committed.count()
-        dirs = [] if operation == "overwrite" or parent is None else list(
+        dirs = [] if operation in ("overwrite", "compact") or parent is None else list(
             self._meta(parent)["dirs"]
         )
         dirs.append(f"data/snap_{sid:06d}")
@@ -169,6 +169,12 @@ class SnapshotTable:
         new_dirs: list[str] = []
         for sid in range(after + 1, until + 1):
             m = self._meta(sid)
+            if m["operation"] == "compact":
+                # a compaction rewrites the SAME row multiset into a
+                # new file layout — it adds nothing, so incremental
+                # consumers skip it (Iceberg's incremental append
+                # scan skips replace snapshots the same way)
+                continue
             if m["operation"] != "append":
                 raise SnapshotError(
                     f"incremental scan ({after}, {until}] crosses a "
@@ -181,6 +187,77 @@ class SnapshotTable:
         return s.read.parquet(*new_dirs)
 
     # -- maintenance --------------------------------------------------------
+
+    def compact(
+        self,
+        n_files: int | None = None,
+        spark: SparkSession | None = None,
+    ) -> int:
+        """Rewrite the CURRENT table contents into one bin-packed data
+        directory and commit it as a ``compact`` snapshot — Iceberg's
+        ``rewrite_data_files`` maintenance action. A long-running
+        crawl appends thousands of micro-batch snapshots whose small
+        files make every later scan pay per-file open cost; compaction
+        collapses them without changing a single row:
+
+          * readers at the new snapshot see the identical row multiset
+            (asserted by the caller's tests, guaranteed by the
+            read→repartition→write dataflow);
+          * older snapshots stay time-travelable until :meth:`expire`
+            (their metas still reference the pre-compaction dirs);
+          * incremental consumers skip the compact commit entirely
+            (``added_since`` treats it as adding nothing, like
+            Iceberg's incremental scan over replace snapshots).
+
+        ``n_files``: output file count; default sizes by rows
+        (plans/partitioning.ROWS_PER_PARTITION per file, ≥ 1).
+        Returns the new snapshot id. Same single-writer caveat as
+        every commit."""
+        s = self._resolve(spark)
+        current = self.read(s)
+        if n_files is None:
+            from linkgraph.plans.partitioning import ROWS_PER_PARTITION
+
+            rows = current.count()
+            n_files = max(1, (rows + ROWS_PER_PARTITION - 1) // ROWS_PER_PARTITION)
+        if n_files < 1:
+            raise ValueError(f"n_files must be >= 1, got {n_files}")
+        return self._commit(current.repartition(n_files), "compact")
+
+    def file_stats(self, snapshot: int | None = None) -> dict:
+        """Small-file report for the ``snapshot`` (default latest):
+        {"snapshot", "n_dirs", "n_files", "bytes"} over its visible
+        data directories — the when-to-compact signal (Iceberg stores
+        the same numbers in manifest summaries). Driver-side listing
+        via the scheme-aware FileSystem; cost is one RPC per file,
+        fine for maintenance cadence."""
+        sid = self.latest() if snapshot is None else snapshot
+        if sid is None:
+            raise SnapshotError(f"empty snapshot table at {self.root}")
+        dirs = self._meta(sid)["dirs"]
+        n_files = 0
+        n_bytes = 0
+        for d in dirs:
+            full = f"{self.root}/{d}"
+            if "://" not in full or full.startswith("file:"):
+                local = full.removeprefix("file:")
+                for name in os.listdir(local):
+                    if name.endswith(".parquet"):
+                        n_files += 1
+                        n_bytes += os.path.getsize(os.path.join(local, name))
+            else:
+                fs, hpath, _ = _fs(self.spark, full)
+                for st in fs.listStatus(hpath):
+                    name = st.getPath().getName()
+                    if name.endswith(".parquet"):
+                        n_files += 1
+                        n_bytes += st.getLen()
+        return {
+            "snapshot": sid,
+            "n_dirs": len(dirs),
+            "n_files": n_files,
+            "bytes": n_bytes,
+        }
 
     def expire(self, keep_last: int = 1) -> list[int]:
         """Drop all but the newest ``keep_last`` snapshots and delete

@@ -129,3 +129,64 @@ def test_incremental_feeds_warm_start_wcc(spark, tmp_path):
     c = {r["id"]: r["component"] for r in cold.state.collect()}
     assert w == c
     assert w[3] == 0  # the delta merged {0,1} with {2,3}
+
+
+def test_compact_preserves_rows_and_collapses_files(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl_c"))
+    for lo, hi in [(0, 10), (10, 25), (25, 30)]:
+        t.commit_append(_batch(spark, lo, hi))
+    pre = t.file_stats()
+    assert pre["n_dirs"] == 3 and pre["n_files"] >= 3
+    sid = t.compact(n_files=1, spark=spark)
+    assert t.latest() == sid
+    assert t.snapshots()[-1]["operation"] == "compact"
+    # identical row multiset at the new snapshot
+    assert _ids(t.read(spark)) == set(range(30))
+    assert t.read(spark).count() == 30
+    # pre-compaction snapshots stay time-travelable
+    assert _ids(t.read(spark, snapshot=2)) == set(range(25))
+    post = t.file_stats()
+    assert post["n_dirs"] == 1 and post["n_files"] == 1
+    assert post["bytes"] > 0
+    # default n_files path (rows << ROWS_PER_PARTITION -> 1 file)
+    t.commit_append(_batch(spark, 30, 32))
+    sid2 = t.compact(spark=spark)
+    assert t.file_stats()["n_files"] == 1
+    assert _ids(t.read(spark, snapshot=sid2)) == set(range(32))
+
+
+def test_added_since_skips_compaction(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl_i"))
+    t.commit_append(_batch(spark, 0, 10))
+    t.commit_append(_batch(spark, 10, 25))
+    t.compact(n_files=1, spark=spark)  # snapshot 3
+    t.commit_append(_batch(spark, 25, 30))  # snapshot 4
+    # the compact commit adds nothing: scans across it see only the
+    # genuine appends, with no double counting of rewritten rows
+    assert _ids(t.added_since(2, spark=spark)) == set(range(25, 30))
+    assert _ids(t.added_since(0, spark=spark)) == set(range(30))
+    assert t.added_since(0, spark=spark).count() == 30
+    # a true overwrite still refuses
+    t.commit_overwrite(_batch(spark, 0, 5))
+    with pytest.raises(SnapshotError, match="overwrite"):
+        t.added_since(1, spark=spark)
+
+
+def test_compact_empty_and_expire_interplay(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl_e"))
+    with pytest.raises(SnapshotError, match="empty"):
+        t.compact(spark=spark)
+    t.commit_append(_batch(spark, 0, 10))
+    t.commit_append(_batch(spark, 10, 20))
+    t.compact(n_files=1, spark=spark)
+    expired = t.expire(keep_last=1)
+    assert expired == [1, 2]
+    # the surviving compact snapshot reads fine; expired ones do not
+    assert _ids(t.read(spark)) == set(range(20))
+    with pytest.raises(SnapshotError):
+        t.read(spark, snapshot=1)
+    # the pre-compaction data dirs are gone from disk
+    import os as _os
+
+    data = str(tmp_path / "tbl_e" / "data")
+    assert sorted(_os.listdir(data)) == ["snap_000003"]
