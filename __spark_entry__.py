@@ -1248,6 +1248,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bfs_levels(LinkGraph(_hierarchy_edges(s, d), directed=True).reverse(), REG + 0)
         .select("id", F.col("level").cast("int").alias("level"))
     )
+    # Beamer direction-optimizing BFS (SC'12 / Graph500): identical
+    # level semantics as plain BFS — forced into the bottom-up regime
+    # (alpha tiny) so the hybrid's switch actually exercises; shares
+    # the plain query's recursive-walk oracle
+    q["bfs_levels_diropt"] = lambda s, d: (
+        bfs_levels(
+            LinkGraph(_hierarchy_edges(s, d), directed=True).reverse(),
+            REG + 0,
+            direction_optimizing=True,
+            alpha=0.01,
+            beta=0.5,
+        ).select("id", F.col("level").cast("int").alias("level"))
+    )
     q["sssp_from_customer1"] = lambda s, d: (
         shortest_paths(_sssp_dag(s, d), 1).select("id", F.round("dist", 6).alias("dist"))
     )
@@ -4944,6 +4957,17 @@ SELECT least(src, dst) AS src, greatest(src, dst) AS dst, min(weight) AS weight
 FROM m GROUP BY 1, 2
 """,
         "bfs_levels_region0": f"""
+WITH RECURSIVE rev AS (SELECT dst AS src, src AS dst FROM ({HIER})),
+walk(id, level) AS (
+  SELECT CAST({REG} AS BIGINT), 0
+  UNION ALL
+  SELECT e.dst, walk.level + 1 FROM walk JOIN rev e ON walk.id = e.src
+  WHERE walk.level < 4
+)
+SELECT id, CAST(min(level) AS INT) AS level FROM walk GROUP BY id
+""",
+        # the hybrid top-down/bottom-up variant computes the same set
+        "bfs_levels_diropt": f"""
 WITH RECURSIVE rev AS (SELECT dst AS src, src AS dst FROM ({HIER})),
 walk(id, level) AS (
   SELECT CAST({REG} AS BIGINT), 0

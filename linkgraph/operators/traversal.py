@@ -21,33 +21,95 @@ from linkgraph.plans.iterate import LineageChain, truncate_lineage
 from linkgraph.plans.partitioning import stationary
 
 
-def bfs_levels(graph: LinkGraph, start: int, max_depth: int = 10_000) -> DataFrame:
+def bfs_levels(
+    graph: LinkGraph,
+    start: int,
+    max_depth: int = 10_000,
+    direction_optimizing: bool = False,
+    alpha: float = 4.0,
+    beta: float = 24.0,
+) -> DataFrame:
     """DataFrame(id, level): minimum hop distance from start, only
     reached vertices. Level ordering is the reference's only BFS
-    guarantee (depth k before k+1)."""
+    guarantee (depth k before k+1).
+
+    ``direction_optimizing`` enables Beamer's hybrid BFS (Beamer,
+    Asanović & Patterson SC'12, the Graph500 web-graph optimization)
+    recast for dataflow: the TOP-DOWN step's cost is the edges OUT of
+    the frontier (on a web graph the middle levels touch nearly all
+    of E, and every frontier∩in-neighbor hit becomes a shuffled row
+    before the distinct), while the BOTTOM-UP step joins the
+    UNVISITED set against a second dst-keyed stationary operand and
+    semi-checks in-neighbors against the frontier — rows flowing =
+    edges incident to the unvisited remainder, the (much smaller)
+    other side of the asymmetry at peak levels. Switch heuristic on
+    the known per-level counts: bottom-up while |frontier| >
+    |unvisited| / alpha, back to top-down when |frontier| < |V| /
+    beta (the SC'12 defaults' vertex-count proxy — edge-exact
+    m_f/m_u bookkeeping would cost an extra degree join per level).
+    Both steps compute the identical next level set, so the result is
+    exactly plain BFS; the option only changes which operand the
+    level's join reads. Costs one extra edge-operand cache (keyed
+    dst) and one frontier count action per level."""
     spark = graph.edges.sparkSession
     edges = stationary(graph.sym_edges.select("src", "dst"), "src")
+    e_dst = (
+        stationary(graph.sym_edges.select("src", "dst"), "dst")
+        if direction_optimizing
+        else None
+    )
+    verts = graph.vertices.select("id") if direction_optimizing else None
+    n_v = verts.count() if direction_optimizing else 0
     visited = spark.createDataFrame([(int(start), 0)], "id long, level int")
     frontier = visited
+    n_frontier, n_visited = 1, 1
     fchain, vchain = LineageChain(), LineageChain()
     depth = 0
+    bottom_up = False
     while depth < max_depth:
         depth += 1
+        if direction_optimizing:
+            n_unvisited = n_v - n_visited
+            if not bottom_up and n_frontier * alpha > n_unvisited:
+                bottom_up = True
+            elif bottom_up and n_frontier * beta < n_v:
+                bottom_up = False
+        if bottom_up:
+            unvisited = verts.join(visited, "id", "left_anti")
+            nxt_ids = (
+                unvisited.join(e_dst, unvisited.id == e_dst.dst)
+                .join(
+                    frontier.select(F.col("id").alias("src")),
+                    "src",
+                    "left_semi",
+                )
+                .select(F.col("dst").alias("id"))
+                .distinct()
+            )
+        else:
+            nxt_ids = (
+                frontier.join(edges, frontier.id == edges.src)
+                .select(F.col("dst").alias("id"))
+                .distinct()
+                .join(visited, "id", "left_anti")
+            )
         # chain cuts per level: persist alone leaves a depth-deep
         # join/union nest in the logical plan, and the chain GCs the
         # previous level's trunc dir once this one is durable
-        nxt = fchain.cut(
-            frontier.join(edges, frontier.id == edges.src)
-            .select(F.col("dst").alias("id"))
-            .distinct()
-            .join(visited, "id", "left_anti")
-            .withColumn("level", F.lit(depth))
-        )
-        if nxt.limit(1).count() == 0:
+        nxt = fchain.cut(nxt_ids.withColumn("level", F.lit(depth)))
+        if direction_optimizing:
+            n_frontier = nxt.count()
+            empty = n_frontier == 0
+        else:
+            empty = nxt.limit(1).count() == 0
+        if empty:
             break
+        n_visited += n_frontier
         visited = vchain.cut(visited.unionAll(nxt))
         frontier = nxt
     edges.unpersist()
+    if e_dst is not None:
+        e_dst.unpersist()
     fchain.release()
     return visited
 

@@ -63,3 +63,49 @@ def test_sssp_random_vs_dijkstra(spark):
 def test_bfs_undirected(two_components):
     got = collect_map(bfs_levels(two_components, 1), "id", "level")
     assert got == {1: 0, 2: 1}  # other component unreached
+
+
+def test_bfs_direction_optimizing_matches_plain(spark):
+    """Beamer hybrid BFS computes exactly plain BFS levels — forced
+    into the bottom-up regime early (alpha tiny) and with the
+    switch-back exercised (beta tiny), on directed and undirected
+    random graphs."""
+    import random
+
+    from conftest import graph_from_edges
+
+    rng = random.Random(7)
+    edges = list({(rng.randrange(60), rng.randrange(60)) for _ in range(260)})
+    edges = [(a, b) for a, b in edges if a != b]
+    for directed in (True, False):
+        g = graph_from_edges(spark, edges, directed=directed)
+        plain = collect_map(bfs_levels(g, edges[0][0]), "id", "level")
+        for alpha, beta in ((0.01, 0.5), (4.0, 24.0), (1e9, 24.0)):
+            hybrid = collect_map(
+                bfs_levels(
+                    g,
+                    edges[0][0],
+                    direction_optimizing=True,
+                    alpha=alpha,
+                    beta=beta,
+                ),
+                "id",
+                "level",
+            )
+            assert hybrid == plain, (directed, alpha, beta)
+
+
+def test_bfs_direction_optimizing_star(spark):
+    """A star forces the extreme asymmetry: level 1 is every other
+    vertex, so the hybrid goes bottom-up immediately and must still
+    terminate and agree."""
+    from conftest import graph_from_edges
+
+    edges = [(0, i) for i in range(1, 40)]
+    g = graph_from_edges(spark, edges, directed=False)
+    plain = collect_map(bfs_levels(g, 0), "id", "level")
+    hybrid = collect_map(
+        bfs_levels(g, 0, direction_optimizing=True, alpha=0.1), "id", "level"
+    )
+    assert hybrid == plain
+    assert plain == {0: 0, **{i: 1 for i in range(1, 40)}}
