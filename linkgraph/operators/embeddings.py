@@ -52,8 +52,12 @@ map-side combined from 2·E·(1+k) rows down to ≤ 2V per partition.
 The updated model rides ONE LineageChain cut (one action, one tiny
 parquet) per iteration. With model_broadcast=False (10^9-vertex
 regime) the same plan runs with hash joins: the example cache is
-partitioned by c so the center join co-locates; the context join
-shuffles the model, not the examples.
+partitioned by c so the center join co-locates (the input-vector
+frame shuffles, V rows), and the context join then re-keys the
+scored examples by target — ONE E-sized exchange per iteration, the
+unavoidable cost of meeting the second factor of a factorized model
+without a broadcast; the gradient aggregation stays map-side
+combined on top of it.
 
 Determinism / engine portability: init values and negatives come from
 the portable md5-60-bit hash (`functions/text.md5int_col`), every

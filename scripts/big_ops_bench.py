@@ -820,6 +820,111 @@ def main() -> None:
         seen_df.unpersist()
         frontier_df.unpersist()
 
+    # SGNS embedding training on a hub-heavy graph: 2M-vertex vocab
+    # forces the shuffle-model path (no broadcast), examples cached
+    # center-partitioned, one (side,id)-keyed gradient shuffle per
+    # iteration — the 10^9-vertex plan shape at measurable size
+    if want("skipgram_zipf"):
+        from linkgraph.operators.embeddings import (
+            edge_skipgram_pairs,
+            skipgram_train,
+        )
+
+        zg = random_edges(
+            spark, 2_000_000, 10_000_000, seed=9, zipf_s=1.2, partitions=64
+        )
+        sgg = LinkGraph(zg, directed=False)
+        pairs = edge_skipgram_pairs(sgg).persist()
+        n_pairs = pairs.count()
+        t0 = time.time()
+        emb = skipgram_train(pairs, dim=8, iters=3, lr=0.5, k_neg=1, seed=3)
+        n_emb = emb.count()
+        wall = time.time() - t0
+        n_examples = n_pairs * 2  # k_neg=1: one negative per pair
+        results["skipgram_zipf"] = {
+            "sec": round(wall, 1),
+            "graph": f"{n_pairs:,} sym pairs / 2M-vertex zipf(1.2)",
+            "vectors": n_emb,
+            "iterations": 3,
+            "examples_per_sec_per_iter": round(n_examples / (wall / 3), 1),
+        }
+        pairs.unpersist()
+
+    # balanced partitioning at corpus shape: hash admission (no
+    # ranking stage anywhere), 32 parts over a 40M-edge hub-heavy
+    # graph; the payoff number is locality vs the hash-random init
+    if want("balanced_partition_zipf"):
+        from linkgraph.operators.partition import (
+            _init_part,
+            balanced_partition,
+            edge_locality,
+        )
+
+        zg = random_edges(
+            spark, 2_000_000, 40_000_000, seed=11, zipf_s=1.2, partitions=64
+        ).persist()
+        zm_bp = zg.count()
+        bpg = LinkGraph(zg, directed=False)
+        t0 = time.time()
+        res_bp = balanced_partition(
+            bpg, n_parts=32, max_iter=5, slack=0.1, seed=4, admission="hash"
+        )
+        loc = edge_locality(bpg, res_bp.state).collect()[0]
+        wall = time.time() - t0
+        init_parts = bpg.vertices.select("id", _init_part(32, 4).alias("part"))
+        loc0 = edge_locality(bpg, init_parts).collect()[0]
+        szs = [
+            int(r["n"])
+            for r in res_bp.state.groupBy("part").agg(F.count("*").alias("n")).collect()
+        ]
+        results["balanced_partition_zipf"] = {
+            "sec": round(wall, 1),
+            "graph": f"{zm_bp:,} zipf(1.2) edges / 2M vertices / 32 parts",
+            "rounds": res_bp.iterations,
+            "locality_init": round(float(loc0["locality"]), 4),
+            "locality_final": round(float(loc["locality"]), 4),
+            "max_part_over_avg": round(max(szs) / (2_000_000 / 32), 3),
+            "edges_per_sec_per_round": round(
+                zm_bp / (wall / max(1, res_bp.iterations)), 1
+            ),
+        }
+        zg.unpersist()
+
+    # direction-optimizing BFS on the web-graph shape it exists for:
+    # tiny diameter, one middle level covering most of V — the
+    # top-down step there shuffles ~E rows, the bottom-up step only
+    # the edges incident to the unvisited remainder
+    if want("bfs_diropt_zipf"):
+        from linkgraph.operators.traversal import bfs_levels
+
+        zg = random_edges(
+            spark, 2_000_000, 40_000_000, seed=11, zipf_s=1.2, partitions=64
+        ).persist()
+        zm_b = zg.count()
+        bg = LinkGraph(zg, directed=False)
+        hub = (
+            bg.edges.groupBy("dst").agg(F.count("*").alias("d"))
+            .orderBy(F.desc("d"), "dst").limit(1).collect()[0]["dst"]
+        )
+        t0 = time.time()
+        plain = bfs_levels(bg, int(hub))
+        n_plain = plain.count()
+        wall_plain = time.time() - t0
+        t0 = time.time()
+        hyb = bfs_levels(bg, int(hub), direction_optimizing=True)
+        n_hyb = hyb.count()
+        wall_hyb = time.time() - t0
+        assert n_hyb == n_plain, (n_hyb, n_plain)
+        zg.unpersist()
+        results["bfs_diropt_zipf"] = {
+            "sec": round(wall_hyb, 1),
+            "graph": f"{zm_b:,} zipf(1.2) edges / 2M vertices, hub source",
+            "reached": n_hyb,
+            "plain_sec": round(wall_plain, 1),
+            "speedup_vs_topdown": round(wall_plain / wall_hyb, 2),
+            "edges_per_sec": round(zm_b / wall_hyb, 1),
+        }
+
     # best-over-runs: hypervisor-neighbor jitter swings identical runs
     # up to 4x here; keep each operator's fastest observed wall.
     # The machine-readable state is a COMMITTED sibling of BIGOPS.md —
@@ -944,6 +1049,23 @@ Notes:
   in O(log² n) rounds on shrinking edge state, compared against
   pointer-jumped min-label (O(log d) rounds, V rows/round) on the
   same input.
+- skipgram_zipf trains SGNS embeddings (dim 8, 3 full-batch steps,
+  1 negative/pair) over the 2M-vertex Zipf graph's symmetric pair
+  set on the shuffle-model path (vocab ≫ the broadcast cutoff): the
+  example table is cached center-partitioned, both gradient families
+  leave the scored join in one inline-explode pass, and each step
+  shuffles the examples once (the context-side re-key) plus the
+  map-side-combined (side,id) mean-gradient agg.
+- balanced_partition_zipf runs the capacity-capped label-propagation
+  partitioner (32 parts, 10% slack, hash admission — no ranking
+  stage) on the 40M-edge Zipf graph; the payoff is the edge-locality
+  lift over the hash-random init at bounded part sizes, i.e. the
+  fraction of downstream join/agg traffic that becomes node-local.
+- bfs_diropt_zipf runs the same hub-sourced BFS twice on the Zipf
+  graph: plain top-down vs the Beamer hybrid (bottom-up step over a
+  dst-keyed stationary operand once the frontier dwarfs the
+  unvisited remainder); identical reached set asserted, walls
+  compared.
 - url_seen_30m runs the sharded-Bloom URL-seen test: the 20M-URL
   bloom builds with one bit_or groupBy, broadcasts (8192 shards ×
   60-bit words), and only the maybe_seen sliver of the 10M-candidate
