@@ -2782,6 +2782,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_classifier_scores"] = _lr_scores
 
+    # --- segment-level exact dedup (RefinedWeb/FineWeb line filter):
+    # sentence segments shared by >= 2 distinct docs excised, ordered
+    # rebuild — pure string ops, value-exact SQL replay
+    def _segment_dedup(s, d):
+        from linkgraph.operators.dedup import segment_dedup
+
+        return segment_dedup(
+            _docs(s, d), sep=". ", min_count=2, min_chars=10
+        )
+
+    q["segment_dedup_docs"] = _segment_dedup
+
     # --- SGNS graph embeddings (the training stage of DeepWalk /
     # node2vec — word2vec's skip-gram-negative-sampling objective run
     # as dataflow, operators/embeddings.py): symmetric first-order
@@ -6499,6 +6511,34 @@ FROM pairs p LEFT JOIN est ON p.src = est.src AND p.dst = est.dst
         "quality_classifier_weights": _logreg_sql(),
         "skipgram_embeddings_suppdir": _skipgram_sql(),
         "balanced_partition_suppdir": _balanced_partition_sql(),
+        "segment_dedup_docs": f"""
+WITH docs AS MATERIALIZED ({DOCS}),
+segs AS MATERIALIZED (
+  SELECT doc_id AS id,
+         unnest(generate_series(1, len(string_split(text, '. ')))) AS pos,
+         unnest(string_split(text, '. ')) AS seg
+  FROM docs),
+shared AS MATERIALIZED (
+  SELECT seg FROM (
+    SELECT seg, count(*) AS nd FROM (
+      SELECT DISTINCT seg, id FROM segs WHERE length(trim(seg)) >= 10)
+    GROUP BY 1) WHERE nd >= 2),
+marked AS MATERIALIZED (
+  SELECT s.id, s.pos, s.seg,
+         (sh.seg IS NOT NULL AND length(trim(s.seg)) >= 10) AS rm
+  FROM segs s LEFT JOIN shared sh ON s.seg = sh.seg),
+agg AS MATERIALIZED (
+  SELECT id, count(*) AS n_segments,
+         count(CASE WHEN rm THEN 1 END) AS n_removed,
+         coalesce(string_agg(CASE WHEN NOT rm THEN seg END, '. ' ORDER BY pos),
+                  '') AS clean_text
+  FROM marked GROUP BY 1)
+SELECT d.doc_id AS id,
+       coalesce(a.n_segments, 0) AS n_segments,
+       coalesce(a.n_removed, 0) AS n_removed,
+       coalesce(a.clean_text, '') AS clean_text
+FROM (SELECT DISTINCT doc_id FROM docs) d LEFT JOIN agg a ON a.id = d.doc_id
+""",
         "partition_locality_suppdir": _partition_locality_sql(),
         "quality_classifier_scores": _logreg_sql(scores=True),
         "dsir_select_docs": _dsir_sql(k=25, seed=7),

@@ -687,3 +687,88 @@ def remove_duplicated_spans(
         (F.size("t") - F.size(kept)).cast("long").alias("n_removed"),
         F.array_join(F.transform(kept, lambda x: x["w"]), " ").alias("clean_text"),
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_count: int = 2,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide SEGMENT-level exact dedup — the line/paragraph
+    filter of RefinedWeb/FineWeb-class pipelines (Penedo et al. 2023/
+    2024): split every document on ``sep``, drop each segment whose
+    exact text occurs in at least ``min_count`` DISTINCT documents
+    (nav lines, cookie banners, boilerplate sentences), re-join the
+    survivors in order. Output: (id, n_segments, n_removed,
+    clean_text).
+
+    Complements the engine's other removers: `remove_host_boilerplate`
+    is host-scoped (templates), `remove_duplicated_spans` is token
+    k-gram-scoped (long copied spans); this one is the exact-segment
+    corpus-wide rule. Segments shorter than ``min_chars`` after
+    trimming (e.g. empty splits from doubled separators) are never
+    counted or removed, so document structure survives.
+
+    Scale shape: one split+posexplode (map-side), one groupBy keyed
+    on the segment string — uniform values; hot segments (the ones
+    being removed) are hot VALUES whose approx_count_distinct-free
+    distinct-doc count still combines map-side after the (seg, id)
+    dedup — one semi-join back, one per-doc ordered rebuild
+    aggregation. No pairwise expansion; a document's cost is linear
+    in its segment count however many documents share its lines.
+
+    Determinism / portability: pure string ops (literal separator,
+    both-side whitespace trim), so the driver contract replays it
+    value-exactly in DuckDB SQL.
+    """
+    import re as _re
+
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    segs = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep), -1)).alias(
+            "pos", "seg"
+        ),
+    )
+    eligible = F.length(F.trim(F.col("seg"))) >= int(min_chars)
+    shared = (
+        segs.filter(eligible)
+        .select("seg", "id")
+        .distinct()
+        .groupBy("seg")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= int(min_count))
+        .select("seg", F.lit(True).alias("_dup"))
+    )
+    marked = segs.join(shared, "seg", "left").select(
+        "id",
+        "pos",
+        "seg",
+        (F.col("_dup").isNotNull() & eligible).alias("_rm"),
+    )
+    out = marked.groupBy("id").agg(
+        F.count("*").alias("n_segments"),
+        F.count(F.when(F.col("_rm"), 1)).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("_rm"), F.struct("pos", "seg"))
+                    )
+                ),
+                lambda x: x["seg"],
+            ),
+            sep,
+        ).alias("clean_text"),
+    )
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    return ids.join(out, "id", "left").select(
+        "id",
+        F.coalesce("n_segments", F.lit(0)).cast("long").alias("n_segments"),
+        F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

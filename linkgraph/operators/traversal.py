@@ -50,7 +50,18 @@ def bfs_levels(
     Both steps compute the identical next level set, so the result is
     exactly plain BFS; the option only changes which operand the
     level's join reads. Costs one extra edge-operand cache (keyed
-    dst) and one frontier count action per level."""
+    dst) and one frontier count action per level.
+
+    MEASURED (BENCH/BIGOPS.md bfs_diropt_zipf): on a 40M-edge
+    5-level Zipf graph the hybrid is 2.7x SLOWER than plain top-down.
+    The Graph500 win comes mostly from per-vertex early exit while
+    probing in-neighbors, which a hash join cannot express: in
+    dataflow the bottom-up step only wins when the unvisited
+    remainder's incident edges are far fewer than the frontier's out
+    edges AND the second operand cache amortizes — a narrow regime
+    (very deep graphs with a long small-tail phase). Default stays
+    False; the option is the honest ablation, not the recommended
+    plan."""
     spark = graph.edges.sparkSession
     edges = stationary(graph.sym_edges.select("src", "dst"), "src")
     e_dst = (

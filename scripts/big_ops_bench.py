@@ -1061,11 +1061,17 @@ Notes:
   stage) on the 40M-edge Zipf graph; the payoff is the edge-locality
   lift over the hash-random init at bounded part sizes, i.e. the
   fraction of downstream join/agg traffic that becomes node-local.
-- bfs_diropt_zipf runs the same hub-sourced BFS twice on the Zipf
-  graph: plain top-down vs the Beamer hybrid (bottom-up step over a
-  dst-keyed stationary operand once the frontier dwarfs the
-  unvisited remainder); identical reached set asserted, walls
-  compared.
+- bfs_diropt_zipf is an ABLATION with a negative result, reported
+  honestly (like the PageRank salting ablation): plain top-down vs
+  the Beamer hybrid on the same hub-sourced BFS. The hybrid LOSES
+  (~2.7× slower): Graph500's bottom-up win rides per-vertex early
+  exit while probing in-neighbors, which a hash join cannot express
+  — in dataflow the bottom-up step only moves fewer rows when the
+  unvisited remainder's incident edges are far fewer than the
+  frontier's out-edges and the second (dst-keyed) operand cache
+  amortizes, a regime a 5-level expander never enters. The hybrid
+  stays opt-in (identical levels asserted); top-down remains the
+  default plan.
 - url_seen_30m runs the sharded-Bloom URL-seen test: the 20M-URL
   bloom builds with one bit_or groupBy, broadcasts (8192 shards ×
   60-bit words), and only the maybe_seen sliver of the 10M-candidate

@@ -431,3 +431,73 @@ def test_host_boilerplate_detect_and_remove(spark):
     }
     assert got_clean == want_clean
     assert got_clean[1][1] > 0 and got_clean[4][1] == 0
+
+
+# --- segment-level (line) corpus dedup -----------------------------------
+
+
+def _py_segment_dedup(docs, sep, min_count, min_chars):
+    segs = {i: t.split(sep) for i, t in docs}
+    from collections import defaultdict
+
+    docs_per_seg = defaultdict(set)
+    for i, ss in segs.items():
+        for s in ss:
+            if len(s.strip()) >= min_chars:
+                docs_per_seg[s].add(i)
+    dup = {s for s, ds in docs_per_seg.items() if len(ds) >= min_count}
+    out = {}
+    for i, ss in segs.items():
+        kept = [s for s in ss if not (s in dup and len(s.strip()) >= min_chars)]
+        out[i] = (len(ss), len(ss) - len(kept), sep.join(kept))
+    return out
+
+
+def test_segment_dedup_replica(spark):
+    from linkgraph.operators.dedup import segment_dedup
+
+    docs = [
+        (1, "unique alpha line\ncookie banner accept all\nmore text here"),
+        (2, "cookie banner accept all\nsecond doc body line"),
+        (3, "third doc only line\ncookie banner accept all\nx\nx"),
+        (4, "x\nshort dup\nshort dup"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_segments"], r["n_removed"], r["clean_text"])
+        for r in segment_dedup(df, sep="\n", min_count=2, min_chars=3).collect()
+    }
+    want = _py_segment_dedup(docs, "\n", 2, 3)
+    assert got == want
+    # the shared banner is removed everywhere, 1-char 'x' never is
+    assert "cookie banner" not in got[1][2]
+    assert got[3][2].count("x") == 2
+    # within-doc repetition alone ("short dup" twice in doc 4 only)
+    # does NOT trigger removal — the rule counts DISTINCT documents
+    assert got[4][1] == 0
+
+
+def test_segment_dedup_min_count_and_empty(spark):
+    from linkgraph.operators.dedup import segment_dedup
+
+    docs = [
+        (1, "shared across two docs"),
+        (2, "shared across two docs"),
+        (3, "unrelated content entirely"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    at2 = {
+        r["id"]: r["clean_text"]
+        for r in segment_dedup(df, min_count=2, min_chars=3).collect()
+    }
+    assert at2[1] == "" and at2[2] == "" and at2[3] != ""
+    at3 = {
+        r["id"]: r["clean_text"]
+        for r in segment_dedup(df, min_count=3, min_chars=3).collect()
+    }
+    assert at3[1] == "shared across two docs"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_count"):
+        segment_dedup(df, min_count=1)
