@@ -2794,6 +2794,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["segment_dedup_docs"] = _segment_dedup
 
+    # --- multi-class softmax lang-id (fastText-supervised shape,
+    # CCNet's language-ID stage): hashed-ngram features, lang labels,
+    # 2 full-batch cross-entropy GD steps as dataflow; weights AND
+    # argmax predictions replay value-exactly in unrolled SQL
+    def _softmax_parts(s, d):
+        from linkgraph.operators.classifier import (
+            hashed_text_features,
+            softmax_train,
+        )
+
+        docs = _read(s, d, "documents")
+        labels = docs.select("doc_id", F.col("lang").alias("y"))
+        feats = hashed_text_features(docs, n_buckets=256)
+        return docs, feats, softmax_train(
+            feats, labels, iters=2, lr=0.5, l2=0.01
+        )
+
+    def _softmax_w(s, d):
+        _, _, w = _softmax_parts(s, d)
+        # + 0.0 normalizes IEEE negative zero (round(-1e-9, 6) = -0.0
+        # on one engine, 0.0 on the other)
+        return w.select(
+            "h", "cls", (F.round("weight", 6) + F.lit(0.0)).alias("weight")
+        )
+
+    q["langid_softmax_weights"] = _softmax_w
+
+    def _softmax_preds(s, d):
+        from linkgraph.operators.classifier import softmax_predict
+
+        docs, feats, w = _softmax_parts(s, d)
+        return softmax_predict(feats, w, docs=docs).select(
+            "id", "pred", F.round("prob", 6).alias("prob")
+        )
+
+    q["langid_softmax_preds"] = _softmax_preds
+
     # --- SGNS graph embeddings (the training stage of DeepWalk /
     # node2vec — word2vec's skip-gram-negative-sampling objective run
     # as dataflow, operators/embeddings.py): symmetric first-order
@@ -4527,6 +4564,101 @@ u{i + 1} AS MATERIALIZED (
   FROM u{i} u LEFT JOIN gu{i} g ON g.id = u.id AND g.j = u.j)"""
         )
     parts.append(f"\nSELECT id, j, round(val, 6) AS emb FROM v{iters}")
+    return "".join(parts)
+
+
+def _softmax_sql(
+    n_buckets: int = 256,
+    iters: int = 2,
+    lr: float = 0.5,
+    l2: float = 0.01,
+    preds: bool = False,
+) -> str:
+    """Unrolled multi-class softmax GD replay (operators/classifier.py
+    softmax_train/softmax_predict): same hashed features + bias as the
+    binary oracle, lang labels as classes, stable softmax (per-doc max
+    subtracted) per iteration, (prob desc, cls asc) argmax readout."""
+    hb = f"{_md5int('g')} % {n_buckets}"
+    parts = [
+        f"""
+WITH dtok AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+grams AS MATERIALIZED (
+  SELECT doc_id, {hb} AS h, count(*) AS c FROM (
+    SELECT doc_id, unnest(t) AS g FROM dtok
+    UNION ALL
+    SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+    FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+          FROM dtok)
+  ) GROUP BY 1, 2),
+tot AS MATERIALIZED (SELECT doc_id, sum(c) AS n FROM grams GROUP BY 1),
+feats AS MATERIALIZED (
+  SELECT doc_id, h, CAST(c AS DOUBLE) / n AS x
+  FROM grams JOIN tot USING (doc_id)
+  UNION ALL
+  SELECT doc_id, CAST(-1 AS BIGINT) AS h, 1.0 AS x FROM documents),
+labels AS MATERIALIZED (SELECT doc_id, lang AS y FROM documents),
+classes AS MATERIALIZED (SELECT DISTINCT y AS cls FROM labels),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM labels),
+w0 AS MATERIALIZED (
+  SELECT h, cls, 0.0 AS weight
+  FROM (SELECT DISTINCT h FROM feats), classes)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+m{i} AS MATERIALIZED (
+  SELECT f.doc_id, w.cls, sum(f.x * w.weight) AS m
+  FROM feats f JOIN w{i} w USING (h) GROUP BY 1, 2),
+mx{i} AS MATERIALIZED (SELECT doc_id, max(m) AS mx FROM m{i} GROUP BY 1),
+e{i} AS MATERIALIZED (
+  SELECT m.doc_id, m.cls, exp(m.m - x.mx) AS e
+  FROM m{i} m JOIN mx{i} x USING (doc_id)),
+z{i} AS MATERIALIZED (SELECT doc_id, sum(e) AS z FROM e{i} GROUP BY 1),
+r{i} AS MATERIALIZED (
+  SELECT e.doc_id, e.cls,
+         e.e / z.z - CASE WHEN e.cls = l.y THEN 1.0 ELSE 0.0 END AS r
+  FROM e{i} e JOIN z{i} z USING (doc_id) JOIN labels l USING (doc_id)),
+g{i} AS MATERIALIZED (
+  SELECT f.h, r.cls, sum(f.x * r.r) / (SELECT n FROM nn) AS g
+  FROM feats f JOIN r{i} r USING (doc_id) GROUP BY 1, 2),
+w{i + 1} AS MATERIALIZED (
+  SELECT w.h, w.cls,
+         w.weight - {lr} * (coalesce(g.g, 0.0) + {l2} * w.weight) AS weight
+  FROM w{i} w LEFT JOIN g{i} g ON g.h = w.h AND g.cls = w.cls)"""
+        )
+    if not preds:
+        parts.append(
+            # + 0.0 normalizes IEEE negative zero after rounding
+            f"\nSELECT h, cls, round(weight, 6) + 0.0 AS weight FROM w{iters}"
+        )
+    else:
+        parts.append(
+            f""",
+mfin AS MATERIALIZED (
+  SELECT f.doc_id, w.cls, sum(f.x * w.weight) AS m
+  FROM feats f JOIN w{iters} w USING (h) WHERE f.h <> -1 GROUP BY 1, 2),
+bb AS (SELECT cls, weight AS b FROM w{iters} WHERE h = -1),
+grid AS MATERIALIZED (
+  SELECT d.doc_id, c.cls
+  FROM (SELECT DISTINCT doc_id FROM documents) d, classes c),
+lg AS MATERIALIZED (
+  SELECT g.doc_id, g.cls,
+         coalesce(m.m, 0.0) + coalesce(b.b, 0.0) AS m
+  FROM grid g
+  LEFT JOIN mfin m ON m.doc_id = g.doc_id AND m.cls = g.cls
+  LEFT JOIN bb b ON b.cls = g.cls),
+mxf AS (SELECT doc_id, max(m) AS mx FROM lg GROUP BY 1),
+ef AS MATERIALIZED (
+  SELECT l.doc_id, l.cls, exp(l.m - x.mx) AS e
+  FROM lg l JOIN mxf x USING (doc_id)),
+zf AS (SELECT doc_id, sum(e) AS z FROM ef GROUP BY 1)
+SELECT doc_id AS id, cls AS pred, round(p, 6) AS prob FROM (
+  SELECT e.doc_id, e.cls, e.e / z.z AS p,
+         row_number() OVER (PARTITION BY e.doc_id
+                            ORDER BY e.e / z.z DESC, e.cls ASC) AS rn
+  FROM ef e JOIN zf z USING (doc_id)) WHERE rn = 1"""
+        )
     return "".join(parts)
 
 
@@ -6511,6 +6643,8 @@ FROM pairs p LEFT JOIN est ON p.src = est.src AND p.dst = est.dst
         "quality_classifier_weights": _logreg_sql(),
         "skipgram_embeddings_suppdir": _skipgram_sql(),
         "balanced_partition_suppdir": _balanced_partition_sql(),
+        "langid_softmax_weights": _softmax_sql(),
+        "langid_softmax_preds": _softmax_sql(preds=True),
         "segment_dedup_docs": f"""
 WITH docs AS MATERIALIZED ({DOCS}),
 segs AS MATERIALIZED (

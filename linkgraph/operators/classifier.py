@@ -202,3 +202,197 @@ def logreg_score(
             ).alias("score"),
         )
     )
+
+
+def softmax_train(
+    features: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "y",
+    iters: int = 20,
+    lr: float = 0.5,
+    l2: float = 0.0,
+    intercept: bool = True,
+    partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
+    resume: bool = True,
+) -> DataFrame:
+    """Multi-class (softmax) generalization of :func:`logreg_train` —
+    the fastText-supervised shape of web-pipeline LANGUAGE-ID and
+    domain classifiers (Joulin et al. 2017; CCNet's lang-id stage):
+    one weight per (hash bucket, class), cross-entropy full-batch GD
+    run as dataflow. Returns DataFrame(h, cls, weight).
+
+    ``labels``: (id_col, label_col) with arbitrary class values
+    (cast to string); the class set is taken from the labels.
+
+    Per step (N = |labels|):
+
+        logits   features ⋈(broadcast) weights → per-(doc, cls) sum
+        softmax  exp(logit − per-doc max) / per-doc sum  (stable)
+        resid    p_dc − 1[y_d = c]
+        grad     features ⋈ resid → per-(bucket, cls) sum / N + l2·w
+        update   w ← w − lr·grad
+
+    Plan shape: the feature table is cached doc-partitioned once and
+    never moves; the model (n_buckets·K rows) broadcasts; the only
+    per-iteration shuffles are the (doc, cls) logit sum and the
+    (bucket, cls) gradient sum, both map-side combined. The weight
+    frame rides a parquet lineage cut per iteration, with optional
+    PeelCheckpoint durable commits (same resume contract as
+    logreg_train). Docs absent from ``features`` (tokenless) carry
+    only the intercept row, exactly like the binary trainer.
+
+    Deterministic and engine-portable: no sampling, plain float64
+    sums; the driver contract replays trained weights value-exactly
+    in unrolled DuckDB SQL (same stable-softmax operand order)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if lr <= 0:
+        raise ValueError(f"lr must be positive, got {lr}")
+    spark = features.sparkSession
+    n_part = partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    y = labels.select(
+        F.col(id_col).alias("id"), F.col(label_col).cast("string").alias("y")
+    )
+    classes = y.select(F.col("y").alias("cls")).distinct()
+    feats = features.select("id", "h", F.col("x").cast("double"))
+    if intercept:
+        feats = feats.unionByName(
+            y.select(
+                "id", F.lit(INTERCEPT).cast("long").alias("h"), F.lit(1.0).alias("x")
+            )
+        )
+    feats = feats.repartition(n_part, "id").persist()
+    y = y.repartition(n_part, "id").persist()
+    n = float(y.count())
+    if n == 0:
+        raise ValueError("labels is empty")
+    ckpt = PeelCheckpoint(checkpoint_dir, spark) if checkpoint_dir else None
+    meta = ckpt.latest() if (ckpt and resume) else None
+    start = 0
+    if meta is not None:
+        start = int(meta["extra"]["it"])
+        if start > iters:
+            raise ValueError(
+                f"checkpoint at step {start} is past the requested iters={iters}; "
+                "pass a larger iters to extend training or a fresh checkpoint_dir"
+            )
+        w = ckpt.load(meta)["w"]
+    else:
+        w = truncate_lineage(
+            feats.select("h").distinct().crossJoin(classes)
+            .withColumn("weight", F.lit(0.0))
+        )
+    for it in range(start, iters):
+        logits = (
+            feats.join(F.broadcast(w), "h")
+            .groupBy("id", "cls")
+            .agg(F.sum(F.col("x") * F.col("weight")).alias("m"))
+        )
+        # stable softmax: subtract the per-doc max logit before exp
+        mx = logits.groupBy("id").agg(F.max("m").alias("_mx"))
+        probs = logits.join(mx, "id").select(
+            "id", "cls", F.exp(F.col("m") - F.col("_mx")).alias("e")
+        )
+        tot = probs.groupBy("id").agg(F.sum("e").alias("z"))
+        resid = (
+            probs.join(tot, "id")
+            .join(y, "id")
+            .select(
+                "id",
+                "cls",
+                (
+                    F.col("e") / F.col("z")
+                    - F.when(F.col("cls") == F.col("y"), 1.0).otherwise(0.0)
+                ).alias("r"),
+            )
+        )
+        grad = (
+            feats.join(resid, "id")
+            .groupBy("h", "cls")
+            .agg((F.sum(F.col("x") * F.col("r")) / F.lit(n)).alias("g"))
+        )
+        w = truncate_lineage(
+            w.join(grad, ["h", "cls"], "left").select(
+                "h",
+                "cls",
+                (
+                    F.col("weight")
+                    - F.lit(float(lr))
+                    * (F.coalesce("g", F.lit(0.0)) + F.lit(float(l2)) * F.col("weight"))
+                ).alias("weight"),
+            )
+        )
+        if ckpt and checkpoint_every and (it + 1) % checkpoint_every == 0:
+            ckpt.commit(it + 1, {"w": w}, extra={"it": it + 1})
+    feats.unpersist()
+    y.unpersist()
+    return w
+
+
+def softmax_score(
+    features: DataFrame,
+    weights: DataFrame,
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DataFrame(id, cls, prob): the softmax class distribution per
+    document under ``weights`` (h, cls, weight). ``docs`` pins the id
+    set so featureless documents still score (intercept-only logits —
+    uniform if no intercept was trained). Argmax readout is
+    ``prob``-then-``cls`` deterministic:
+    ``softmax_predict`` below."""
+    ids = (
+        docs.select(F.col(id_col).alias("id")).distinct()
+        if docs is not None
+        else features.select("id").distinct()
+    )
+    classes = weights.select("cls").distinct()
+    margins = (
+        features.filter(F.col("h") != INTERCEPT)
+        .join(F.broadcast(weights), "h")
+        .groupBy("id", "cls")
+        .agg(F.sum(F.col("x") * F.col("weight")).alias("m"))
+    )
+    bias = weights.filter(F.col("h") == INTERCEPT).select(
+        "cls", F.col("weight").alias("_b")
+    )
+    logits = (
+        ids.crossJoin(classes)
+        .join(margins, ["id", "cls"], "left")
+        .join(F.broadcast(bias), "cls", "left")
+        .select(
+            "id",
+            "cls",
+            (F.coalesce("m", F.lit(0.0)) + F.coalesce("_b", F.lit(0.0))).alias("m"),
+        )
+    )
+    mx = logits.groupBy("id").agg(F.max("m").alias("_mx"))
+    e = logits.join(mx, "id").select(
+        "id", "cls", F.exp(F.col("m") - F.col("_mx")).alias("e")
+    )
+    z = e.groupBy("id").agg(F.sum("e").alias("z"))
+    return e.join(z, "id").select(
+        "id", "cls", (F.col("e") / F.col("z")).alias("prob")
+    )
+
+
+def softmax_predict(
+    features: DataFrame,
+    weights: DataFrame,
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DataFrame(id, pred, prob): deterministic argmax readout of
+    :func:`softmax_score` (max prob, ties to the lexicographically
+    smallest class — a map-side-combinable min_by, no per-doc
+    window)."""
+    s = softmax_score(features, weights, docs, id_col)
+    return s.groupBy("id").agg(
+        F.expr("min_by(cls, struct(-prob, cls))").alias("pred"),
+        F.max("prob").alias("prob"),
+    )
