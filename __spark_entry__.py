@@ -2831,6 +2831,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["langid_softmax_preds"] = _softmax_preds
 
+    # --- evaluation metrics over the quality classifier's scores
+    # (operators/metrics.py): tie-aware Mann-Whitney AUC via the
+    # distributed range-partitioned rank, and thresholded confusion
+    # metrics; scores round to 6 dp BEFORE the metric so the tie
+    # structure is engine-identical
+    def _scored_docs(s, d):
+        from linkgraph.operators.classifier import logreg_score
+
+        docs, feats, w = _lr_parts(s, d)
+        sc = logreg_score(feats, w, docs=docs).select(
+            "doc_id", F.round("score", 6).alias("score")
+        )
+        lab = docs.select(
+            "doc_id", F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y")
+        )
+        return sc.join(lab, "doc_id")
+
+    def _cls_auc(s, d):
+        from linkgraph.operators.metrics import ranking_auc
+
+        return ranking_auc(_scored_docs(s, d)).select(
+            "n_pos", "n_neg", F.round("auc", 9).alias("auc")
+        )
+
+    q["classifier_auc_docs"] = _cls_auc
+
+    def _cls_confusion(s, d):
+        from linkgraph.operators.metrics import confusion_metrics
+
+        return confusion_metrics(_scored_docs(s, d), threshold=0.5).select(
+            "tp",
+            "fp",
+            "tn",
+            "fn",
+            F.round("precision", 9).alias("precision"),
+            F.round("recall", 9).alias("recall"),
+            F.round("f1", 9).alias("f1"),
+            F.round("accuracy", 9).alias("accuracy"),
+        )
+
+    q["classifier_confusion_docs"] = _cls_confusion
+
     # --- SGNS graph embeddings (the training stage of DeepWalk /
     # node2vec — word2vec's skip-gram-negative-sampling objective run
     # as dataflow, operators/embeddings.py): symmetric first-order
@@ -6645,6 +6687,52 @@ FROM pairs p LEFT JOIN est ON p.src = est.src AND p.dst = est.dst
         "balanced_partition_suppdir": _balanced_partition_sql(),
         "langid_softmax_weights": _softmax_sql(),
         "langid_softmax_preds": _softmax_sql(preds=True),
+        "classifier_auc_docs": f"""
+WITH sc AS MATERIALIZED ({_logreg_sql(scores=True)}),
+lab AS (SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        FROM documents),
+j AS (SELECT sc.score AS s, lab.y FROM sc JOIN lab USING (doc_id)),
+per AS MATERIALIZED (
+  SELECT s, count(*) AS cnt,
+         sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS pos
+  FROM j GROUP BY 1),
+r AS (SELECT pos, cnt,
+             (SUM(cnt) OVER (ORDER BY s) - cnt) + (cnt + 1) / 2.0 AS avg_rank
+      FROM per)
+SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
+       round((sum(pos * avg_rank) - sum(pos) * (sum(pos) + 1) / 2.0)
+             / (sum(pos) * (sum(cnt) - sum(pos))), 9) AS auc
+FROM r
+""",
+        "classifier_confusion_docs": f"""
+WITH sc AS MATERIALIZED ({_logreg_sql(scores=True)}),
+lab AS (SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        FROM documents),
+j AS (SELECT (sc.score >= 0.5) AS p, (lab.y = 1.0) AS t
+      FROM sc JOIN lab USING (doc_id)),
+c AS (SELECT count(CASE WHEN p AND t THEN 1 END) AS tp,
+             count(CASE WHEN p AND NOT t THEN 1 END) AS fp,
+             count(CASE WHEN NOT p AND NOT t THEN 1 END) AS tn,
+             count(CASE WHEN NOT p AND t THEN 1 END) AS fn
+      FROM j)
+SELECT tp, fp, tn, fn,
+       round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END, 9)
+         AS precision,
+       round(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END, 9)
+         AS recall,
+       round(CASE WHEN tp + fp > 0 AND tp + fn > 0
+                   AND CAST(tp AS DOUBLE) / (tp + fp)
+                       + CAST(tp AS DOUBLE) / (tp + fn) > 0
+             THEN 2.0 * (CAST(tp AS DOUBLE) / (tp + fp))
+                      * (CAST(tp AS DOUBLE) / (tp + fn))
+                  / (CAST(tp AS DOUBLE) / (tp + fp)
+                     + CAST(tp AS DOUBLE) / (tp + fn)) END, 9) AS f1,
+       round(CAST(tp + tn AS DOUBLE) / (tp + fp + tn + fn), 9) AS accuracy
+FROM c
+""",
         "segment_dedup_docs": f"""
 WITH docs AS MATERIALIZED ({DOCS}),
 segs AS MATERIALIZED (

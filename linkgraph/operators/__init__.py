@@ -112,6 +112,7 @@ from linkgraph.operators.embeddings import (
     walk_skipgram_pairs,
 )
 from linkgraph.operators.partition import balanced_partition, edge_locality
+from linkgraph.operators.metrics import confusion_metrics, ranking_auc
 from linkgraph.operators.greedy import (
     greedy_coloring,
     maximal_independent_set,
@@ -263,4 +264,6 @@ __all__ = [
     "vocab_index",
     "balanced_partition",
     "edge_locality",
+    "ranking_auc",
+    "confusion_metrics",
 ]

@@ -1,0 +1,78 @@
+"""Distributed tie-aware AUC and confusion metrics vs independent
+pure-Python formulations (pairwise Mann-Whitney for AUC), including
+tie structure, single-class NULLs and empty inputs."""
+
+import random
+
+import pytest
+
+from linkgraph.operators.metrics import confusion_metrics, ranking_auc
+
+
+def py_pairwise_auc(pairs):
+    pos = [s for s, y in pairs if y == 1.0]
+    neg = [s for s, y in pairs if y == 0.0]
+    if not pos or not neg:
+        return None
+    wins = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    )
+    return wins / (len(pos) * len(neg))
+
+
+def test_auc_matches_pairwise_with_ties(spark):
+    rng = random.Random(3)
+    # coarse scores force heavy ties
+    pairs = [
+        (round(rng.random(), 1), float(rng.random() < 0.4)) for _ in range(500)
+    ]
+    df = spark.createDataFrame(pairs, "score double, y double")
+    row = ranking_auc(df).collect()[0]
+    want = py_pairwise_auc(pairs)
+    assert row["n_pos"] == sum(1 for _, y in pairs if y == 1.0)
+    assert row["n_neg"] == len(pairs) - row["n_pos"]
+    assert abs(row["auc"] - want) < 1e-12
+
+
+def test_auc_perfect_and_inverted(spark):
+    pairs = [(float(i), 1.0 if i >= 50 else 0.0) for i in range(100)]
+    df = spark.createDataFrame(pairs, "score double, y double")
+    assert abs(ranking_auc(df).collect()[0]["auc"] - 1.0) < 1e-12
+    inv = spark.createDataFrame(
+        [(-s, y) for s, y in pairs], "score double, y double"
+    )
+    assert abs(ranking_auc(inv).collect()[0]["auc"] - 0.0) < 1e-12
+
+
+def test_auc_single_class_is_null(spark):
+    df = spark.createDataFrame([(0.3, 1.0), (0.9, 1.0)], "score double, y double")
+    row = ranking_auc(df).collect()[0]
+    assert row["auc"] is None and row["n_pos"] == 2 and row["n_neg"] == 0
+    empty = ranking_auc(df.filter("score > 5")).collect()[0]
+    assert empty["auc"] is None and empty["n_pos"] == 0
+
+
+def test_auc_partition_invariance(spark):
+    rng = random.Random(9)
+    pairs = [(rng.random(), float(rng.random() < 0.5)) for _ in range(300)]
+    df = spark.createDataFrame(pairs, "score double, y double")
+    a = ranking_auc(df, partitions=1).collect()[0]["auc"]
+    b = ranking_auc(df, partitions=7).collect()[0]["auc"]
+    c = ranking_auc(df.repartition(13), partitions=3).collect()[0]["auc"]
+    assert abs(a - b) < 1e-12 and abs(a - c) < 1e-12
+
+
+def test_confusion_metrics(spark):
+    rows = [
+        (0.9, 1.0), (0.8, 1.0), (0.6, 0.0), (0.4, 1.0), (0.2, 0.0), (0.1, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "score double, y double")
+    m = confusion_metrics(df, threshold=0.5).collect()[0]
+    assert (m["tp"], m["fp"], m["tn"], m["fn"]) == (2, 1, 2, 1)
+    assert abs(m["precision"] - 2 / 3) < 1e-12
+    assert abs(m["recall"] - 2 / 3) < 1e-12
+    assert abs(m["f1"] - 2 / 3) < 1e-12
+    assert abs(m["accuracy"] - 4 / 6) < 1e-12
+    # degenerate: nothing predicted positive -> precision NULL
+    m0 = confusion_metrics(df, threshold=2.0).collect()[0]
+    assert m0["precision"] is None and m0["tp"] == 0 and m0["recall"] == 0.0
