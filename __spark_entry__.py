@@ -2873,6 +2873,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["classifier_confusion_docs"] = _cls_confusion
 
+    # --- sitemap.xml parsing (sitemaps.org protocol — the discovery
+    # complement of robots.txt): deterministic sitemap + sitemapindex
+    # bodies constructed from nation/region rows IN BOTH ENGINES,
+    # parsed back by the Catalyst-regex parser; field NULLs, date
+    # prefix parse, priority guard and index flagging all replayed
+    def _sitemap_q(s, d):
+        from linkgraph.operators.crawl import sitemap_entries
+
+        nat = _read(s, d, "nation")
+        ent = nat.select(
+            (F.col("n_nationkey") % 3).cast("string").alias("rk"),
+            F.concat(
+                F.lit("<url><loc>https://"),
+                F.regexp_replace(F.lower(F.trim("n_name")), " ", "-"),
+                F.lit(".test/</loc><lastmod>2024-01-"),
+                F.lpad(((F.col("n_nationkey") % 28) + 1).cast("string"), 2, "0"),
+                F.lit("</lastmod><priority>0."),
+                (F.col("n_nationkey") % 10).cast("string"),
+                F.lit("</priority></url>"),
+            ).alias("e"),
+        )
+        maps = (
+            ent.groupBy("rk")
+            .agg(
+                F.concat(
+                    F.lit("<urlset>"),
+                    F.array_join(F.array_sort(F.collect_list("e")), ""),
+                    F.lit("</urlset>"),
+                ).alias("xml")
+            )
+            .select(F.concat(F.lit("h"), "rk").alias("host"), "xml")
+        )
+        idx = (
+            _read(s, d, "region")
+            .select(
+                F.concat(
+                    F.lit("<sitemap><loc>https://idx.test/s"),
+                    F.col("r_regionkey").cast("string"),
+                    F.lit(".xml</loc></sitemap>"),
+                ).alias("e")
+            )
+            .agg(
+                F.concat(
+                    F.lit("<sitemapindex>"),
+                    F.array_join(F.array_sort(F.collect_list("e")), ""),
+                    F.lit("</sitemapindex>"),
+                ).alias("xml")
+            )
+            .select(F.lit("idx").alias("host"), "xml")
+        )
+        out = sitemap_entries(maps.unionByName(idx))
+        return out.select(
+            "host",
+            "url",
+            "lastmod",
+            F.col("lastmod_date").cast("string").alias("lastmod_date"),
+            "changefreq",
+            "priority",
+            "is_index",
+        )
+
+    q["sitemap_entries_nations"] = _sitemap_q
+
     # --- SGNS graph embeddings (the training stage of DeepWalk /
     # node2vec — word2vec's skip-gram-negative-sampling objective run
     # as dataflow, operators/embeddings.py): symmetric first-order
@@ -6687,6 +6750,55 @@ FROM pairs p LEFT JOIN est ON p.src = est.src AND p.dst = est.dst
         "balanced_partition_suppdir": _balanced_partition_sql(),
         "langid_softmax_weights": _softmax_sql(),
         "langid_softmax_preds": _softmax_sql(preds=True),
+        "sitemap_entries_nations": r"""
+WITH ent AS (
+  SELECT CAST(n_nationkey % 3 AS VARCHAR) AS rk,
+         '<url><loc>https://' || replace(lower(trim(n_name)), ' ', '-')
+         || '.test/</loc><lastmod>2024-01-'
+         || lpad(CAST((n_nationkey % 28) + 1 AS VARCHAR), 2, '0')
+         || '</lastmod><priority>0.' || CAST(n_nationkey % 10 AS VARCHAR)
+         || '</priority></url>' AS e
+  FROM nation),
+maps AS (
+  SELECT 'h' || rk AS host,
+         '<urlset>' || string_agg(e, '' ORDER BY e) || '</urlset>' AS x
+  FROM ent GROUP BY rk
+  UNION ALL
+  SELECT 'idx',
+         '<sitemapindex>'
+         || string_agg('<sitemap><loc>https://idx.test/s'
+                       || CAST(r_regionkey AS VARCHAR) || '.xml</loc></sitemap>',
+                       '' ORDER BY r_regionkey)
+         || '</sitemapindex>'
+  FROM region),
+u AS (
+  SELECT host, unnest(regexp_extract_all(x, '<url>(.*?)</url>', 1)) AS e,
+         FALSE AS is_index
+  FROM maps
+  UNION ALL
+  SELECT host, unnest(regexp_extract_all(x, '<sitemap>(.*?)</sitemap>', 1)),
+         TRUE
+  FROM maps),
+f AS (
+  SELECT host, is_index,
+         nullif(regexp_extract(e, '<loc>\s*(.*?)\s*</loc>', 1), '') AS url,
+         nullif(regexp_extract(e, '<lastmod>\s*(.*?)\s*</lastmod>', 1), '')
+           AS lastmod,
+         nullif(regexp_extract(e, '<changefreq>\s*(.*?)\s*</changefreq>', 1), '')
+           AS changefreq,
+         nullif(regexp_extract(e, '<priority>\s*(.*?)\s*</priority>', 1), '')
+           AS prio
+  FROM u)
+SELECT host, url, lastmod,
+       CASE WHEN regexp_matches(coalesce(lastmod, ''), '^\d{4}-\d{2}-\d{2}')
+            THEN CAST(CAST(substr(lastmod, 1, 10) AS DATE) AS VARCHAR) END
+         AS lastmod_date,
+       changefreq,
+       CASE WHEN regexp_matches(coalesce(prio, ''), '^[0-9]*\.?[0-9]+$')
+            THEN CAST(prio AS DOUBLE) END AS priority,
+       is_index
+FROM f WHERE url IS NOT NULL
+""",
         "classifier_auc_docs": f"""
 WITH sc AS MATERIALIZED ({_logreg_sql(scores=True)}),
 lab AS (SELECT doc_id,

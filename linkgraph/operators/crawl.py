@@ -779,3 +779,77 @@ def url_seen_filter(
     )
     definite = probed.filter(~F.col("maybe_seen")).withColumn("is_new", F.lit(True))
     return definite.unionByName(confirmed)
+
+
+def sitemap_entries(
+    df: DataFrame,
+    host_col: str = "host",
+    xml_col: str = "xml",
+) -> DataFrame:
+    """Parse sitemap.xml / sitemap-index bodies (sitemaps.org
+    protocol, the discovery-side complement of robots.txt) into a URL
+    table: DataFrame(host, url, lastmod, lastmod_date, changefreq,
+    priority, is_index) — one row per ``<url>`` entry (is_index
+    false) or per child ``<sitemap>`` of an index file (is_index
+    true; feed those urls back through the fetcher and this parser).
+
+    Pure Catalyst regex over the body — the standard practical
+    sitemap treatment (the format is flat enough that tag-scoped
+    regex with (?s) is exact for conforming files; no XML library in
+    the executors). Fields beyond ``<loc>`` are optional and NULL
+    when absent; ``priority`` casts to double (NULL on junk under
+    ANSI-safe try_cast semantics via a digits guard); ``lastmod_date``
+    parses the W3C datetime's date prefix. Entries with no ``<loc>``
+    are dropped. Plan: one regexp_extract_all + posexplode per input
+    row (map-side, no shuffle at all) — fan-out bounded by the 50k-URL
+    protocol cap per sitemap file.
+    """
+    def entries(tag: str) -> Column:
+        return F.expr(
+            f"regexp_extract_all(_x, '(?s)<{tag}>(.*?)</{tag}>', 1)"
+        )
+
+    def field(entry: Column, tag: str) -> Column:
+        got = F.regexp_extract(entry, f"(?s)<{tag}>\\s*(.*?)\\s*</{tag}>", 1)
+        return F.when(got != "", got)
+
+    base = df.select(
+        F.col(host_col).alias("host"),
+        F.col(xml_col).alias("_x"),
+    )
+    both = base.select(
+        "host",
+        F.explode(
+            F.concat(
+                F.transform(
+                    entries("url"),
+                    lambda e: F.struct(e.alias("e"), F.lit(False).alias("ix")),
+                ),
+                F.transform(
+                    entries("sitemap"),
+                    lambda e: F.struct(e.alias("e"), F.lit(True).alias("ix")),
+                ),
+            )
+        ).alias("_s"),
+    ).select("host", F.col("_s.e").alias("_e"), F.col("_s.ix").alias("is_index"))
+    loc = field(F.col("_e"), "loc")
+    lastmod = field(F.col("_e"), "lastmod")
+    prio = field(F.col("_e"), "priority")
+    return (
+        both.select(
+            "host",
+            loc.alias("url"),
+            lastmod.alias("lastmod"),
+            # regex guard BEFORE to_date: ANSI mode raises on junk
+            F.when(
+                F.coalesce(lastmod, F.lit("")).rlike(r"^\d{4}-\d{2}-\d{2}"),
+                F.to_date(F.substring(lastmod, 1, 10), "yyyy-MM-dd"),
+            ).alias("lastmod_date"),
+            field(F.col("_e"), "changefreq").alias("changefreq"),
+            F.when(
+                prio.rlike(r"^[0-9]*\.?[0-9]+$"), prio.cast("double")
+            ).alias("priority"),
+            "is_index",
+        )
+        .filter(F.col("url").isNotNull())
+    )

@@ -440,3 +440,59 @@ def test_url_bloom_false_positive_rate_sane(spark):
     probed = bloom_might_contain(fresh, bloom, m_bits=1 << 12, k=4, shards=8)
     fp = probed.filter("maybe_seen").count()
     assert fp <= 5
+
+
+# --- sitemap parsing ------------------------------------------------------
+
+
+def test_sitemap_entries_parse(spark):
+    from linkgraph.operators.crawl import sitemap_entries
+
+    xml1 = (
+        "<?xml version='1.0'?><urlset>"
+        "<url><loc> https://a.test/ </loc><lastmod>2024-03-05</lastmod>"
+        "<changefreq>daily</changefreq><priority>0.8</priority></url>"
+        "<url><loc>https://a.test/p?x=1&amp;y=2</loc></url>"
+        "<url><lastmod>2024-01-01</lastmod></url>"  # no loc: dropped
+        "<url><loc>https://a.test/bad</loc><lastmod>soon</lastmod>"
+        "<priority>high</priority></url>"
+        "</urlset>"
+    )
+    xml2 = (
+        "<sitemapindex>"
+        "<sitemap><loc>https://b.test/sitemap1.xml</loc>"
+        "<lastmod>2024-02-10T18:00:00+00:00</lastmod></sitemap>\n"
+        "<sitemap>\n<loc>https://b.test/sitemap2.xml</loc>\n</sitemap>"
+        "</sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("a.test", xml1), ("b.test", xml2)], "host string, xml string"
+    )
+    rows = {
+        (r["host"], r["url"]): r
+        for r in sitemap_entries(df).collect()
+    }
+    assert len(rows) == 5
+    r1 = rows[("a.test", "https://a.test/")]
+    assert not r1["is_index"]
+    assert r1["changefreq"] == "daily" and abs(r1["priority"] - 0.8) < 1e-12
+    assert str(r1["lastmod_date"]) == "2024-03-05"
+    r2 = rows[("a.test", "https://a.test/p?x=1&amp;y=2")]
+    assert r2["lastmod"] is None and r2["priority"] is None
+    rbad = rows[("a.test", "https://a.test/bad")]
+    assert rbad["lastmod_date"] is None and rbad["priority"] is None
+    assert rbad["lastmod"] == "soon"
+    ri = rows[("b.test", "https://b.test/sitemap1.xml")]
+    assert ri["is_index"] and ri["lastmod"].startswith("2024-02-10T")
+    assert str(ri["lastmod_date"]) == "2024-02-10"
+    assert rows[("b.test", "https://b.test/sitemap2.xml")]["is_index"]
+
+
+def test_sitemap_entries_empty_and_no_matches(spark):
+    from linkgraph.operators.crawl import sitemap_entries
+
+    df = spark.createDataFrame(
+        [("h.test", "<html>not a sitemap</html>"), ("i.test", "")],
+        "host string, xml string",
+    )
+    assert sitemap_entries(df).count() == 0
