@@ -2936,6 +2936,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sitemap_entries_nations"] = _sitemap_q
 
+    # --- motif DSL (GraphFrames find() subset compiled to Catalyst
+    # joins, operators/patterns.py): feed-forward triangles and
+    # negation (unreciprocated links) over the supplier-direct graph
+    def _motif_fft(s, d):
+        from linkgraph.operators.patterns import find_motifs
+
+        return find_motifs(
+            _supp_dir(s, d), "(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)"
+        )
+
+    q["motif_feedforward_suppdir"] = _motif_fft
+
+    def _motif_unrecip(s, d):
+        # mixed-reciprocity graph (suppdir is fully reciprocated at
+        # these SFs): customer→supplier edges, reversed only where
+        # (src + dst) % 3 == 0 — so ~2/3 of the links are
+        # unreciprocated and the anti-join does real work
+        from linkgraph.operators.patterns import find_motifs
+
+        cs = tpch_edges(s, d).select("src", "dst")
+        rev = cs.filter((F.col("src") + F.col("dst")) % 3 == 0).select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+        g = LinkGraph(
+            cs.unionAll(rev).withColumn("weight", F.lit(1.0)), directed=True
+        )
+        return find_motifs(g, "(a)-[e]->(b); !(b)-[]->(a)")
+
+    q["motif_unreciprocated_suppdir"] = _motif_unrecip
+
     # --- SGNS graph embeddings (the training stage of DeepWalk /
     # node2vec — word2vec's skip-gram-negative-sampling objective run
     # as dataflow, operators/embeddings.py): symmetric first-order
@@ -6750,6 +6780,24 @@ FROM pairs p LEFT JOIN est ON p.src = est.src AND p.dst = est.dst
         "balanced_partition_suppdir": _balanced_partition_sql(),
         "langid_softmax_weights": _softmax_sql(),
         "langid_softmax_preds": _softmax_sql(preds=True),
+        "motif_feedforward_suppdir": f"""
+WITH sd AS MATERIALIZED ({SUPP_DIR})
+SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+FROM sd e1
+JOIN sd e2 ON e2.src = e1.dst
+JOIN sd e3 ON e3.src = e1.src AND e3.dst = e2.dst
+""",
+        "motif_unreciprocated_suppdir": f"""
+WITH cs AS MATERIALIZED (SELECT src, dst FROM ({CUST_SUPP})),
+sd AS MATERIALIZED (
+  SELECT src, dst FROM cs
+  UNION ALL
+  SELECT dst, src FROM cs WHERE (src + dst) % 3 = 0)
+SELECT s.src AS a, s.dst AS b,
+       s.src AS e_src, s.dst AS e_dst, 1.0 AS e_weight
+FROM sd s
+WHERE NOT EXISTS (SELECT 1 FROM sd r WHERE r.src = s.dst AND r.dst = s.src)
+""",
         "sitemap_entries_nations": r"""
 WITH ent AS (
   SELECT CAST(n_nationkey % 3 AS VARCHAR) AS rk,

@@ -113,6 +113,7 @@ from linkgraph.operators.embeddings import (
 )
 from linkgraph.operators.partition import balanced_partition, edge_locality
 from linkgraph.operators.metrics import confusion_metrics, ranking_auc
+from linkgraph.operators.patterns import PatternError, find_motifs
 from linkgraph.operators.greedy import (
     greedy_coloring,
     maximal_independent_set,
@@ -266,4 +267,6 @@ __all__ = [
     "edge_locality",
     "ranking_auc",
     "confusion_metrics",
+    "find_motifs",
+    "PatternError",
 ]
