@@ -2966,6 +2966,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["motif_unreciprocated_suppdir"] = _motif_unrecip
 
+    # --- aggregateMessages (the Pregel/GraphFrames user-extension
+    # primitive, operators/messages.py): weight messages to both
+    # endpoints, per-vertex sum — the custom-vertex-program surface
+    def _agg_msgs(s, d):
+        from linkgraph.operators.messages import aggregate_messages
+
+        g = LinkGraph(tpch_edges(s, d), directed=True)
+        return aggregate_messages(
+            g,
+            F.round(F.sum("msg"), 6).alias("wsum"),
+            to_dst="weight",
+            to_src="weight",
+            need_vertex_attrs=False,
+        )
+
+    q["aggregate_messages_custsupp"] = _agg_msgs
+
     # --- SGNS graph embeddings (the training stage of DeepWalk /
     # node2vec — word2vec's skip-gram-negative-sampling objective run
     # as dataflow, operators/embeddings.py): symmetric first-order
@@ -6780,6 +6797,14 @@ FROM pairs p LEFT JOIN est ON p.src = est.src AND p.dst = est.dst
         "balanced_partition_suppdir": _balanced_partition_sql(),
         "langid_softmax_weights": _softmax_sql(),
         "langid_softmax_preds": _softmax_sql(preds=True),
+        "aggregate_messages_custsupp": f"""
+WITH cs AS MATERIALIZED ({CUST_SUPP}),
+msgs AS (
+  SELECT dst AS id, weight AS msg FROM cs
+  UNION ALL
+  SELECT src AS id, weight AS msg FROM cs)
+SELECT id, round(sum(msg), 6) AS wsum FROM msgs GROUP BY id
+""",
         "motif_feedforward_suppdir": f"""
 WITH sd AS MATERIALIZED ({SUPP_DIR})
 SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
