@@ -2983,6 +2983,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["aggregate_messages_custsupp"] = _agg_msgs
 
+    # --- Pregel driver (operators/messages.pregel): a user vertex
+    # program — max-label flood both directions to convergence —
+    # whose fixpoint is the per-weak-component MAX id, checked against
+    # the same transitive-closure oracle family as WCC
+    def _pregel_cmax(s, d):
+        from linkgraph.operators.messages import pregel
+
+        g = LinkGraph(_hierarchy_edges(s, d), directed=True)
+        res = pregel(
+            g,
+            initial={"m": F.col("id").cast("double")},
+            agg=F.max("msg").alias("agg"),
+            to_dst=F.col("src_m"),
+            to_src=F.col("dst_m"),
+            update={
+                "m": F.greatest(F.col("m"), F.coalesce("agg", F.col("m")))
+            },
+            delta=F.sum(
+                F.when(F.col("new_m") != F.col("m"), 1.0).otherwise(0.0)
+            ),
+            max_iter=60,
+        )
+        return res.state.select("id", F.col("m").cast("long").alias("cmax"))
+
+    q["pregel_component_max_hierarchy"] = _pregel_cmax
+
     # --- SGNS graph embeddings (the training stage of DeepWalk /
     # node2vec — word2vec's skip-gram-negative-sampling objective run
     # as dataflow, operators/embeddings.py): symmetric first-order
@@ -5313,6 +5339,17 @@ SELECT verts.id,
              THEN (r1 * 1.0 / dsum) * (r1 * 1.0 / ((SELECT n FROM n) - 1))
              ELSE 0.0 END, 9) AS closeness
 FROM verts LEFT JOIN agg ON verts.id = agg.id
+""",
+        "pregel_component_max_hierarchy": f"""
+WITH RECURSIVE e AS ({HIER}),
+sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+v AS (SELECT DISTINCT src AS id FROM sym),
+reach(id, r) AS (
+  SELECT id, id FROM v
+  UNION
+  SELECT reach.id, s.dst FROM reach JOIN sym s ON reach.r = s.src
+)
+SELECT id, max(r) AS cmax FROM reach GROUP BY id
 """,
         "wcc_hierarchy": f"""
 WITH RECURSIVE e AS ({HIER}),

@@ -114,7 +114,7 @@ from linkgraph.operators.embeddings import (
 from linkgraph.operators.partition import balanced_partition, edge_locality
 from linkgraph.operators.metrics import confusion_metrics, ranking_auc
 from linkgraph.operators.patterns import PatternError, find_motifs
-from linkgraph.operators.messages import aggregate_messages, triplets
+from linkgraph.operators.messages import aggregate_messages, pregel, triplets
 from linkgraph.operators.greedy import (
     greedy_coloring,
     maximal_independent_set,
@@ -272,4 +272,5 @@ __all__ = [
     "PatternError",
     "aggregate_messages",
     "triplets",
+    "pregel",
 ]

@@ -92,3 +92,105 @@ def aggregate_messages(
         else agg
     )
     return msgs.groupBy("id").agg(agg_col)
+
+
+def pregel(
+    graph: LinkGraph,
+    initial: dict[str, Column],
+    agg: Column | str,
+    update: dict[str, Column],
+    to_dst: Column | str | None = None,
+    to_src: Column | str | None = None,
+    delta: Column | None = None,
+    tol: float = 0.0,
+    max_iter: int = 20,
+    need_vertex_attrs: bool = True,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
+    on_exhaustion: str = "ok",
+):
+    """Generic Pregel vertex-program driver (the GraphFrames
+    ``Pregel`` API shape) — :func:`aggregate_messages` supersteps
+    composed with the engine's ``plans/iterate.iterate`` loop, so a
+    user-defined vertex program gets the same lineage cuts, per-round
+    stats, durable checkpoint/resume and loud exhaustion policy as
+    the built-in operators.
+
+    ``initial``: state columns as expressions over the vertex table
+    (e.g. ``{"rank": F.lit(1.0)}``). Each superstep:
+
+      1. messages: ``to_dst``/``to_src`` expressions over the triplet
+         of the CURRENT state (state columns visible as
+         ``src_<col>``/``dst_<col>``; edge columns as-is);
+      2. per-vertex aggregate ``agg`` over ``msg`` (arriving NULL for
+         vertices with no messages — coalesce in ``update``);
+      3. new state: ``update`` expressions over the old state joined
+         with the aggregate column ``agg``;
+      4. convergence: ``delta`` — an aggregate expression over the
+         joined (old state + new columns) frame, e.g.
+         ``F.sum(F.abs(F.col("new_rank") - F.col("rank")))``; new
+         columns are visible as ``new_<name>``. None = run exactly
+         ``max_iter`` supersteps.
+
+    Returns the ``IterationResult`` (state = vertex frame with the
+    ``initial`` columns converged).
+
+    The engine's own PageRank/WCC/SSSP remain the tuned paths (their
+    operands cache hash-partitioned, broadcast plans auto-select);
+    this driver is the EXTENSION surface for algorithms the library
+    does not ship."""
+    from linkgraph.plans.iterate import iterate
+
+    if not initial:
+        raise ValueError("initial state must define at least one column")
+    if not update:
+        raise ValueError("update must define at least one column")
+    if set(update) != set(initial):
+        raise ValueError(
+            f"update must redefine exactly the state columns "
+            f"{sorted(initial)}, got {sorted(update)}"
+        )
+    init = graph.vertices.select(
+        "id", *[c.alias(n) for n, c in initial.items()]
+    )
+    names = list(initial)
+
+    def step(state, i):
+        g = LinkGraph(graph.edges, state, directed=graph.directed)
+        msgs = aggregate_messages(
+            g,
+            agg if not isinstance(agg, str)
+            else F.call_function(agg, F.col("msg")).alias("agg"),
+            to_dst=to_dst,
+            to_src=to_src,
+            need_vertex_attrs=need_vertex_attrs,
+        )
+        joined = state.join(msgs, "id", "left")
+        new = joined.select(
+            "id",
+            *[F.col(n).alias(f"_old_{n}") for n in names],
+            *[c.alias(f"new_{n}") for n, c in update.items()],
+        )
+        if delta is None:
+            out = new.select(
+                "id", *[F.col(f"new_{n}").alias(n) for n in names]
+            )
+            return out, float("inf")
+        new = new.persist()
+        row = new.select(
+            *[F.col(f"_old_{n}").alias(n) for n in names],
+            *[F.col(f"new_{n}") for n in names],
+        ).agg(delta.alias("_d")).collect()[0]
+        out = new.select("id", *[F.col(f"new_{n}").alias(n) for n in names])
+        state.unpersist()
+        return out, float(row["_d"] or 0.0)
+
+    return iterate(
+        init,
+        step,
+        tol=tol,
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+        on_exhaustion=on_exhaustion,
+    )
