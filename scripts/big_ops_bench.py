@@ -925,6 +925,102 @@ def main() -> None:
             "edges_per_sec": round(zm_b / wall_hyb, 1),
         }
 
+    # segment-level corpus dedup at 2M pages: the FineWeb line filter
+    # — one split+posexplode, one (seg,doc)-distinct + seg-keyed
+    # count, one semi-join, one ordered rebuild agg
+    if want("segment_dedup_pages"):
+        from linkgraph.operators.dedup import segment_dedup
+
+        # the synthetic page text is one long line, so give the corpus
+        # line structure the way real crawls have it: two boilerplate
+        # banner lines shared by EVERY page + the unique body line —
+        # the filter must excise exactly the banners (hot segment
+        # VALUES: 2M occurrences each, combined map-side) and keep
+        # every body
+        pages_sd = spark.read.parquet(PAGES_BIG).select(
+            F.xxhash64("url").alias("doc_id"),
+            F.concat(
+                F.lit("home | about | contact us | subscribe\n"),
+                F.lit("copyright 2024 example corp all rights reserved\n"),
+                "text",
+            ).alias("text"),
+        )
+        n_docs_sd = pages_sd.count()
+        t0 = time.time()
+        out_sd = segment_dedup(pages_sd, sep="\n", min_count=5, min_chars=10)
+        agg_sd = out_sd.agg(
+            F.count("*").alias("docs"),
+            F.sum("n_segments").alias("segs"),
+            F.sum("n_removed").alias("removed"),
+        ).collect()[0]
+        wall = time.time() - t0
+        assert agg_sd["docs"] == n_docs_sd
+        assert agg_sd["removed"] == 2 * n_docs_sd, agg_sd
+        results["segment_dedup_pages"] = {
+            "sec": round(wall, 1),
+            "docs": n_docs_sd,
+            "segments": int(agg_sd["segs"]),
+            "removed": int(agg_sd["removed"]),
+            "docs_per_sec": round(n_docs_sd / wall, 1),
+        }
+
+    # multi-class softmax lang-id at 2M pages: K-class cross-entropy
+    # GD as dataflow — the fastText-supervised shape at corpus scale
+    if want("softmax_pages"):
+        from linkgraph.operators.classifier import (
+            hashed_text_features,
+            softmax_train,
+        )
+
+        pages_sm = spark.read.parquet(PAGES_BIG).select(
+            F.xxhash64("url").alias("doc_id"), "text", "lang"
+        )
+        n_docs_sm = pages_sm.count()
+        t0 = time.time()
+        feats_sm = hashed_text_features(pages_sm, n_buckets=4096)
+        labels_sm = pages_sm.select("doc_id", F.col("lang").alias("y"))
+        w_sm = softmax_train(feats_sm, labels_sm, iters=3, lr=0.5, l2=0.01)
+        nw_sm = w_sm.count()
+        wall = time.time() - t0
+        results["softmax_pages"] = {
+            "sec": round(wall, 1),
+            "docs": n_docs_sm,
+            "weight_rows": nw_sm,
+            "gd_iters": 3,
+            "docs_per_sec": round(n_docs_sm * 3 / wall, 1),
+        }
+
+    # tie-aware AUC over 2M scored docs: per-distinct-score pre-agg +
+    # range-partitioned two-level rank — no global window anywhere
+    if want("auc_pages"):
+        from linkgraph.operators.metrics import ranking_auc
+
+        pages_auc = spark.read.parquet(PAGES_BIG).select(
+            F.xxhash64("url").alias("doc_id"), "text", "lang"
+        )
+        n_docs_auc = pages_auc.count()
+        scored = pages_auc.select(
+            # deterministic synthetic score correlated with the label
+            # (hash noise + a label shift) — exercises tie groups via
+            # 3-dp rounding
+            F.round(
+                (F.xxhash64("doc_id") % 1000).cast("double") / 1000.0
+                + F.when(F.col("lang") == "en", 0.3).otherwise(0.0),
+                3,
+            ).alias("score"),
+            F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        )
+        t0 = time.time()
+        row_auc = ranking_auc(scored).collect()[0]
+        wall = time.time() - t0
+        assert row_auc["auc"] is not None and 0.5 < row_auc["auc"] < 1.0
+        results["auc_pages"] = {
+            "sec": round(wall, 1),
+            "docs": n_docs_auc,
+            "auc": round(float(row_auc["auc"]), 4),
+            "docs_per_sec": round(n_docs_auc / wall, 1),
+        }
+
     # best-over-runs: hypervisor-neighbor jitter swings identical runs
     # up to 4x here; keep each operator's fastest observed wall.
     # The machine-readable state is a COMMITTED sibling of BIGOPS.md —
@@ -1072,6 +1168,22 @@ Notes:
   amortizes, a regime a 5-level expander never enters. The hybrid
   stays opt-in (identical levels asserted); top-down remains the
   default plan.
+- segment_dedup_pages removes line segments shared by >= 5 distinct
+  documents across the 2M-page corpus (the FineWeb line filter; two
+  banner lines injected on every page stand in for site chrome):
+  exactly the 2·N banners come out (asserted), every unique body
+  stays, and the only shuffles are the (segment, doc) distinct and
+  the segment-keyed count — the banners are hot VALUES combined
+  map-side, never hot keys.
+- softmax_pages trains the K-class softmax lang-id (4096 hashed
+  buckets x classes) with 3 full-batch cross-entropy GD steps over
+  2M pages: the doc-partitioned feature cache never moves; each step
+  shuffles the (doc, cls) logit sum and the (bucket, cls) gradient
+  sum only.
+- auc_pages computes the tie-aware Mann-Whitney AUC of 2M scored
+  documents via the per-distinct-score pre-agg + range-partitioned
+  two-level rank — the global sort a naive window would funnel into
+  one task never exists.
 - url_seen_30m runs the sharded-Bloom URL-seen test: the 20M-URL
   bloom builds with one bit_or groupBy, broadcasts (8192 shards ×
   60-bit words), and only the maybe_seen sliver of the 10M-candidate
