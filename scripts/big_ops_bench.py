@@ -1021,6 +1021,50 @@ def main() -> None:
             "docs_per_sec": round(n_docs_auc / wall, 1),
         }
 
+    # the generic Pregel driver at scale: user-program max-label flood
+    # (both directions) to convergence on the 40M-edge Zipf graph —
+    # evidence the EXTENSION surface (aggregateMessages supersteps +
+    # iterate machinery) carries corpus-scale load, not just the
+    # hand-tuned built-ins
+    if want("pregel_zipf"):
+        from linkgraph.operators.messages import pregel
+
+        zg_p = random_edges(
+            spark, 2_000_000, 40_000_000, seed=11, zipf_s=1.2, partitions=64
+        ).persist()
+        zm_p = zg_p.count()
+        gp = LinkGraph(zg_p, directed=False)
+        t0 = time.time()
+        res_p = pregel(
+            gp,
+            initial={"m": F.col("id").cast("double")},
+            agg=F.max("msg").alias("agg"),
+            to_dst=F.col("src_m"),
+            to_src=F.col("dst_m"),
+            update={
+                "m": F.greatest(F.col("m"), F.coalesce("agg", F.col("m")))
+            },
+            delta=F.sum(
+                F.when(F.col("new_m") != F.col("m"), 1.0).otherwise(0.0)
+            ),
+            max_iter=40,
+        )
+        n_labels = res_p.state.select("m").distinct().count()
+        wall = time.time() - t0
+        zg_p.unpersist()
+        # converged (delta hit 0) and consolidated massively
+        assert res_p.stats[-1].delta == 0.0, res_p.stats[-1]
+        assert n_labels < 200_000, n_labels
+        results["pregel_zipf"] = {
+            "sec": round(wall, 1),
+            "graph": f"{zm_p:,} zipf(1.2) edges / 2M vertices",
+            "rounds": res_p.iterations,
+            "labels": n_labels,
+            "edges_per_sec_per_round": round(
+                zm_p / (wall / max(1, res_p.iterations)), 1
+            ),
+        }
+
     # best-over-runs: hypervisor-neighbor jitter swings identical runs
     # up to 4x here; keep each operator's fastest observed wall.
     # The machine-readable state is a COMMITTED sibling of BIGOPS.md —
@@ -1184,6 +1228,10 @@ Notes:
   documents via the per-distinct-score pre-agg + range-partitioned
   two-level rank — the global sort a naive window would funnel into
   one task never exists.
+- pregel_zipf runs a USER vertex program (max-label flood to
+  convergence) through the generic Pregel driver on the 40M-edge
+  Zipf graph — the aggregateMessages superstep + iterate machinery
+  under corpus-scale load, converging to the per-component fixpoint.
 - url_seen_30m runs the sharded-Bloom URL-seen test: the 20M-URL
   bloom builds with one bit_or groupBy, broadcasts (8192 shards ×
   60-bit words), and only the maybe_seen sliver of the 10M-candidate
