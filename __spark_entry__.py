@@ -2873,6 +2873,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["classifier_confusion_docs"] = _cls_confusion
 
+    def _cls_ap(s, d):
+        from linkgraph.operators.metrics import average_precision
+
+        return average_precision(_scored_docs(s, d)).select(
+            "n_pos", "n_neg", F.round("ap", 9).alias("ap")
+        )
+
+    q["classifier_ap_docs"] = _cls_ap
+
     # --- sitemap.xml parsing (sitemaps.org protocol — the discovery
     # complement of robots.txt): deterministic sitemap + sitemapindex
     # bodies constructed from nation/region rows IN BOTH ENGINES,
@@ -6926,6 +6935,26 @@ SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
        CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
        round((sum(pos * avg_rank) - sum(pos) * (sum(pos) + 1) / 2.0)
              / (sum(pos) * (sum(cnt) - sum(pos))), 9) AS auc
+FROM r
+""",
+        "classifier_ap_docs": f"""
+WITH sc AS MATERIALIZED ({_logreg_sql(scores=True)}),
+lab AS (SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        FROM documents),
+j AS (SELECT sc.score AS s, lab.y FROM sc JOIN lab USING (doc_id)),
+per AS MATERIALIZED (
+  SELECT s, count(*) AS cnt,
+         sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS pos
+  FROM j GROUP BY 1),
+r AS (SELECT pos, cnt,
+             SUM(cnt) OVER (ORDER BY s DESC) AS cum_cnt,
+             SUM(pos) OVER (ORDER BY s DESC) AS cum_pos
+      FROM per)
+SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
+       round(sum(pos * (CAST(cum_pos AS DOUBLE) / cum_cnt))
+             / sum(pos), 9) AS ap
 FROM r
 """,
         "classifier_confusion_docs": f"""

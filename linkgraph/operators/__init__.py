@@ -112,7 +112,7 @@ from linkgraph.operators.embeddings import (
     walk_skipgram_pairs,
 )
 from linkgraph.operators.partition import balanced_partition, edge_locality
-from linkgraph.operators.metrics import confusion_metrics, ranking_auc
+from linkgraph.operators.metrics import average_precision, confusion_metrics, ranking_auc
 from linkgraph.operators.patterns import PatternError, find_motifs
 from linkgraph.operators.messages import aggregate_messages, pregel, triplets
 from linkgraph.operators.greedy import (
@@ -268,6 +268,7 @@ __all__ = [
     "edge_locality",
     "ranking_auc",
     "confusion_metrics",
+    "average_precision",
     "find_motifs",
     "PatternError",
     "aggregate_messages",

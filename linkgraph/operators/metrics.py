@@ -161,3 +161,84 @@ def confusion_metrics(
             / (F.col("tp") + F.col("fp") + F.col("tn") + F.col("fn"))
         ).alias("accuracy"),
     )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "y",
+    partitions: int | None = None,
+) -> DataFrame:
+    """1-row DataFrame(n_pos, n_neg, ap): average precision (the
+    PR-curve summary retrieval/filter pipelines quote next to ROC
+    AUC), computed rank-distributed with the SAME per-distinct-score
+    pre-agg + range-partitioned prefix sums as :func:`ranking_auc` —
+    no global window, no sort-collect.
+
+    Definition (sklearn's step-wise interpolation-free form, with
+    ties handled as one block — every row of a tied score group
+    shares the group's precision):
+
+        AP = Σ_groups  pos_g · P_g / n_pos
+        P_g = (pos above-or-at group) / (rows above-or-at group)
+
+    descending-score order, so the prefix sums here run over
+    DESCENDING score (the same ranked frame negated). NULL when no
+    positive exists."""
+    spark = df.sparkSession
+    n_part = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    s = df.select(
+        F.col(score_col).cast("double").alias("s"),
+        F.col(label_col).cast("double").alias("y"),
+    )
+    per_score = s.groupBy("s").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).alias("pos"),
+    )
+    ranged = truncate_lineage(
+        per_score.repartitionByRange(n_part, F.col("s").desc()).withColumn(
+            "_p", F.spark_partition_id()
+        )
+    )
+    part_sums = {
+        int(r["_p"]): (int(r["c"]), int(r["pc"]))
+        for r in ranged.groupBy("_p")
+        .agg(F.sum("cnt").alias("c"), F.sum("pos").alias("pc"))
+        .collect()
+    }
+    off_c, off_p, acc_c, acc_p = {}, {}, 0, 0
+    for p in sorted(part_sums):
+        off_c[p], off_p[p] = acc_c, acc_p
+        acc_c += part_sums[p][0]
+        acc_p += part_sums[p][1]
+    if not off_c:
+        off_c, off_p = {0: 0}, {0: 0}
+    oc = F.create_map(*[F.lit(x) for kv in off_c.items() for x in kv])[F.col("_p")]
+    op = F.create_map(*[F.lit(x) for kv in off_p.items() for x in kv])[F.col("_p")]
+    w = (
+        Window.partitionBy("_p")
+        .orderBy(F.col("s").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = ranged.select(
+        "cnt",
+        "pos",
+        (F.sum("cnt").over(w) + oc).alias("cum_cnt"),
+        (F.sum("pos").over(w) + op).alias("cum_pos"),
+    )
+    return ranked.agg(
+        F.coalesce(F.sum("pos"), F.lit(0)).cast("long").alias("n_pos"),
+        F.coalesce(F.sum("cnt") - F.sum("pos"), F.lit(0))
+        .cast("long")
+        .alias("n_neg"),
+        F.sum(
+            F.col("pos")
+            * (F.col("cum_pos").cast("double") / F.col("cum_cnt"))
+        ).alias("_num"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        F.when(
+            F.col("n_pos") > 0, F.col("_num") / F.col("n_pos").cast("double")
+        ).alias("ap"),
+    )

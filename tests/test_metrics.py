@@ -76,3 +76,58 @@ def test_confusion_metrics(spark):
     # degenerate: nothing predicted positive -> precision NULL
     m0 = confusion_metrics(df, threshold=2.0).collect()[0]
     assert m0["precision"] is None and m0["tp"] == 0 and m0["recall"] == 0.0
+
+
+# --- average precision ----------------------------------------------------
+
+
+def py_average_precision(pairs):
+    """Threshold-sweep AP over distinct scores descending (sklearn's
+    step form): AP = sum (R_k - R_{k-1}) * P_k."""
+    pos_total = sum(1 for _, y in pairs if y == 1.0)
+    if pos_total == 0:
+        return None
+    scores = sorted({s for s, _ in pairs}, reverse=True)
+    ap, prev_r, seen, seen_pos = 0.0, 0.0, 0, 0
+    for t in scores:
+        rows = [(s, y) for s, y in pairs if s == t]
+        seen += len(rows)
+        seen_pos += sum(1 for _, y in rows if y == 1.0)
+        p = seen_pos / seen
+        r = seen_pos / pos_total
+        ap += (r - prev_r) * p
+        prev_r = r
+    return ap
+
+
+def test_average_precision_matches_sweep(spark):
+    from linkgraph.operators.metrics import average_precision
+
+    rng = random.Random(11)
+    pairs = [
+        (round(rng.random(), 1), float(rng.random() < 0.3)) for _ in range(400)
+    ]
+    df = spark.createDataFrame(pairs, "score double, y double")
+    row = average_precision(df).collect()[0]
+    want = py_average_precision(pairs)
+    assert abs(row["ap"] - want) < 1e-12
+    assert row["n_pos"] == sum(1 for _, y in pairs if y == 1.0)
+
+
+def test_average_precision_edges(spark):
+    from linkgraph.operators.metrics import average_precision
+
+    perfect = spark.createDataFrame(
+        [(float(i), 1.0 if i >= 50 else 0.0) for i in range(100)],
+        "score double, y double",
+    )
+    assert abs(average_precision(perfect).collect()[0]["ap"] - 1.0) < 1e-12
+    nopos = spark.createDataFrame([(0.5, 0.0)], "score double, y double")
+    assert average_precision(nopos).collect()[0]["ap"] is None
+    # partition invariance
+    rng = random.Random(2)
+    pairs = [(rng.random(), float(rng.random() < 0.5)) for _ in range(200)]
+    df = spark.createDataFrame(pairs, "score double, y double")
+    a = average_precision(df, partitions=1).collect()[0]["ap"]
+    b = average_precision(df.repartition(9), partitions=5).collect()[0]["ap"]
+    assert abs(a - b) < 1e-12
