@@ -4857,7 +4857,16 @@ def _balanced_partition_sql(
     hash init, per-round neighbor-part counts → (cnt desc, cand asc)
     argmax → positive-gain movers → per-target (gain desc, id asc)
     rank admission against ceil(V/p·(1+slack)) capacity, identical
-    float order for the cap (V/p first, then ·(1+slack))."""
+    float order for the cap (V/p first, then ·(1+slack)).
+
+    SCOPE: this oracle derives the vertex set from the symmetrized
+    edge endpoints, while the operator uses ``graph.vertices``. The
+    two coincide STRUCTURALLY for the driver bed — ``_supp_dir``
+    builds ``LinkGraph(edges)`` with no explicit vertex table, so the
+    engine too derives vertices from endpoints — but the oracle does
+    NOT cover graphs with isolated vertices or an explicit vertex
+    table (the cap, sizes map and output row set would all diverge
+    there; isolated-vertex behavior is covered by pytest instead)."""
     init = _md5int(f"'bp:{seed}:' || CAST(id AS VARCHAR)")
     parts = [
         f"""

@@ -105,6 +105,7 @@ def pregel(
     tol: float = 0.0,
     max_iter: int = 20,
     need_vertex_attrs: bool = True,
+    truncate_every: int = 3,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 0,
     on_exhaustion: str = "ok",
@@ -154,6 +155,13 @@ def pregel(
         "id", *[c.alias(n) for n, c in initial.items()]
     )
     names = list(initial)
+    # Handle to the delta path's persisted frame: iterate() unpersists
+    # the PROJECTION we return, not the frame we persisted, so without
+    # tracking the exact object one cached frame would leak per
+    # superstep. The previous superstep's cache is droppable as soon
+    # as this superstep's delta collect has materialized the new
+    # persisted frame (which read through it).
+    persisted: list[DataFrame] = []
 
     def step(state, i):
         g = LinkGraph(graph.edges, state, directed=graph.directed)
@@ -182,15 +190,27 @@ def pregel(
             *[F.col(f"new_{n}") for n in names],
         ).agg(delta.alias("_d")).collect()[0]
         out = new.select("id", *[F.col(f"new_{n}").alias(n) for n in names])
-        state.unpersist()
+        # this superstep's frame is cached now — the previous one has
+        # served its purpose (it fed the triplet join above)
+        while persisted:
+            persisted.pop().unpersist()
+        persisted.append(new)
         return out, float(row["_d"] or 0.0)
 
-    return iterate(
+    result = iterate(
         init,
         step,
         tol=tol,
         max_iter=max_iter,
+        truncate_every=truncate_every,
         checkpoint_dir=checkpoint_dir,
         checkpoint_every=checkpoint_every,
         on_exhaustion=on_exhaustion,
     )
+    # drop the final superstep's cache: harmless if iterate's lineage
+    # cut already disk-backed the result, and a plain (recomputable)
+    # plan otherwise — either way nothing stays pinned for the life
+    # of the session
+    while persisted:
+        persisted.pop().unpersist()
+    return result

@@ -47,14 +47,18 @@ def ranking_auc(
     ``score_col`` against binary ``label_col`` (values cast to double,
     positive = 1.0). ``auc`` is NULL when either class is absent (the
     metric is undefined, not 0.5 — a silent default would hide a
-    single-class bug upstream). See the module docstring for the
-    distributed rank construction."""
+    single-class bug upstream). Rows with a NULL score are DROPPED
+    before ranking (documented, consistent with the no-silent-defaults
+    policy: a NULL would otherwise sort first and form a silent tied
+    rank group; sklearn raises on NaN scores — here unscored rows are
+    simply not rankable and ``n_pos``/``n_neg`` reflect the drop).
+    See the module docstring for the distributed rank construction."""
     spark = df.sparkSession
     n_part = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     s = df.select(
         F.col(score_col).cast("double").alias("s"),
         F.col(label_col).cast("double").alias("y"),
-    )
+    ).filter(F.col("s").isNotNull())
     per_score = s.groupBy("s").agg(
         F.count("*").alias("cnt"),
         F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).alias("pos"),
@@ -184,13 +188,16 @@ def average_precision(
 
     descending-score order, so the prefix sums here run over
     DESCENDING score (the same ranked frame negated). NULL when no
-    positive exists."""
+    positive exists. Rows with a NULL score are DROPPED before
+    ranking (same contract as :func:`ranking_auc` — an unscored row
+    is not rankable; silently treating NULLs as a tied group would
+    skew the metric)."""
     spark = df.sparkSession
     n_part = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     s = df.select(
         F.col(score_col).cast("double").alias("s"),
         F.col(label_col).cast("double").alias("y"),
-    )
+    ).filter(F.col("s").isNotNull())
     per_score = s.groupBy("s").agg(
         F.count("*").alias("cnt"),
         F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).alias("pos"),

@@ -120,8 +120,20 @@ def balanced_partition(
     n_v = verts.count()
     cap = math.ceil(n_v / n_parts * (1.0 + slack))
     init = verts.select("id", _init_part(n_parts, seed).alias("part"))
+    # Handle to the frame WE persisted last round. iterate() calls
+    # unpersist() on whatever step returned — but we return a
+    # projection of the persisted frame, whose logical plan differs,
+    # so that call is a no-op and without this handle one cached
+    # vertex-state frame would leak PER ROUND (exactly the
+    # long-running regime this operator targets). The previous
+    # round's cache is safe to drop at the START of the next step:
+    # iterate's truncate_every=1 lineage cut has already materialized
+    # the projection to parquet by then.
+    persisted: list[DataFrame] = []
 
     def step(state: DataFrame, i: int) -> tuple[DataFrame, float]:
+        while persisted:
+            persisted.pop().unpersist()
         counts = (
             state.join(edges, state.id == edges.src)
             .groupBy(F.col("dst").alias("id"), F.col("part").alias("cand"))
@@ -215,7 +227,7 @@ def balanced_partition(
         )
         if admission == "hash":
             movers.unpersist()
-        state.unpersist()
+        persisted.append(new)
         return new.select("id", "part"), float(moved)
 
     result = iterate(
@@ -229,6 +241,11 @@ def balanced_partition(
         resume=resume,
         on_exhaustion="ok",
     )
+    # final round's cache: the result state is already lineage-cut
+    # (truncate_every=1 → disk-backed parquet read), so dropping the
+    # cache cannot force a recompute of the returned frame
+    while persisted:
+        persisted.pop().unpersist()
     edges.unpersist()
     return result
 

@@ -45,8 +45,11 @@ def bfs_levels(
     other side of the asymmetry at peak levels. Switch heuristic on
     the known per-level counts: bottom-up while |frontier| >
     |unvisited| / alpha, back to top-down when |frontier| < |V| /
-    beta (the SC'12 defaults' vertex-count proxy — edge-exact
-    m_f/m_u bookkeeping would cost an extra degree join per level).
+    beta — a vertex-count proxy loosely after Beamer SC'12 (the
+    paper thresholds on EDGE counts, m_f vs m_u/alpha, with
+    alpha=14, beta=24; edge-exact bookkeeping here would cost an
+    extra degree join per level, so this parameterization is a
+    different, cheaper heuristic than the one cited).
     Both steps compute the identical next level set, so the result is
     exactly plain BFS; the option only changes which operand the
     level's join reads. Costs one extra edge-operand cache (keyed

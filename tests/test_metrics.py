@@ -131,3 +131,28 @@ def test_average_precision_edges(spark):
     a = average_precision(df, partitions=1).collect()[0]["ap"]
     b = average_precision(df.repartition(9), partitions=5).collect()[0]["ap"]
     assert abs(a - b) < 1e-12
+
+
+def test_null_scores_dropped_not_ranked(spark):
+    """NULL-score rows are excluded from both metrics (not silently
+    ranked as a tied group); counts reflect only scored rows."""
+    from linkgraph.operators.metrics import average_precision
+
+    pairs = [(0.9, 1.0), (0.7, 0.0), (0.4, 1.0), (0.1, 0.0)]
+    clean = spark.createDataFrame(pairs, "score double, y double")
+    dirty = clean.unionAll(
+        spark.createDataFrame(
+            [(None, 1.0), (None, 0.0), (None, 1.0)], "score double, y double"
+        )
+    )
+    for fn in (ranking_auc, average_precision):
+        a = fn(clean).collect()[0]
+        b = fn(dirty).collect()[0]
+        assert a["n_pos"] == b["n_pos"] == 2
+        assert a["n_neg"] == b["n_neg"] == 2
+        key = "auc" if fn is ranking_auc else "ap"
+        assert abs(a[key] - b[key]) < 1e-12
+    # all-NULL scores → empty ranked set → NULL metric, zero counts
+    allnull = dirty.filter("score IS NULL")
+    row = ranking_auc(allnull).collect()[0]
+    assert row["auc"] is None and row["n_pos"] == 0 and row["n_neg"] == 0
