@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from linkgraph.graph import LinkGraph
 from linkgraph.plans.iterate import IterationResult, iterate, truncate_lineage
-from linkgraph.plans.partitioning import shuffle_width
+from linkgraph.plans.partitioning import broadcast_state_rows, shuffle_width
 from linkgraph.plans.skew import salted_sum
 
 
@@ -67,7 +67,7 @@ def pagerank(
     on_exhaustion: str = "raise",
     rank_broadcast: bool | str = "auto",
     rank_broadcast_max: int = 50_000_000,
-    rank_broadcast_auto_max: int = 100_000,
+    rank_broadcast_auto_max: int | None = None,
 ) -> IterationResult:
     """Returns IterationResult whose state is DataFrame(id, rank).
 
@@ -106,17 +106,31 @@ def pagerank(
     (e.g. 10^7 vertices vs 10^8.5 edges); WRONG at 10^10+ vertices,
     so forcing it on is guarded by ``rank_broadcast_max`` (raises
     rather than silently OOMing the driver). The default ``"auto"``
-    takes the broadcast plan only when V ≤ ``rank_broadcast_auto_max``
-    (100k rows ≈ a few MB — cheaper than a per-iteration shuffle
-    stage on ANY executor count, the same judgment Spark's own
-    autoBroadcastJoinThreshold makes) and the shuffle plan otherwise,
-    where the crossover is topology-dependent (BENCH/BASELINE.md
-    Job 4: broadcast of a 4M-row rank frame wins 3.7× on one
-    shared-memory box and loses on process-isolated executors)."""
+    takes the broadcast plan when the estimated rank-frame size
+    (V × 16 B) fits ``spark.sql.autoBroadcastJoinThreshold`` —
+    literally the same judgment, and the same already-tuned knob, as
+    Spark's own AQE broadcast conversion
+    (plans/partitioning.broadcast_state_rows). With the engine
+    session's 64 MB that is ~4M vertices — the regime where the
+    broadcast plan measured 3.1x over shuffle SpMV at 160M Zipf
+    edges on local[32] (BENCH/BASELINE.md Job 4) — while Spark's
+    stock 10 MB keeps untuned many-executor clusters conservative
+    (per-round broadcast bytes scale with executor count; the
+    crossover is topology-dependent, and on process-isolated
+    executors broadcast measured a loss). Pass an int
+    ``rank_broadcast_auto_max`` to pin the auto threshold
+    explicitly.
+
+    Repeat calls on the SAME graph object reuse the stationary
+    transition/vertex operands via ``LinkGraph.operand`` (keyed by
+    weighted/plan; skipped when ``weight_expr``/``personalization``
+    make the operand call-specific), so a standing rank service —
+    re-rank after a crawl delta, PPR sweeps, warm restarts — pays
+    the build once. ``graph.release_operands()`` frees them."""
     spark = graph.edges.sparkSession
     edges = graph.sym_edges
     vertices = graph.vertices.select("id")
-    n = vertices.count()
+    n = graph.operand(("count", "vertices"), vertices.count)
     if n == 0:
         return IterationResult(state=spark.createDataFrame([], "id long, rank double"))
     # Partition the stationary transition table by DATA, capped at the
@@ -124,7 +138,7 @@ def pagerank(
     # A fixed wide layout costs real scheduler floor per iteration on
     # small graphs (64 near-empty tasks × k iterations) while big
     # graphs hit the cap and behave like the shuffle setting.
-    m = edges.count()
+    m = graph.operand(("count", "sym_edges"), edges.count)
     n_parts = max(1, min(
         shuffle_width(spark),
         (m + 1_999_999) // 2_000_000,
@@ -144,7 +158,12 @@ def pagerank(
     # per-iteration ranks⋈trans join then co-partitions and the edge
     # table NEVER re-shuffles — only the (small) rank frame moves.
     if rank_broadcast == "auto":
-        rank_broadcast = n <= rank_broadcast_auto_max
+        auto_max = (
+            rank_broadcast_auto_max
+            if rank_broadcast_auto_max is not None
+            else broadcast_state_rows(spark)
+        )
+        rank_broadcast = n <= auto_max
     if rank_broadcast and n > rank_broadcast_max:
         raise ValueError(
             f"rank_broadcast requires collecting the {n}-row vertex frame to "
@@ -155,13 +174,26 @@ def pagerank(
     # contribution sum needs no exchange; shuffle plan partitions by
     # SRC so the per-iteration ranks⋈trans join co-partitions.
     trans_key = "dst" if rank_broadcast else "src"
-    trans = (
-        truncate_lineage(
-            edges.join(out_sums, "src")
-            .select("src", "dst", (w / F.col("out_w")).alias("p"))
+
+    def _build_trans() -> DataFrame:
+        return (
+            truncate_lineage(
+                edges.join(out_sums, "src")
+                .select("src", "dst", (w / F.col("out_w")).alias("p"))
+            )
+            .repartition(n_parts, trans_key)
+            .persist()
         )
-        .repartition(n_parts, trans_key)
-        .persist()
+
+    # memoize the stationary operand on the graph object when it is a
+    # pure function of the graph (a weight EXPRESSION is call-local —
+    # Columns aren't stable cache keys); caller-specific operands are
+    # built fresh and unpersisted on exit as before
+    trans_memo = weight_expr is None
+    trans = (
+        graph.operand(("pr_trans", bool(weighted), trans_key, n_parts), _build_trans)
+        if trans_memo
+        else _build_trans()
     )
 
     if salt_contribs == "auto":
@@ -174,7 +206,9 @@ def pagerank(
         salt_contribs = 16 if (stats["mx"] or 0) > 64 * max(stats["av"] or 1.0, 1.0) else 0
 
     # Vertex table with dangling flag (out-degree 0) and teleport
-    # probability column, cached once.
+    # probability column, cached once. The uniform-teleport variant is
+    # a pure function of the graph — memoized like the transition
+    # table; a personalization frame is call-local.
     verts = (
         vertices.join(out_sums.select(F.col("src").alias("id")), "id", "left_semi")
         .withColumn("dangling", F.lit(False))
@@ -183,6 +217,7 @@ def pagerank(
             .withColumn("dangling", F.lit(True))
         )
     )
+    verts_memo = personalization is None
     if personalization is None:
         verts = verts.withColumn("tp", F.lit(1.0 / n))
     else:
@@ -197,8 +232,17 @@ def pagerank(
         verts = verts.join(pn, "id", "left").withColumn(
             "tp", F.coalesce(F.col("p") / psum, F.lit(0.0))
         ).drop("p")
-    verts = truncate_lineage(verts).repartition(n_parts, "id").persist()
-    verts.count()
+
+    def _build_verts(vframe: DataFrame = verts) -> DataFrame:
+        out = truncate_lineage(vframe).repartition(n_parts, "id").persist()
+        out.count()
+        return out
+
+    verts = (
+        graph.operand(("pr_verts", n_parts), _build_verts)
+        if verts_memo
+        else _build_verts()
+    )
 
     if init_ranks is None:
         # uniform start regardless of personalization (NetworkX nstart=None)
@@ -274,8 +318,10 @@ def pagerank(
         on_exhaustion="ok" if fixed_iters else on_exhaustion,
     )
     res.state = res.state.select("id", "rank")
-    trans.unpersist()
-    verts.unpersist()
+    if not trans_memo:
+        trans.unpersist()
+    if not verts_memo:
+        verts.unpersist()
     return res
 
 

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from linkgraph.graph import LinkGraph
 from linkgraph.operators.pagerank import _weight_col
 from linkgraph.plans.iterate import IterationResult, iterate, truncate_lineage
-from linkgraph.plans.partitioning import stationary
+from linkgraph.plans.partitioning import broadcast_state_rows, stationary
 
 
 def hits(
@@ -43,6 +43,7 @@ def hits(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 0,
     on_exhaustion: str = "raise",
+    state_broadcast: bool | str = "auto",
 ) -> IterationResult:
     """Kleinberg HITS: IterationResult whose state is
     DataFrame(id, hub, authority), both L1-normalized (sum 1).
@@ -61,6 +62,15 @@ def hits(
     Undirected graphs symmetrize (hub = authority then, as in
     NetworkX). Vertices with no out-edges get hub 0; no in-edges,
     authority 0. Weights must be non-negative.
+
+    ``state_broadcast`` ("auto", pagerank's rank_broadcast contract):
+    when the V-row state fits the session's
+    autoBroadcastJoinThreshold, each push broadcasts the score frame
+    and probes the stationary copy keyed by its OUTPUT key (the
+    hub→authority push reads the dst-keyed copy, the authority→hub
+    push the src-keyed copy) so both per-vertex sums and the state
+    merge run with no Exchange; the vertex table itself is a third
+    id-keyed stationary operand in both plans.
     """
     spark = graph.edges.sparkSession
     vertices = graph.vertices.select("id")
@@ -78,9 +88,14 @@ def hits(
                 "id", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
             )
         )
-    # two stationary copies, each partitioned on the key its join probes
+    if state_broadcast == "auto":
+        state_broadcast = n <= broadcast_state_rows(spark, row_bytes=24)
+    # two stationary copies, each partitioned on the key its join
+    # probes (shuffle plan) / produces (broadcast plan); the vertex
+    # table id-keyed so the per-iteration auth merge never exchanges
     e_by_src = stationary(e, "src", rows=m)
     e_by_dst = stationary(e, "dst", rows=m)
+    v_st = stationary(vertices, "id", rows=n)
 
     init = truncate_lineage(
         vertices.select(
@@ -91,23 +106,28 @@ def hits(
 
     def step(state: DataFrame, i: int) -> tuple[DataFrame, float]:
         hubs = state.select("id", "hub")
+        a_op = e_by_dst if state_broadcast else e_by_src
+        if state_broadcast:
+            hubs = F.broadcast(hubs)
         a_raw = (
-            hubs.join(e_by_src, hubs.id == e_by_src.src)
+            hubs.join(a_op, hubs.id == a_op.src)
             .select(F.col("dst").alias("id"), (F.col("hub") * F.col("w")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("a_raw"))
         )
         a_sum = a_raw.agg(F.sum("a_raw").alias("asum"))
         auth = (
-            vertices.join(a_raw, "id", "left")
+            v_st.join(a_raw, "id", "left")
             .crossJoin(F.broadcast(a_sum))
             .select(
                 "id",
                 (F.coalesce("a_raw", F.lit(0.0)) / F.col("asum")).alias("authority"),
             )
         )
+        h_op = e_by_src if state_broadcast else e_by_dst
+        auth_in = F.broadcast(auth) if state_broadcast else auth
         h_raw = (
-            auth.join(e_by_dst, auth.id == e_by_dst.dst)
+            auth_in.join(h_op, auth_in.id == h_op.dst)
             .select(
                 F.col("src").alias("id"), (F.col("authority") * F.col("w")).alias("c")
             )
@@ -150,6 +170,7 @@ def hits(
     res.state = res.state.select("id", "hub", "authority")
     e_by_src.unpersist()
     e_by_dst.unpersist()
+    v_st.unpersist()
     return res
 
 
@@ -262,6 +283,7 @@ def katz_centrality(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 0,
     on_exhaustion: str = "raise",
+    state_broadcast: bool | str = "auto",
 ) -> IterationResult:
     """Katz centrality: IterationResult whose state is
     DataFrame(id, centrality), L2-normalized at the end.
@@ -275,9 +297,14 @@ def katz_centrality(
     α < 1/λ_max — the caller's contract, as in NetworkX.
 
     Physical plan per iteration is the PageRank SpMV shape: the edge
-    operand is cached hash-partitioned on ``src`` and never
-    re-shuffles; only the V-row score frame moves, and the final
-    normalization constant rides as a 1-row in-plan broadcast.
+    operand is cached hash-partitioned and never re-shuffles; only
+    the V-row score frame moves, and the final normalization constant
+    rides as a 1-row in-plan broadcast. ``state_broadcast`` follows
+    pagerank's ``rank_broadcast``: "auto" takes the exchange-free
+    broadcast plan (operand keyed by DST, the V-row score frame
+    broadcast into the join, per-dst sum exchange-free) when the
+    state fits the session's autoBroadcastJoinThreshold
+    (plans/partitioning.broadcast_state_rows).
     """
     spark = graph.edges.sparkSession
     vertices = graph.vertices.select("id")
@@ -286,17 +313,21 @@ def katz_centrality(
         return IterationResult(
             state=spark.createDataFrame([], "id long, centrality double")
         )
+    if state_broadcast == "auto":
+        state_broadcast = n <= broadcast_state_rows(spark)
     w = _weight_col(weighted, weight_expr)
     e = graph.sym_edges.select("src", "dst", w.alias("w"))
-    e_by_src = stationary(e, "src")
+    e_op = stationary(e, "dst" if state_broadcast else "src")
 
     init = truncate_lineage(vertices.select("id", F.lit(0.0).alias("x")))
     fixed_iters = tol < 0
 
     def step(state: DataFrame, i: int) -> tuple[DataFrame, float]:
         xs = state.select("id", "x")
+        if state_broadcast:
+            xs = F.broadcast(xs)
         raw = (
-            xs.join(e_by_src, xs.id == e_by_src.src)
+            xs.join(e_op, xs.id == e_op.src)
             .select(F.col("dst").alias("id"), (F.col("x") * F.col("w")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("cs"))
@@ -336,7 +367,7 @@ def katz_centrality(
         res.state.crossJoin(F.broadcast(nrm))
         .select("id", (F.col("x") / F.col("nrm")).alias("centrality"))
     )
-    e_by_src.unpersist()
+    e_op.unpersist()
     return res
 
 
@@ -355,6 +386,7 @@ def salsa(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 0,
     on_exhaustion: str = "raise",
+    state_broadcast: bool | str = "auto",
 ) -> IterationResult:
     """SALSA (Lempel & Moran): IterationResult whose state is
     DataFrame(id, hub, authority), both L1-normalized.
@@ -369,7 +401,8 @@ def salsa(
     exhaustion behavior, zero-degree conventions and the physical
     plan (two stationary degree-annotated edge copies, each hash-
     partitioned on its join key; 1-row normalizer broadcasts; delta
-    carried on the state) all mirror ``hits``.
+    carried on the state) all mirror ``hits`` — including
+    ``state_broadcast``'s exchange-free auto plan.
     """
     spark = graph.edges.sparkSession
     vertices = graph.vertices.select("id")
@@ -398,8 +431,11 @@ def salsa(
             (F.lit(1.0) / F.col("idg")).alias("wh"),
         )
     )
+    if state_broadcast == "auto":
+        state_broadcast = n <= broadcast_state_rows(spark, row_bytes=24)
     e_by_src = stationary(ew, "src", rows=m)
     e_by_dst = stationary(ew, "dst", rows=m)
+    v_st = stationary(vertices, "id", rows=n)
 
     init = truncate_lineage(
         vertices.select(
@@ -410,23 +446,28 @@ def salsa(
 
     def step(state: DataFrame, i: int) -> tuple[DataFrame, float]:
         hubs = state.select("id", "hub")
+        a_op = e_by_dst if state_broadcast else e_by_src
+        if state_broadcast:
+            hubs = F.broadcast(hubs)
         a_raw = (
-            hubs.join(e_by_src, hubs.id == e_by_src.src)
+            hubs.join(a_op, hubs.id == a_op.src)
             .select(F.col("dst").alias("id"), (F.col("hub") * F.col("wa")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("a_raw"))
         )
         a_sum = a_raw.agg(F.sum("a_raw").alias("asum"))
         auth = (
-            vertices.join(a_raw, "id", "left")
+            v_st.join(a_raw, "id", "left")
             .crossJoin(F.broadcast(a_sum))
             .select(
                 "id",
                 (F.coalesce("a_raw", F.lit(0.0)) / F.col("asum")).alias("authority"),
             )
         )
+        h_op = e_by_src if state_broadcast else e_by_dst
+        auth_in = F.broadcast(auth) if state_broadcast else auth
         h_raw = (
-            auth.join(e_by_dst, auth.id == e_by_dst.dst)
+            auth_in.join(h_op, auth_in.id == h_op.dst)
             .select(
                 F.col("src").alias("id"),
                 (F.col("authority") * F.col("wh")).alias("c"),
@@ -468,6 +509,7 @@ def salsa(
     res.state = res.state.select("id", "hub", "authority")
     e_by_src.unpersist()
     e_by_dst.unpersist()
+    v_st.unpersist()
     return res
 
 
