@@ -198,21 +198,102 @@ def bpe_encode(
     rules: list[tuple[str, str, int]] | list[tuple[str, str]],
     text_col: str = "text",
     out_col: str = "bpe_tokens",
+    expr_rules_max: int = 64,
 ) -> DataFrame:
     """Apply a learned merge-rule list to every document: adds
     ``out_col`` array<string> of BPE symbols (per word, in word
-    order, end-of-word marker kept). Pure column expressions — the
-    rules are baked into the plan as literals, zero Python in the hot
-    path; cost is |rules| folds per row, the standard trade for a
-    plan with no shuffle at all."""
+    order, end-of-word marker kept).
 
-    def _encode_word(w: Column) -> Column:
-        e = _initial_symbols(w)
-        for rule in rules:
-            e = _merge_pair(e, rule[0], rule[1])
-        return e
+    Two physical plans, switched on ``len(rules)``:
 
-    return docs.withColumn(
-        out_col,
-        F.flatten(F.transform(tokens_col(F.col(text_col)), _encode_word)),
+    - ``<= expr_rules_max``: pure column expressions — the rules bake
+      into the plan as one nested fold per rule, zero Python, no
+      shuffle. Right for small rule sets only: the expression tree is
+      |rules| deep, and at a real tokenizer's 30k-60k merges Catalyst
+      analysis goes super-linear and codegen hits the JVM's 64 KB
+      method limit long before data size matters.
+    - above it: ONE Arrow-batched ``mapInPandas`` pass (the same
+      sanctioned vectorized-UDF shape as the extraction UDFs,
+      functions/extract.py). Tokenization still happens JVM-side
+      (``tokens_col`` as a temp column — the Python side never
+      re-implements the tokenizer, so both plans split words
+      identically); the merge table ships once as a broadcast dict
+      and each batch encodes with Sennrich's own apply_bpe algorithm
+      (repeatedly merge the lowest-rank pair present) plus a
+      per-partition word cache — per-word cost is O(|word|·merges
+      applied), independent of |rules|, and Zipf makes the cache hit
+      rate ≈ 1. Still no shuffle.
+
+    The two plans agree exactly (pinned by pytest): rank order is a
+    topological order of symbol creation — rule k's pair can only be
+    assembled from initial characters and rules < k — so merging the
+    lowest-rank pair first replays the sequential rule application
+    the fold expresses."""
+    if len(rules) <= expr_rules_max:
+
+        def _encode_word(w: Column) -> Column:
+            e = _initial_symbols(w)
+            for rule in rules:
+                e = _merge_pair(e, rule[0], rule[1])
+            return e
+
+        return docs.withColumn(
+            out_col,
+            F.flatten(F.transform(tokens_col(F.col(text_col)), _encode_word)),
+        )
+
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    ranks = {(l, r): i for i, (l, r, *_) in enumerate(rules)}
+    bc = docs.sparkSession.sparkContext.broadcast(ranks)
+    tmp = f"__{out_col}_words"
+    with_words = docs.withColumn(tmp, tokens_col(F.col(text_col)))
+    out_schema = StructType(
+        [f for f in with_words.schema.fields if f.name != tmp]
+        + [StructField(out_col, ArrayType(StringType()))]
     )
+    keep = [f.name for f in out_schema.fields if f.name != out_col]
+
+    def _encode_batches(batches):
+        rk = bc.value
+        cache: dict[str, list[str]] = {}
+
+        def merge(sym, left, right):
+            out, i, fused = [], 0, left + right
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == left and sym[i + 1] == right:
+                    out.append(fused)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            return out
+
+        def enc_word(w):
+            got = cache.get(w)
+            if got is None:
+                sym = list(w[:-1]) + [w[-1] + END_OF_WORD]
+                while len(sym) >= 2:
+                    best, best_rank = None, None
+                    for p in zip(sym, sym[1:]):
+                        r = rk.get(p)
+                        if r is not None and (best_rank is None or r < best_rank):
+                            best, best_rank = p, r
+                    if best is None:
+                        break
+                    sym = merge(sym, *best)
+                got = cache[w] = sym
+            return got
+
+        for pdf in batches:
+            enc = [
+                None
+                if words is None
+                else [s for w in words if w for s in enc_word(w)]
+                for words in pdf[tmp]
+            ]
+            out = pdf[keep].copy()
+            out[out_col] = enc
+            yield out
+
+    return with_words.mapInPandas(_encode_batches, schema=out_schema)

@@ -136,3 +136,86 @@ def test_encode_with_zero_rules_is_characters(spark):
     df = spark.createDataFrame([(0, "hi")], "doc_id long, text string")
     toks = bpe_encode(df, []).collect()[0].bpe_tokens
     assert toks == ["h", "i" + END_OF_WORD]
+
+
+def _seq_apply(word, rules):
+    """Sequential rule application — the semantics the expression
+    fold implements, as the oracle for the scale path."""
+    sym = list(word[:-1]) + [word[-1] + END_OF_WORD]
+    present = set(sym)
+    for l, r in rules:
+        if l not in present or r not in present:
+            continue
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        if len(out) != len(sym):
+            sym = out
+            present = set(sym)
+    return sym
+
+
+def _chain_rules(words):
+    """A topologically-valid merge-rule list that fully fuses each
+    word left-to-right (shared prefixes dedup) — the cheap way to a
+    5k+-rule tokenizer without 5k training rounds."""
+    rules, seen = [], set()
+    for w in words:
+        sym = list(w[:-1]) + [w[-1] + END_OF_WORD]
+        acc = sym[0]
+        for nxt in sym[1:]:
+            pair = (acc, nxt)
+            if pair not in seen:
+                seen.add(pair)
+                rules.append(pair)
+            acc = acc + nxt
+    return rules
+
+
+def test_encode_scale_path_matches_sequential_replay(spark):
+    """5k+ merge rules: the expression fold cannot plan this (a
+    |rules|-deep Catalyst tree); the mapInPandas greedy encoder must
+    equal the sequential-application oracle exactly."""
+    import random
+
+    rng = random.Random(5)
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    words = sorted(
+        {
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(6, 14)))
+            for _ in range(900)
+        }
+    )
+    rules = _chain_rules(words)
+    assert len(rules) > 5000
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(12))) for i in range(25)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.bpe_tokens for r in bpe_encode(df, rules).collect()}
+    for doc_id, text in docs:
+        want = [s for w in text.split() for s in _seq_apply(w, rules)]
+        assert got[doc_id] == want, doc_id
+        # merges actually bit: far fewer symbols than characters
+        assert len(got[doc_id]) < sum(len(w) for w in text.split())
+
+
+def test_encode_expression_and_pandas_plans_agree(spark, docs_df):
+    """Plan parity: the same rule list through the expression fold
+    and through the forced mapInPandas path yields identical rows."""
+    rules = bpe_merges(word_counts(docs_df), n_merges=10)
+    a = {r.doc_id: r.bpe_tokens for r in bpe_encode(docs_df, rules).collect()}
+    b = {
+        r.doc_id: r.bpe_tokens
+        for r in bpe_encode(docs_df, rules, expr_rules_max=0).collect()
+    }
+    assert a == b
+    # null text survives both plans
+    nul = spark.createDataFrame([(0, None)], "doc_id long, text string")
+    assert bpe_encode(nul, rules, expr_rules_max=0).collect()[0].bpe_tokens is None
+    assert bpe_encode(nul, rules).collect()[0].bpe_tokens is None
