@@ -2235,6 +2235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_frame_samples"] = lambda s, d: _frame_samples(s, d)
     q["multimodal_feature_bytes"] = lambda s, d: _feature_bytes(s, d)
     q["multimodal_resize"] = lambda s, d: _resize(s, d)
+    q["multimodal_bmp_decode"] = lambda s, d: _bmp_decode(s, d)
+    q["multimodal_wav_decode"] = lambda s, d: _wav_decode(s, d)
 
     # --- approximate neighborhood function (ANF / HyperBall family):
     # per-vertex FM sketches OR-merged along out-edges — the scale
@@ -3221,6 +3223,26 @@ def _resize(s, d):
         "media_id", "width", "height", "target_w", "target_h",
         F.length("payload").cast("long").alias("out_bytes"),
     )
+
+
+def _bmp_decode(s, d):
+    """REAL 24-bit BMP payloads (operators/multimodal.encode_bmp:
+    bottom-up rows, BGR, 4-byte padding) decoded by the REAL
+    pure-numpy codec (decode_bmp); the oracle replays the pixel
+    FORMULA closed-form, so the position-weighted checksum breaks on
+    any decoder mistake in row order, channel order or padding."""
+    from linkgraph.operators.multimodal import image_decode_stats, synth_bmp_media
+
+    return image_decode_stats(synth_bmp_media(s, 40))
+
+
+def _wav_decode(s, d):
+    """REAL RIFF/WAVE 16-bit PCM payloads decoded by the REAL chunk
+    walker (decode_wav); the parsed sample rate plus order-sensitive
+    sample checksum replay closed-form in the oracle."""
+    from linkgraph.operators.multimodal import audio_decode_stats, synth_wav_media
+
+    return audio_decode_stats(synth_wav_media(s, 40))
 
 
 def _graph_counts(s, d):
@@ -6744,6 +6766,44 @@ SELECT media_id, width, height,
        CAST(ceil(height * 1.0 / k) AS INT) AS target_h,
        CAST(ceil(nb * 1.0 / k) AS BIGINT) AS out_bytes
 FROM k
+""",
+        # real-codec contracts: the generator formula, not the bytes,
+        # replays in SQL — the engine side encodes genuine BMP/WAV
+        # payloads and decodes them with the pure-numpy codecs; the
+        # position-weighted checksums break on any row-order/channel/
+        # padding/chunk-walk mistake
+        "multimodal_bmp_decode": """
+WITH ids AS (SELECT unnest(generate_series(0, 39)) AS media_id),
+dims AS (SELECT media_id, 4 + media_id % 13 AS w, 3 + media_id % 11 AS h FROM ids),
+xs AS (SELECT media_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM dims),
+ys AS (SELECT media_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+px AS (SELECT media_id, w, h, x, y, unnest(generate_series(0, 2)) AS c FROM ys),
+v AS (SELECT media_id, w, h, x, y, c,
+             (media_id * 7 + x * 3 + y * 5 + c * 11) % 256 AS v
+      FROM px)
+SELECT media_id,
+       CAST(max(w) AS INT) AS width,
+       CAST(max(h) AS INT) AS height,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(v) AS BIGINT) AS sum_v,
+       CAST(sum(v * (y * w + x) * (c + 1)) AS BIGINT) AS checksum
+FROM v GROUP BY media_id
+""",
+        "multimodal_wav_decode": """
+WITH ids AS (SELECT unnest(generate_series(0, 39)) AS media_id),
+p AS (SELECT media_id, 200 + media_id % 37 AS ns,
+             8000 + (media_id % 3) * 4000 AS rate
+      FROM ids),
+s AS (SELECT media_id, ns, rate, unnest(generate_series(0, ns - 1)) AS i FROM p),
+v AS (SELECT media_id, rate, i,
+             (media_id * 13 + i * 7) % 4096 - 2048 AS sv
+      FROM s)
+SELECT media_id,
+       CAST(max(rate) AS INT) AS sample_rate,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(abs(sv)) AS BIGINT) AS sum_abs,
+       CAST(sum(sv * (i + 1)) AS BIGINT) AS checksum
+FROM v GROUP BY media_id
 """,
         "anf_hierarchy": _anf_sql(),
         "effective_diameter_hierarchy": _eff_diam_sql(),
