@@ -33,7 +33,9 @@ from linkgraph.plans.iterate import (
 )
 
 
-def _min_label_step(edges: DataFrame, jump: bool = False):
+def _min_label_step(
+    edges: DataFrame, jump: bool = False, escalate_after: int | None = None
+):
     """One synchronous round: label'(v) = min(label(v), min_{u→v} label(u)).
 
     ``jump`` additionally folds in the label-of-label L(L(v))
@@ -42,9 +44,30 @@ def _min_label_step(edges: DataFrame, jump: bool = False):
     O(log d) rounds instead of d — the difference between 6 and 10^6
     rounds on a long path. Costs one extra V-row self-join per round,
     so it pays off on high-diameter graphs; the fixpoint (min id per
-    component) is identical either way."""
+    component) is identical either way.
+
+    ``escalate_after``: the high-diameter ESCAPE HATCH — run the
+    cheap plain step, and if round ``escalate_after`` arrives without
+    convergence (the signature of a deeper-than-expected graph: a
+    crawl-trap chain, a long redirect path), flip ``jump`` on
+    MID-RUN. Labels are monotone toward the same fixpoint under both
+    steps, so switching is always sound; what it buys is never
+    needing to know the diameter in advance — shallow graphs
+    (web-typical) pay zero extra, pathological ones finish in
+    escalate_after + O(log d) rounds instead of d."""
+    escalated = [False]
 
     def step(state: DataFrame, i: int) -> tuple[DataFrame, float]:
+        j = jump or (escalate_after is not None and i >= escalate_after)
+        if j and not jump and not escalated[0]:
+            escalated[0] = True
+            import sys
+
+            print(
+                f"linkgraph.wcc: round {i} without convergence — "
+                "escalating to pointer-jumping (high-diameter escape)",
+                file=sys.stderr,
+            )
         # Frontier pruning (plain mode): labels are monotone, so a
         # vertex can only improve through a neighbor whose label
         # CHANGED last round — round i>0 joins only the changed
@@ -53,14 +76,14 @@ def _min_label_step(edges: DataFrame, jump: bool = False):
         # every vertex as changed. Jump mode reads full state (a
         # label-of-label shortcut can improve without a local change).
         has_chg = "chg" in state.columns
-        active = state.filter(F.col("chg")) if (has_chg and not jump) else state
+        active = state.filter(F.col("chg")) if (has_chg and not j) else state
         nbr = (
             active.join(edges, active.id == edges.src)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nbr_min"))
         )
         new = state.join(nbr, "id", "left")
-        if jump:
+        if j:
             lol = state.alias("a").join(
                 state.alias("b"), F.col("a.label") == F.col("b.id")
             ).select(F.col("a.id").alias("id"), F.col("b.label").alias("ll"))
@@ -88,7 +111,8 @@ def weakly_connected_components(
     max_iter: int = 10_000,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 0,
-    jump: bool = False,
+    jump: bool | str = "auto",
+    jump_after: int = 16,
     init_labels: DataFrame | None = None,
 ) -> IterationResult:
     """DataFrame(id, component); component = min vertex id in it.
@@ -98,7 +122,13 @@ def weakly_connected_components(
     ``jump=True`` enables pointer jumping: O(log diameter) rounds at
     one extra self-join per round — use it when components may be
     deep (long chains); web graphs' shallow diameter makes the plain
-    step cheaper per round.
+    step cheaper per round. The default ``"auto"`` runs the cheap
+    plain step and ESCALATES to pointer jumping mid-run if round
+    ``jump_after`` arrives without convergence — so a pathological
+    crawl graph (a 50k-long trap chain) cannot pick the wrong
+    default: shallow graphs pay nothing, deep ones finish in
+    jump_after + O(log d) rounds instead of d (pytest pins the round
+    count on a 20k-diameter chain). ``False`` pins plain min-label.
 
     ``init_labels``: optional DataFrame(id, component) from a previous
     run — the incremental path for an ADDITIONS-ONLY graph delta (new
@@ -127,9 +157,14 @@ def weakly_connected_components(
             init.join(prev, "id", "left")
             .select("id", F.coalesce("_warm", F.col("label")).alias("label"))
         )
+    auto = jump == "auto"
     res = iterate(
         init,
-        _min_label_step(sym, jump=jump),
+        _min_label_step(
+            sym,
+            jump=False if auto else bool(jump),
+            escalate_after=jump_after if auto else None,
+        ),
         tol=0.0,
         max_iter=max_iter,
         checkpoint_dir=checkpoint_dir,
@@ -249,10 +284,17 @@ def connected_components_alternating(
 
 def _propagate_min(vertices: DataFrame, edges: DataFrame, max_iter: int = 10_000) -> DataFrame:
     """Forward min-label fixpoint over directed edges: result(v) =
-    min id over {v} ∪ {u : u reaches v}. Returns (id, label)."""
+    min id over {v} ∪ {u : u reaches v}. Returns (id, label).
+    Inherits WCC's high-diameter escape (pointer jumping after 16
+    unconverged rounds) so an SCC peel over a deep DAG cannot stall
+    at O(depth) rounds."""
     init = vertices.select("id", F.col("id").alias("label"))
     return iterate(
-        init, _min_label_step(edges), tol=0.0, max_iter=max_iter, on_exhaustion="raise"
+        init,
+        _min_label_step(edges, escalate_after=16),
+        tol=0.0,
+        max_iter=max_iter,
+        on_exhaustion="raise",
     ).state
 
 

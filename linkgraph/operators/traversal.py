@@ -315,12 +315,30 @@ def dijkstra_exact(
     return {k: (dist[k], path_to(k)) for k in keys}
 
 
-def reconstruct_path(dists: DataFrame, source: int, target: int, max_len: int = 10_000) -> tuple[list[int], float] | None:
-    """Walk parent pointers target→source (driver-side point lookups;
-    path length is tiny relative to the graph — the same asymmetry
-    Dijkstra's `prev` map exploits, graph.rs:1098-1109)."""
+def reconstruct_path(
+    dists: DataFrame,
+    source: int,
+    target: int,
+    max_len: int = 10_000,
+    collect_threshold: int = 100_000,
+) -> tuple[list[int], float] | None:
+    """Path [source..target] + cost from a parent-pointer frame
+    (id, dist, via).
+
+    Small frames (< 100k rows) collect once and walk in the driver —
+    the same asymmetry Dijkstra's ``prev`` map exploits
+    (graph.rs:1098-1109). Large frames use POINTER DOUBLING over the
+    parent table: per round, the known chain segment from ``target``
+    extends by jumping ``2^k`` parents at once (one join against the
+    doubled pointer table), so a length-L path materializes in
+    ⌈log₂ L⌉ rounds — a handful of small Spark jobs per round (the
+    lineage-cut write plus AQE's per-shuffle sub-jobs, ~90 total for
+    a 10k-hop path) instead of the ~10k point-lookup jobs a per-hop
+    walk costs.
+    The doubled pointer table stays V-rows; the chain frame stays
+    ≤ path-length rows."""
     lookup = {r["id"]: (r["dist"], r["via"]) for r in
-              dists.filter(F.col("id").isNotNull()).collect()} if dists.count() < 100_000 else None
+              dists.filter(F.col("id").isNotNull()).collect()} if dists.count() < collect_threshold else None
     path: list[int] = []
     node = target
     if lookup is not None:
@@ -331,13 +349,58 @@ def reconstruct_path(dists: DataFrame, source: int, target: int, max_len: int = 
             path.append(node)
             node = lookup[node][1]
         return path[::-1], cost
-    # large-graph fallback: per-hop filters
+    # large-graph path: pointer doubling, O(log path-length) jobs
     rows = dists.filter(F.col("id") == target).take(1)
     if not rows:
         return None
     cost = rows[0]["dist"]
-    while node is not None and len(path) < max_len:
-        path.append(node)
-        r = dists.filter(F.col("id") == node).take(1)
-        node = r[0]["via"] if r else None
-    return path[::-1], cost
+    spark = dists.sparkSession
+    chain = LineageChain()
+    # combined per-round frame: kind 'd' rows = the 2^k-step pointer
+    # table (id → ancestor 2^k hops up, source's NULL via drops out),
+    # kind 's' rows = chain members as (node, hops-from-target)
+    d0 = dists.filter(F.col("via").isNotNull()).select(
+        F.lit("d").alias("kind"), "id", F.col("via").alias("anc"),
+        F.lit(None).cast("long").alias("hops"),
+    )
+    s0 = spark.createDataFrame([(int(target), 0)], "id long, hops long").select(
+        F.lit("s").alias("kind"), "id", F.lit(None).cast("long").alias("anc"), "hops"
+    )
+    cur = chain.cut(d0.unionByName(s0))
+    step, n_chain = 1, 1
+    while step < max_len:
+        d = cur.filter(F.col("kind") == "d").select("id", "anc")
+        s = cur.filter(F.col("kind") == "s").select("id", "hops")
+        # extend the chain by one 2^k jump from every known member
+        # (dedup keeps the first-discovered = minimal hops per node)
+        ext = (
+            s.join(d, "id")
+            .select(F.col("anc").alias("id"), (F.col("hops") + step).alias("hops"))
+            .filter(F.col("hops") < max_len)
+        )
+        s_new = (
+            s.unionByName(ext)
+            .groupBy("id")
+            .agg(F.min("hops").alias("hops"))
+            .select(F.lit("s").alias("kind"), "id",
+                    F.lit(None).cast("long").alias("anc"), "hops")
+        )
+        # double the pointer table: anc' = anc(anc), 2^(k+1) hops up
+        d2 = (
+            d.alias("a")
+            .join(d.alias("b"), F.col("a.anc") == F.col("b.id"))
+            .select(F.lit("d").alias("kind"), F.col("a.id").alias("id"),
+                    F.col("b.anc").alias("anc"),
+                    F.lit(None).cast("long").alias("hops"))
+        )
+        cur = chain.cut(d2.unionByName(s_new))
+        n_new = cur.filter(F.col("kind") == "s").count()
+        if n_new == n_chain:
+            break  # no extension possible — source (NULL via) reached
+        n_chain = n_new
+        step *= 2
+    members = (
+        cur.filter(F.col("kind") == "s").orderBy(F.col("hops").desc()).collect()
+    )
+    chain.release()
+    return [int(r["id"]) for r in members], cost

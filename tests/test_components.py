@@ -2,10 +2,12 @@ import networkx as nx
 import pytest
 
 from conftest import collect_map, graph_from_edges
+from linkgraph.graph import LinkGraph
 from linkgraph.operators.components import (
     strongly_connected_components,
     weakly_connected_components,
 )
+from pyspark.sql import functions as F
 
 
 def _partition(mapping):
@@ -246,3 +248,31 @@ def test_alternating_cc_resume_after_kill(spark, tmp_path):
     )
     assert res.stats[0].resumed  # continued from the durable edge frame
     assert collect_map(res.state, "id", "component") == want
+
+
+def test_wcc_auto_escalates_on_deep_chain(spark):
+    """The default jump="auto" escape hatch: a 20k-diameter chain
+    from a COLD start converges in jump_after + O(log d) rounds (the
+    plain step would need 20k) and the labels are the exact
+    component minima; a shallow graph never escalates (iterations
+    stay under jump_after)."""
+    from conftest import graph_from_edges
+
+    n = 20_000
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"),
+        (F.col("id") + 1).alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    g = LinkGraph(edges, directed=False)
+    res = weakly_connected_components(g, max_iter=80)
+    # 16 plain rounds + ~log2(20k) jump rounds + slack
+    assert res.iterations <= 50, res.iterations
+    assert res.state.filter(F.col("component") != 0).count() == 0
+    assert res.state.count() == n
+    # shallow graph: converges before the escape would trigger
+    shallow = graph_from_edges(
+        spark, [(0, i) for i in range(1, 40)], directed=False
+    )
+    res2 = weakly_connected_components(shallow)
+    assert res2.iterations <= 4

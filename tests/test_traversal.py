@@ -109,3 +109,40 @@ def test_bfs_direction_optimizing_star(spark):
     )
     assert hybrid == plain
     assert plain == {0: 0, **{i: 1 for i in range(1, 40)}}
+
+
+def test_reconstruct_path_pointer_doubling_deep_chain(spark):
+    """The large-frame branch reconstructs a 10k-hop path by pointer
+    doubling — O(log L) rounds, not one Spark job per hop — and its
+    output equals the driver-side walk exactly."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.operators.traversal import reconstruct_path
+
+    n = 10_000  # path 0 → 9999: 10k nodes, inside max_len
+    dists = spark.range(n).select(
+        F.col("id"),
+        F.col("id").cast("double").alias("dist"),
+        F.when(F.col("id") > 0, F.col("id") - 1).alias("via"),
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("rp_doubling", "pointer doubling reconstruct")
+    try:
+        got = reconstruct_path(dists, 0, n - 1, collect_threshold=0)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("rp_doubling")
+    want = reconstruct_path(dists, 0, n - 1)  # driver-side walk
+    assert got is not None and want is not None
+    assert got[0] == want[0] == list(range(n))
+    assert got[1] == want[1] == float(n - 1)
+    # ⌈log2 10k⌉ = 14 rounds; AQE materializes each round's two
+    # shuffles as a handful of sub-jobs — still two orders of
+    # magnitude under the ~10k jobs a per-hop walk schedules
+    assert len(jobs) <= 150, len(jobs)
+    # truncation semantics match the walk: max_len caps path length
+    short = reconstruct_path(dists, 0, n - 1, max_len=5, collect_threshold=0)
+    assert short is not None and len(short[0]) == 5
+    assert short[0] == list(range(n - 5, n))
+    # absent target
+    assert reconstruct_path(dists, 0, 10 * n, collect_threshold=0) is None
