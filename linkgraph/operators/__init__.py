@@ -143,6 +143,21 @@ from linkgraph.operators.tokenizer import (
     pair_stats,
     word_counts,
 )
+from linkgraph.operators.multimodal import (
+    audio_decode_stats,
+    decode_audio_real,
+    decode_bmp,
+    decode_image_real,
+    decode_ppm,
+    decode_wav,
+    encode_bmp,
+    encode_ppm,
+    encode_wav,
+    extract_features,
+    frame_sample_plan,
+    image_decode_stats,
+    resize_images,
+)
 
 __all__ = [
     "estimate_distances",
@@ -152,6 +167,19 @@ __all__ = [
     "refine_connected",
     "bpe_encode",
     "bpe_merges",
+    "audio_decode_stats",
+    "decode_audio_real",
+    "decode_bmp",
+    "decode_image_real",
+    "decode_ppm",
+    "decode_wav",
+    "encode_bmp",
+    "encode_ppm",
+    "encode_wav",
+    "extract_features",
+    "frame_sample_plan",
+    "image_decode_stats",
+    "resize_images",
     "pair_stats",
     "word_counts",
     "blockrank",

@@ -159,6 +159,13 @@ def label_spreading(
     one map-side-combined (dst, label) sum + one (id, label)-keyed
     outer merge against the carried seed column. Directed graphs
     diffuse over the weak (symmetrized) structure, like LPA.
+
+    No ``state_broadcast`` plan here, deliberately: unlike the dense
+    V-row SpMV states (pagerank/HITS/Katz/OPIC), this state is the
+    SPARSE (id, label, score) frontier — its size is
+    diffusion-dependent and can approach V·C rows, so a per-round
+    broadcast has no safe size bound to auto-switch on; the
+    co-partitioned shuffle plan is the right default at every size.
     """
     if not 0.0 < alpha < 1.0:
         raise ValueError(f"alpha must be in (0, 1), got {alpha}")

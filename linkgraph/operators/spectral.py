@@ -192,6 +192,7 @@ def eigenvector_centrality(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 0,
     on_exhaustion: str = "raise",
+    state_broadcast: bool | str = "auto",
 ) -> IterationResult:
     """Eigenvector centrality: IterationResult whose state is
     DataFrame(id, centrality), L2-normalized.
@@ -202,7 +203,9 @@ def eigenvector_centrality(
     L2-normalize, stop when Σ|x'-x| < n·tol, raise on exhaustion
     (NetworkX's PowerIterationFailedConvergence). Directed graphs use
     in-edges ("left" eigenvector centrality, the NetworkX contract);
-    undirected graphs symmetrize.
+    undirected graphs symmetrize. ``state_broadcast`` follows
+    pagerank's contract (auto exchange-free plan when the score frame
+    fits autoBroadcastJoinThreshold).
     """
     spark = graph.edges.sparkSession
     vertices = graph.vertices.select("id")
@@ -211,9 +214,11 @@ def eigenvector_centrality(
         return IterationResult(
             state=spark.createDataFrame([], "id long, centrality double")
         )
+    if state_broadcast == "auto":
+        state_broadcast = n <= broadcast_state_rows(spark)
     w = _weight_col(weighted, weight_expr)
     e = graph.sym_edges.select("src", "dst", w.alias("w"))
-    e_by_src = stationary(e, "src")
+    e_op = stationary(e, "dst" if state_broadcast else "src")
 
     init = truncate_lineage(
         vertices.select("id", (F.lit(1.0) / F.sqrt(F.lit(float(n)))).alias("x"))
@@ -222,8 +227,10 @@ def eigenvector_centrality(
 
     def step(state: DataFrame, i: int) -> tuple[DataFrame, float]:
         xs = state.select("id", "x")
+        if state_broadcast:
+            xs = F.broadcast(xs)
         raw = (
-            xs.join(e_by_src, xs.id == e_by_src.src)
+            xs.join(e_op, xs.id == e_op.src)
             .select(F.col("dst").alias("id"), (F.col("x") * F.col("w")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("cs"))
@@ -259,7 +266,7 @@ def eigenvector_centrality(
         on_exhaustion="ok" if fixed_iters else on_exhaustion,
     )
     res.state = res.state.select("id", F.col("x").alias("centrality"))
-    e_by_src.unpersist()
+    e_op.unpersist()
     return res
 
 

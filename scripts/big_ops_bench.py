@@ -761,6 +761,14 @@ def main() -> None:
         n_comp_jmp = jmp.state.select("component").distinct().count()
         wall_jmp = time.time() - t0
         assert n_comp_jmp == n_comp_alt, (n_comp_jmp, n_comp_alt)
+        # round-5 default: jump="auto" COLD — 16 cheap frontier-pruned
+        # rounds, then the mid-run escalation to pointer jumping; the
+        # no-diameter-knowledge path every caller actually takes
+        t0 = time.time()
+        auto = weakly_connected_components(gc_, max_iter=80)
+        n_comp_auto = auto.state.select("component").distinct().count()
+        wall_auto = time.time() - t0
+        assert n_comp_auto == n_comp_alt, (n_comp_auto, n_comp_alt)
         chains.unpersist()
         results["altcc_chains"] = {
             "sec": round(wall_alt, 1),
@@ -769,6 +777,8 @@ def main() -> None:
             "components": n_comp_alt,
             "jump_label_sec": round(wall_jmp, 1),
             "jump_label_rounds": jmp.iterations,
+            "auto_escape_sec": round(wall_auto, 1),
+            "auto_escape_rounds": auto.iterations,
             "edges_per_sec": round(n_chain_e / wall_alt, 1),
         }
 
@@ -1188,7 +1198,11 @@ Notes:
   would need 50k rounds; star contraction (Kiveris et al.) converges
   in O(log² n) rounds on shrinking edge state, compared against
   pointer-jumped min-label (O(log d) rounds, V rows/round) on the
-  same input.
+  same input. auto_escape_* is the round-5 DEFAULT path measured
+  cold: 16 cheap frontier-pruned rounds, then the mid-run escalation
+  to pointer jumping — no caller ever needs to know the diameter in
+  advance, and the worst case is bounded by jump_after + O(log d)
+  rounds, not d.
 - skipgram_zipf trains SGNS embeddings (dim 8, 3 full-batch steps,
   1 negative/pair) over the 2M-vertex Zipf graph's symmetric pair
   set on the shuffle-model path (vocab ≫ the broadcast cutoff): the

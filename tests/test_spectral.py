@@ -255,3 +255,35 @@ def test_salsa_converged_vs_replica(spark):
     for v in verts:
         assert abs(got[v][0] - h[v]) < 1e-7
         assert abs(got[v][1] - a[v]) < 1e-7
+
+
+def test_state_broadcast_plans_match_shuffle(spark):
+    """The exchange-free broadcast plans reach the same fixpoints as
+    the shuffle plans for HITS, SALSA, Katz and eigenvector (same
+    contract as pagerank's broadcast==shuffle parity test)."""
+    import random
+
+    from conftest import collect_map, graph_from_edges
+    from linkgraph.operators.spectral import (
+        eigenvector_centrality,
+        hits,
+        katz_centrality,
+        salsa,
+    )
+
+    rng = random.Random(13)
+    edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(90)})
+    edges = [(a, b, 1.0 + (a + b) % 3) for a, b in edges if a != b]
+    g = graph_from_edges(spark, edges, directed=True)
+
+    for fn, col in (
+        (hits, "authority"),
+        (salsa, "authority"),
+        (katz_centrality, "centrality"),
+        (eigenvector_centrality, "centrality"),
+    ):
+        a = collect_map(fn(g, state_broadcast=False).state, "id", col)
+        b = collect_map(fn(g, state_broadcast=True).state, "id", col)
+        assert set(a) == set(b)
+        for k in a:
+            assert abs(a[k] - b[k]) < 1e-9, (fn.__name__, k)
