@@ -2237,6 +2237,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_resize"] = lambda s, d: _resize(s, d)
     q["multimodal_bmp_decode"] = lambda s, d: _bmp_decode(s, d)
     q["multimodal_wav_decode"] = lambda s, d: _wav_decode(s, d)
+    q["warc_records"] = lambda s, d: _warc_records(s, d)
+    q["warc_corpus_stats"] = lambda s, d: _warc_stats(s, d)
+    q["robots_rules"] = lambda s, d: _robots_rules(s, d)
+    q["robots_admission"] = lambda s, d: _robots_admission(s, d)
 
     # --- approximate neighborhood function (ANF / HyperBall family):
     # per-vertex FM sketches OR-merged along out-edges — the scale
@@ -3243,6 +3247,105 @@ def _wav_decode(s, d):
     from linkgraph.operators.multimodal import audio_decode_stats, synth_wav_media
 
     return audio_decode_stats(synth_wav_media(s, 40))
+
+
+def _warc_records(s, d):
+    """REAL gzip-member-per-record WARC segments (the Common-Crawl
+    .warc.gz layout, sources/warc.encode_warc) parsed by the REAL
+    Content-Length-framed walker through Spark's segment-parallel
+    mapInPandas; url/html are closed-form in (segment, page), so the
+    oracle rebuilds the exact strings — any framing, gzip-member or
+    HTTP-head-stripping mistake breaks the value hash."""
+    from linkgraph.sources.warc import synth_warc_segments, warc_pages
+
+    return (
+        warc_pages(synth_warc_segments(s, n_segments=8, pages_per_segment=25))
+        .filter(F.col("rec_type") == "response")
+        .select("segment_id", "url", "html", F.col("n_bytes").cast("int").alias("n_bytes"))
+    )
+
+
+def _warc_stats(s, d):
+    """Per-segment corpus accounting over the parsed WARC bed —
+    response/warcinfo counts, html byte totals, capture-time range
+    (closed-form: 2026-01-01 + (i*100 + j) minutes)."""
+    from linkgraph.sources.warc import (
+        synth_warc_segments,
+        warc_corpus_stats,
+        warc_pages,
+    )
+
+    return warc_corpus_stats(
+        warc_pages(synth_warc_segments(s, n_segments=8, pages_per_segment=25))
+    ).select(
+        "segment_id",
+        F.col("responses").cast("long").alias("responses"),
+        F.col("warcinfos").cast("long").alias("warcinfos"),
+        "html_bytes",
+        "first_capture",
+        "last_capture",
+    )
+
+
+def _robots_bed(s):
+    h = s.range(10).select(F.col("id").cast("string").alias("h"))
+    body = F.concat(
+        F.lit("# synthetic policy\nUser-agent: *\nDisallow: /p"),
+        F.col("h"),
+        F.lit("/\nAllow: /p"),
+        F.col("h"),
+        F.lit("/pub\n"),
+        F.when(
+            F.col("h").cast("int") % 2 == 0,
+            F.concat(
+                F.lit("\nUser-agent: linkbot\nDisallow: /x"),
+                F.col("h"),
+                F.lit("$\n"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return h.select(
+        F.concat(F.lit("host"), F.col("h"), F.lit(".test")).alias("host"),
+        body.alias("body"),
+    )
+
+
+def _robots_urls(s):
+    h = s.range(10).select(F.col("id").cast("string").alias("h"))
+    base = F.concat(F.lit("http://host"), F.col("h"), F.lit(".test"))
+    urls = h.select(
+        F.explode(
+            F.array(
+                F.concat(base, F.lit("/p"), F.col("h"), F.lit("/a")),
+                F.concat(base, F.lit("/p"), F.col("h"), F.lit("/pub/b")),
+                F.concat(base, F.lit("/x"), F.col("h")),
+                F.concat(base, F.lit("/x"), F.col("h"), F.lit("y")),
+            )
+        ).alias("url")
+    )
+    extra = s.createDataFrame([("http://host99.test/anything",)], "url string")
+    return urls.unionAll(extra)
+
+
+def _robots_rules(s, d):
+    """RFC-9309 robots.txt parsing (operators/robots.parse_robots:
+    comment strip, group segmentation, multi-agent inheritance) over
+    deterministic synthesized bodies; the oracle enumerates the
+    expected (host, agent, rule, path) rows closed-form."""
+    from linkgraph.operators.robots import parse_robots
+
+    return parse_robots(_robots_bed(s))
+
+
+def _robots_admission(s, d):
+    """Longest-match / allow-on-tie / exact-agent-tier admission
+    (operators/robots.robots_allowed) for agent 'linkbot' over a
+    synthesized url bed; the oracle replays the decision table
+    closed-form (even hosts: exact-group $-anchored rule only; odd
+    hosts: star group prefix rules; host99: no robots → allow)."""
+    from linkgraph.operators.robots import parse_robots, robots_allowed
+
+    return robots_allowed(_robots_urls(s), parse_robots(_robots_bed(s)), agent="linkbot")
 
 
 def _graph_counts(s, d):
@@ -6804,6 +6907,82 @@ SELECT media_id,
        CAST(sum(abs(sv)) AS BIGINT) AS sum_abs,
        CAST(sum(sv * (i + 1)) AS BIGINT) AS checksum
 FROM v GROUP BY media_id
+""",
+        # WARC bed: the generator formulas (url/ts/html closed-form in
+        # segment i, page j) replay in SQL; the engine side encodes
+        # REAL gzip-member WARC bytes and parses them back
+        "warc_records": """
+WITH seg AS (SELECT unnest(generate_series(0, 7)) AS i),
+pg AS (SELECT i, unnest(generate_series(0, 24)) AS j FROM seg),
+built AS (
+  SELECT i AS segment_id,
+         'http://site' || ((i * 31 + j) % 7) || '.test/p' || i || '/' || j AS url,
+         '<html><head><title>T' || i || '-' || j || '</title></head><body>'
+           || repeat('x', (i * 7 + j * 13) % 50) || '</body></html>' AS html
+  FROM pg)
+SELECT segment_id, url, html, CAST(octet_length(encode(html)) AS INT) AS n_bytes
+FROM built
+""",
+        "warc_corpus_stats": """
+WITH seg AS (SELECT unnest(generate_series(0, 7)) AS i),
+pg AS (SELECT i, unnest(generate_series(0, 24)) AS j FROM seg),
+built AS (
+  SELECT i, j,
+         octet_length(encode('<html><head><title>T' || i || '-' || j
+           || '</title></head><body>'
+           || repeat('x', (i * 7 + j * 13) % 50) || '</body></html>')) AS nb,
+         TIMESTAMP '2026-01-01 00:00:00' + (i * 100 + j) * INTERVAL 1 MINUTE AS ts
+  FROM pg)
+SELECT i AS segment_id,
+       CAST(count(*) AS BIGINT) AS responses,
+       CAST(1 AS BIGINT) AS warcinfos,
+       CAST(sum(nb) AS BIGINT) AS html_bytes,
+       min(ts) AS first_capture,
+       max(ts) AS last_capture
+FROM built GROUP BY i
+""",
+        # robots bed: closed-form rule table — star group (prefix
+        # disallow + longer allow) on every host, an exact linkbot
+        # group ($-anchored) on even hosts
+        "robots_rules": """
+WITH h AS (SELECT unnest(generate_series(0, 9)) AS h),
+rows_ AS (
+  SELECT 'host' || h || '.test' AS host, '*' AS agent,
+         'disallow' AS rule, '/p' || h || '/' AS path FROM h
+  UNION ALL
+  SELECT 'host' || h || '.test', '*', 'allow', '/p' || h || '/pub' FROM h
+  UNION ALL
+  SELECT 'host' || h || '.test', 'linkbot', 'disallow', '/x' || h || '$'
+  FROM h WHERE h % 2 = 0)
+SELECT host, agent, rule, path, CAST(length(path) AS INT) AS rule_len
+FROM rows_
+""",
+        "robots_admission": """
+WITH h AS (SELECT unnest(generate_series(0, 9)) AS h),
+u AS (
+  SELECT h, 'http://host' || h || '.test/p' || h || '/a' AS url,
+         'p' AS kind FROM h
+  UNION ALL
+  SELECT h, 'http://host' || h || '.test/p' || h || '/pub/b', 'pub' FROM h
+  UNION ALL
+  SELECT h, 'http://host' || h || '.test/x' || h, 'x' FROM h
+  UNION ALL
+  SELECT h, 'http://host' || h || '.test/x' || h || 'y', 'xy' FROM h)
+SELECT url, 'host' || h || '.test' AS host,
+       CASE WHEN h % 2 = 0 THEN kind <> 'x'            -- exact tier: /x{h}$ only
+            ELSE kind NOT IN ('p')                     -- star tier: /p{h}/ vs /p{h}/pub
+       END AS allowed,
+       CASE WHEN h % 2 = 0 AND kind = 'x' THEN 'disallow'
+            WHEN h % 2 = 1 AND kind = 'p' THEN 'disallow'
+            WHEN h % 2 = 1 AND kind = 'pub' THEN 'allow'
+       END AS matched_rule,
+       CASE WHEN h % 2 = 0 AND kind = 'x' THEN '/x' || h || '$'
+            WHEN h % 2 = 1 AND kind = 'p' THEN '/p' || h || '/'
+            WHEN h % 2 = 1 AND kind = 'pub' THEN '/p' || h || '/pub'
+       END AS matched_path
+FROM u
+UNION ALL
+SELECT 'http://host99.test/anything', 'host99.test', TRUE, NULL, NULL
 """,
         "anf_hierarchy": _anf_sql(),
         "effective_diameter_hierarchy": _eff_diam_sql(),

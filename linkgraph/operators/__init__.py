@@ -137,6 +137,7 @@ from linkgraph.operators.landmarks import (
     select_landmarks,
 )
 from linkgraph.operators.leiden import leiden, refine_connected
+from linkgraph.operators.robots import parse_robots, robots_allowed
 from linkgraph.operators.tokenizer import (
     bpe_encode,
     bpe_merges,
@@ -165,6 +166,8 @@ __all__ = [
     "select_landmarks",
     "leiden",
     "refine_connected",
+    "parse_robots",
+    "robots_allowed",
     "bpe_encode",
     "bpe_merges",
     "audio_decode_stats",
