@@ -139,6 +139,35 @@ def main() -> None:
     # aggs — the webtext signal feed at extraction scale
     from linkgraph.sources.edges import anchor_text_stats
 
+    # WARC ingest at file granularity: 256 synthesized gzip-member
+    # .warc segments × 400 response records each (the CC layout) →
+    # segment-parallel parse + per-segment corpus stats; throughput
+    # is pages decoded per second, shuffle-free until the stats agg
+    if want("warc_parse"):
+        from linkgraph.sources.warc import (
+            synth_warc_segments,
+            warc_corpus_stats,
+            warc_pages,
+        )
+
+        n_seg, per_seg = 256, 400
+        seg = synth_warc_segments(
+            spark, n_segments=n_seg, pages_per_segment=per_seg, partitions=64
+        ).persist()
+        seg.count()  # materialize synthesis outside the timed window
+        t0 = time.time()
+        stats = warc_corpus_stats(warc_pages(seg))
+        n_resp = int(stats.agg(F.sum("responses")).collect()[0][0])
+        wall = time.time() - t0
+        assert n_resp == n_seg * per_seg, n_resp
+        results["warc_parse"] = {
+            "sec": round(wall, 1),
+            "segments": n_seg,
+            "pages": n_resp,
+            "pages_per_sec": round(n_resp / wall, 1),
+        }
+        seg.unpersist()
+
     if want("anchor_stats"):
         pages = spark.read.parquet(PAGES_BIG)
         n_pages = pages.count()
