@@ -90,6 +90,10 @@ def _min_label_step(
             new = new.join(lol, "id", "left")
         else:
             new = new.withColumn("ll", F.lit(None).cast("long"))
+        # persist the EXACT frame returned (no trailing projection):
+        # iterate/next-round unpersist then targets the cached object
+        # — a projection would silently no-op and leak one cached
+        # frame per round (the partition.py/pregel ADVICE pattern)
         new = new.select(
             "id",
             F.least(
@@ -97,11 +101,18 @@ def _min_label_step(
                 F.coalesce("nbr_min", F.col("label")),
                 F.coalesce("ll", F.col("label")),
             ).alias("label"),
-            F.col("label").alias("_old"),
-        ).withColumn("chg", F.col("label") != F.col("_old")).persist()
+            (
+                F.least(
+                    F.col("label"),
+                    F.coalesce("nbr_min", F.col("label")),
+                    F.coalesce("ll", F.col("label")),
+                )
+                != F.col("label")
+            ).alias("chg"),
+        ).persist()
         changed = new.filter("chg").count()
         state.unpersist()
-        return new.select("id", "label", "chg"), float(changed)
+        return new, float(changed)
 
     return step
 
@@ -142,12 +153,20 @@ def weakly_connected_components(
     longer in the component) — rerun cold for deletion deltas."""
     und = graph.to_directed() if not graph.directed else graph
     e = und.edges.select("src", "dst")
+
     # stationary operand: each label round joins on src without
-    # re-shuffling the symmetrized edge table
-    sym = stationary(
-        e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
-        "src",
-    )
+    # re-shuffling the symmetrized edge table; memoized on the
+    # (original) graph object so repeat WCC runs — the incremental
+    # warm-start path especially — skip the build
+    def _build_sym():
+        return stationary(
+            e.unionAll(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            ),
+            "src",
+        )
+
+    sym = graph.operand(("wcc_sym",), _build_sym)
     init = graph.vertices.select("id", F.col("id").alias("label"))
     if init_labels is not None:
         prev = init_labels.select(
@@ -171,7 +190,6 @@ def weakly_connected_components(
         checkpoint_every=checkpoint_every,
         on_exhaustion="raise",
     )
-    sym.unpersist()
     res.state = res.state.select("id", F.col("label").alias("component"))
     return res
 
@@ -372,19 +390,23 @@ def strongly_connected_components(
                 .distinct()
                 .withColumn("_hit", F.lit(True))
             )
+            # persist the exact returned frame (no projection after
+            # persist — the unpersist would no-op and leak per round)
             new = (
                 state.join(hits, ["id", "color"], "left")
                 .select(
                     "id",
                     "color",
                     (F.col("mark") | F.coalesce(F.col("_hit"), F.lit(False))).alias("mark"),
-                    F.col("mark").alias("_old"),
+                    (
+                        F.coalesce(F.col("_hit"), F.lit(False)) & ~F.col("mark")
+                    ).alias("_new"),
                 )
                 .persist()
             )
-            changed = new.filter(F.col("mark") & ~F.col("_old")).count()
+            changed = new.filter("_new").count()
             state.unpersist()
-            return new.select("id", "color", "mark"), float(changed)
+            return new, float(changed)
 
         # LineageChain per peel: hard lineage cuts keep the plan depth
         # O(1) across peels (persist alone does not), and superseded

@@ -76,12 +76,17 @@ def label_propagation(
         best = votes.groupBy("id").agg(
             F.expr("min_by(cand, struct(-votes, cand))").alias("new_label")
         )
+        # persist the exact returned frame — a post-persist
+        # projection would make every later unpersist a no-op and
+        # leak one cached frame per round (the ADVICE leak pattern)
         new = (
             state.join(best, "id", "left")
             .select(
                 "id",
                 F.coalesce("new_label", F.col("label")).alias("label"),
-                F.col("label").alias("_old"),
+                (
+                    F.coalesce("new_label", F.col("label")) != F.col("label")
+                ).alias("_chg"),
             )
             .persist()
         )
@@ -89,7 +94,7 @@ def label_propagation(
         # fingerprint (bit_xor of row hashes — no overflow, collision
         # odds 2^-64) for oscillation detection
         row = new.agg(
-            F.count(F.when(F.col("label") != F.col("_old"), 1)).alias("chg"),
+            F.count(F.when(F.col("_chg"), 1)).alias("chg"),
             F.bit_xor(F.xxhash64("id", "label")).alias("fp"),
         ).collect()[0]
         changed, fp = int(row["chg"]), int(row["fp"] or 0)
@@ -107,7 +112,7 @@ def label_propagation(
             changed = 0
         fps.append(fp)
         del fps[:-2]
-        return new.select("id", "label"), float(changed)
+        return new, float(changed)
 
     res = iterate(
         init,
@@ -118,6 +123,7 @@ def label_propagation(
         checkpoint_every=checkpoint_every,
     )
     edges.unpersist()
+    res.state = res.state.select("id", "label")
     return res
 
 
@@ -235,7 +241,10 @@ def label_spreading(
         )
         delta = new.agg(F.max("_delta")).collect()[0][0] or 0.0
         state.unpersist()
-        return new.drop("_delta"), float(delta)
+        # return the persisted frame itself (the _delta column rides
+        # along and is re-derived each round; the final select below
+        # drops it) so the next round's unpersist targets the cache
+        return new, float(delta)
 
     res = iterate(
         init,

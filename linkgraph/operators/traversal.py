@@ -66,9 +66,18 @@ def bfs_levels(
     False; the option is the honest ablation, not the recommended
     plan."""
     spark = graph.edges.sparkSession
-    edges = stationary(graph.sym_edges.select("src", "dst"), "src")
+    # stationary operands memoize on the immutable graph (the
+    # pagerank pattern): repeat traversals on a standing graph skip
+    # the operand build and shuffle
+    edges = graph.operand(
+        ("trav_src",),
+        lambda: stationary(graph.sym_edges.select("src", "dst"), "src"),
+    )
     e_dst = (
-        stationary(graph.sym_edges.select("src", "dst"), "dst")
+        graph.operand(
+            ("trav_dst",),
+            lambda: stationary(graph.sym_edges.select("src", "dst"), "dst"),
+        )
         if direction_optimizing
         else None
     )
@@ -121,9 +130,6 @@ def bfs_levels(
         n_visited += n_frontier
         visited = vchain.cut(visited.unionAll(nxt))
         frontier = nxt
-    edges.unpersist()
-    if e_dst is not None:
-        e_dst.unpersist()
     fchain.release()
     return visited
 
@@ -160,8 +166,17 @@ def shortest_paths(
         wcol = F.col(weight_expr)
     else:
         wcol = weight_expr
-    edges = stationary(
-        graph.sym_edges.select("src", "dst", wcol.cast("double").alias("w")), "src"
+    def _build_edges():
+        return stationary(
+            graph.sym_edges.select("src", "dst", wcol.cast("double").alias("w")),
+            "src",
+        )
+
+    edges_memo = weight_expr is None
+    edges = (
+        graph.operand(("sssp_edges",), _build_edges)
+        if edges_memo
+        else _build_edges()
     )
     state = spark.createDataFrame(
         [(int(source), 0.0, None)], "id long, dist double, via long"
@@ -223,7 +238,8 @@ def shortest_paths(
         state = mchain.cut(state)
         for df in cached:
             df.unpersist()
-    edges.unpersist()
+    if not edges_memo:
+        edges.unpersist()
     return state
 
 
